@@ -1,0 +1,52 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic monolog-formatted line synthesis from the driver's
+  * `events` table (TESTDATA.md). The testdata has no raw log file, so the
+  * correctness gate round-trips: events → formatted monolog lines →
+  * [[MonologParser]] → typed columns, with a DuckDB oracle building the
+  * identical lines in SQL. Line shape matches the reference's expected
+  * monolog input (reference readme.md "Usage specification",
+  * Worker.php:25):
+  *
+  * `[2024-01-01 00:03:52] app.ERROR: user 46 event 1 {"k":89} []`
+  */
+object LogLines {
+
+  /** The line expression; spaces are stripped from the JSON context so it
+    * satisfies the single-token `(?P<context>[^ ]+)` group, as monolog's
+    * default JSON formatter does.
+    */
+  def lineExpr(ts: Column, eventType: Column, userId: Column, eventId: Column, props: Column): Column =
+    concat(
+      lit("["), date_format(ts, "yyyy-MM-dd HH:mm:ss"), lit("] app."),
+      upper(eventType), lit(": user "), userId, lit(" event "), eventId,
+      lit(" "), regexp_replace(props, " ", ""), lit(" []"))
+
+  /** events → one `line` column. `corruptEvery` > 0 replaces every n-th
+    * event (by id) with a non-monolog line, to exercise the dead-letter
+    * path (reference Worker.php:151-156).
+    */
+  def fromEvents(events: DataFrame, corruptEvery: Int = 0): DataFrame = {
+    val base = lineExpr(col("ts"), col("event_type"), col("user_id"), col("event_id"), col("props"))
+    val line =
+      if (corruptEvery > 0)
+        when(col("event_id") % corruptEvery === 0, concat(lit("CORRUPT "), col("event_id"))).otherwise(base)
+      else base
+    events.select(line.as("line"))
+  }
+
+  /** The same line construction as ANSI SQL for the DuckDB oracle; must
+    * stay in lockstep with [[lineExpr]].
+    */
+  def linesSql(corruptEvery: Int = 0): String = {
+    val base = "'[' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] app.' || upper(event_type) || " +
+      "': user ' || user_id || ' event ' || event_id || ' ' || replace(props, ' ', '') || ' []'"
+    val expr =
+      if (corruptEvery > 0) s"CASE WHEN event_id % $corruptEvery = 0 THEN 'CORRUPT ' || event_id ELSE $base END"
+      else base
+    s"SELECT $expr AS line FROM events"
+  }
+}
