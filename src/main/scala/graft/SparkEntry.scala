@@ -217,6 +217,177 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Round-trip through the MergeTree-style sink (SURVEY §2.A 9, 13):
+    * parse → date-partitioned write → date-range read (partition
+    * pruned) → per-day aggregate. The oracle computes the same
+    * aggregate straight from `events`, so the write/read path must
+    * preserve every row to match.
+    */
+  private def sinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val parsed = MonologParser.parse(LogLines.fromEvents(t(s, dir, "events")), access)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_sink_roundtrip")
+    val sink = graft.sinks.MergeTreeSink(tmp.getAbsolutePath)
+    sink.write(parsed, org.apache.spark.sql.SaveMode.Overwrite)
+    sink.readRange(s, "2024-01-05", "2024-01-11")
+      .groupBy(col("event_date").cast("date").as("event_date"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("level")).as("levels"))
+      .orderBy("event_date")
+  }
+
+  private val sinkRoundtripSql =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+      |       count(DISTINCT upper(event_type)) AS levels
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+      |GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // B. LLM-data-pipeline operators (SURVEY §2.B)                      //
+  // ---------------------------------------------------------------- //
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.ExactDedup.dedup(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text", n = 2, minJaccard = 0.6)
+      .orderBy("a", "b")
+
+  private val dedupNgramJaccardSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2)
+      |SELECT i.a, i.b, round(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
+      |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      |WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6
+      |ORDER BY a, b""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.MinHashLSH.pairs(t(s, dir, "documents"), "doc_id", "text").orderBy("a", "b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SimHash.pairs(t(s, dir, "documents"), "doc_id", "text").orderBy("a", "b")
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.sim.Cosine.asDouble(col("embedding")).as("v"))
+
+  /** Exact cosine near-dup pairs — the verification stage candidates
+    * flow into at scale (candidate generation itself is LSH-bucketed,
+    * see ann_lsh / AnnSpec).
+    */
+  private def dedupCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(graft.sim.Cosine.sim(col("x.v"), col("y.v")), 4).as("cosine"))
+      .where(col("cosine") >= 0.4)
+      .orderBy("a", "b")
+  }
+
+  private val dedupCosineSql =
+    """SELECT a.vec_id AS a, b.vec_id AS b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+      |ORDER BY a, b""".stripMargin
+
+  private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    graft.sim.Knn.topK(queries, corpus, 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
+  private val annBruteforceSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q, c.vec_id AS neighbor,
+      |         list_cosine_similarity(q.ve, c.ve) AS sim_raw
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT q, neighbor, sim_raw,
+      |         row_number() OVER (PARTITION BY q ORDER BY sim_raw DESC, neighbor) AS rank
+      |  FROM scored)
+      |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    // 16 tables x 4 bits: the testdata vectors are near-uniform (top-1
+    // cosine ~0.33 ≈ 70° — far looser than real embedding clusters), so
+    // match probability per bit is only ~0.6 and shorter bucket keys
+    // with more tables are needed for recall.
+    graft.sim.LshAnn.topK(queries, corpus, 5, numTables = 16, bitsPerTable = 4).orderBy("q", "rank")
+  }
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  private val textTokensSql =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS n_bpe_tokens,
+      |       length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.quality(t(s, dir, "documents"), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_words").cast("long").as("n_words"),
+        col("avg_word_len"), col("stopword_ratio"), col("punct_ratio"))
+      .orderBy("doc_id")
+
+  private val textQualitySql =
+    """SELECT doc_id, length(text) AS n_chars,
+      |       len(string_split(text, ' ')) AS n_words,
+      |       round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4) AS avg_word_len,
+      |       round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |       round(len(regexp_extract_all(text, '[^\w\s]')) / length(text), 4) AS punct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private val textLangIdSql =
+    """SELECT doc_id,
+      |       round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) AS stop_ratio,
+      |       CASE WHEN round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) >= 0.05
+      |            THEN 'en' ELSE 'und' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.asBinary(t(s, dir, "documents"), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("meta.n_bytes").cast("long").as("n_bytes"),
+        col("meta.magic").as("magic"))
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |       substring(hex(encode(text)), 1, 8) AS magic
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -233,6 +404,19 @@ object SparkEntry {
     "q1_agg" -> Q(q1Agg, Some(q1AggSql)),
     "q3_join" -> Q(q3Join, Some(q3JoinSql)),
     "q5_join" -> Q(q5Join, Some(q5JoinSql)),
+    "sink_roundtrip" -> Q(sinkRoundtrip, Some(sinkRoundtripSql)),
+    "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
+    "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    "dedup_minhash" -> Q(dedupMinhash, None),
+    "dedup_simhash" -> Q(dedupSimhash, None),
+    "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
+    "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),
+    "ann_lsh" -> Q(annLsh, None),
+    "text_tokens" -> Q(textTokens, Some(textTokensSql)),
+    "text_quality" -> Q(textQuality, Some(textQualitySql)),
+    "text_lang_id" -> Q(textLangId, Some(textLangIdSql)),
+    "text_fingerprint" -> Q(textFingerprint, None),
+    "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

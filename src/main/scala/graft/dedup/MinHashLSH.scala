@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding near-duplicate detection (LLM-pipeline brief).
+  *
+  * Pipeline: shingle → per-document minhash signature (`numHashes`
+  * universal hashes over `xxhash64` of each shingle) → split the
+  * signature into `bands` bands → explode one row per band → bucket-join
+  * on (band index, band slice) → candidate pairs → estimate Jaccard as
+  * the fraction of agreeing signature positions.
+  *
+  * Scale: the only shuffles are the per-document signature aggregation
+  * and the band bucket join; candidate generation is proportional to
+  * bucket collisions, never |docs|². Signature computation is a single
+  * `aggregate` higher-order fold per row (no explode of shingles).
+  */
+object MinHashLSH {
+
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  /** Deterministic universal-hash coefficients (fixed seed — results
+    * must be reproducible run to run).
+    */
+  private def coeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** docs → (id, sig array<bigint>[numHashes]). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2, numHashes: Int = 64): DataFrame = {
+    val sh = Shingles.shingles(col(textCol), n)
+    // Per-shingle base hash, folded once; each signature slot applies its
+    // own (a,b) affine map. All row-local — no shuffle.
+    val hashes = transform(sh, s => pmod(xxhash64(s), lit(Prime)))
+    val sigSlots: Seq[Column] = coeffs(numHashes).map { case (a, b) =>
+      aggregate(
+        hashes,
+        lit(Prime),
+        (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(Prime))))
+    }
+    docs.select(col(idCol).as("id"), array(sigSlots: _*).as("sig"))
+  }
+
+  /** Candidate pairs from band-bucket collisions with estimated Jaccard
+    * (fraction of agreeing minhash slots) at or above `minEstJaccard`.
+    */
+  def candidatePairs(
+      sigs: DataFrame,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.6): DataFrame = {
+    val numHashes = 64 // matches signatures() default; r = numHashes / bands
+    val r = numHashes / bands
+    val bandRows = sigs.select(
+      col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+    val cands = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"), col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("a", "b")
+    cands
+      .select(
+        col("a"), col("b"),
+        round(
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+            / lit(numHashes.toDouble), 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Full pipeline: near-dup pairs on word n-gram shingles. */
+  def pairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 2,
+            bands: Int = 16, minEstJaccard: Double = 0.6): DataFrame =
+    candidatePairs(signatures(docs, idCol, textCol, n), bands, minEstJaccard)
+}

@@ -1,0 +1,47 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard near-duplicate pairs via an inverted-index join
+  * (LLM-pipeline brief). Never all-pairs: candidate pairs are generated
+  * only for documents sharing at least one shingle, by self-joining the
+  * exploded (id, shingle) index on the shingle key — a shuffle
+  * hash-join keyed on shingles, which scales with the number of shared
+  * shingles, not |docs|².
+  *
+  * `maxDf` drops shingles appearing in more than that many documents
+  * (stop-shingles) before pairing; this bounds bucket skew at scale at
+  * the cost of missing pairs whose only shared shingles are ubiquitous.
+  */
+object NgramJaccard {
+
+  def pairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      minJaccard: Double = 0.6,
+      maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s"))
+    val index = maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+        sh.join(rare, "s")
+      case None => sh
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = index.as("a")
+      .join(index.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a"), col("b.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .select(
+        col("a"), col("b"),
+        round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

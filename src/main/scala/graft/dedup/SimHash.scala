@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (LLM-pipeline brief).
+  *
+  * 64-bit simhash per document: every token votes ±1 on each bit of its
+  * `xxhash64`; the fingerprint takes the sign of each bit's vote sum.
+  * Hamming distance between fingerprints is `bit_count(a ^ b)` — one
+  * codegen'd instruction, no loops.
+  *
+  * Candidate pairing at scale: split the 64 bits into `bands` chunks and
+  * bucket-join on exact chunk equality — any pair within hamming
+  * distance < bands shares at least one exact chunk (pigeonhole), so
+  * the bucket join finds all pairs with distance <= bands - 1 without
+  * an all-pairs comparison.
+  */
+object SimHash {
+
+  /** Literal [1L<<0, 1L<<1, ..., 1L<<63] (the Scala functions API has no
+    * Column-valued shift amount, so bits are addressed by mask).
+    */
+  private val bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** Row-local fingerprint: fold tokens into 64 bit-votes, then pack the
+    * vote signs into one long with bitwise OR (no additive overflow).
+    */
+  def fingerprint(text: Column): Column = {
+    val toks = Shingles.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(acc, bitMasks,
+          (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("simhash"))
+
+  /** Pairs within `maxHamming` via band-bucket join; guaranteed complete
+    * when `maxHamming < bands`.
+    */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+            maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "completeness requires maxHamming < bands")
+    val fps = fingerprints(docs, idCol, textCol)
+    val width = 64 / bands
+    val chunkMask = if (width == 64) -1L else (1L << width) - 1
+    val bandRows = fps.select(col("id"), col("simhash"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk",
+        // simhash >>> (band*width) & mask, expressed per band since shift
+        // amounts must be literals in the Scala API
+        element_at(
+          array((0 until bands).map(b => shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(chunkMask))): _*),
+          col("band") + 1))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbors via random-hyperplane LSH
+  * (LLM-pipeline brief — the scale path next to [[Knn]]'s exact
+  * baseline).
+  *
+  * `numTables` independent hash tables of `bitsPerTable` hyperplane
+  * sign bits each. A vector lands in one bucket per table; queries are
+  * compared only against corpus vectors sharing a bucket in at least
+  * one table, then exact-cosine reranked. Cost scales with bucket
+  * collisions, not |corpus| — the all-pairs product never materializes.
+  *
+  * Hyperplanes are deterministic pseudo-random vectors derived from a
+  * fixed seed so results are reproducible.
+  */
+object LshAnn {
+
+  /** Deterministic hyperplane component: table t, bit b, dim d. */
+  private def planes(numTables: Int, bitsPerTable: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
+  }
+
+  /** Append `bucket_t` columns (one long per table) to a vector frame. */
+  def withBuckets(df: DataFrame, vecCol: String, numTables: Int, bitsPerTable: Int, dim: Int): DataFrame = {
+    val hp = planes(numTables, bitsPerTable, dim)
+    val v = col(vecCol)
+    val bucketCols: Seq[Column] = (0 until numTables).map { t =>
+      val bits: Seq[Column] = (0 until bitsPerTable).map { b =>
+        val plane = array(hp(t)(b).map(lit(_)): _*)
+        when(Cosine.dot(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bits.reduce((a, c) => a.bitwiseOR(c)).as(s"bucket_$t")
+    }
+    df.select(df.columns.map(col) ++ bucketCols: _*)
+  }
+
+  /** Approximate top-k: bucket-join per table, union candidates, exact
+    * rerank.
+    */
+  def topK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      k: Int,
+      numTables: Int = 8,
+      bitsPerTable: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val qb = withBuckets(queries, "qvec", numTables, bitsPerTable, dim)
+    val cb = withBuckets(corpus, "vec", numTables, bitsPerTable, dim)
+    val qLong = qb.select(
+      col("qid"), col("qvec"),
+      explode(array((0 until numTables).map(t => struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
+      .select(col("qid"), col("qvec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cLong = cb.select(
+      col("id"), col("vec"),
+      explode(array((0 until numTables).map(t => struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cands = broadcast(qLong).join(cLong,
+        col("qid") =!= col("id") && qLong("t") === cLong("t") && qLong("bk") === cLong("bk"))
+      .select(col("qid").as("q"), col("id").as("neighbor"), col("qvec"), col("vec"))
+      .dropDuplicates("q", "neighbor")
+    val scored = cands.select(
+      col("q"), col("neighbor"),
+      Cosine.sim(col("qvec"), col("vec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("neighbor"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+}

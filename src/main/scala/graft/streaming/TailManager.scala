@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.time.LocalDate
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Multi-source supervision — the Spark-native Manager (reference
+  * Manager.php:57-117). Where the reference runs one OS process per
+  * tail and polls with `posix_kill($pid, 0)`, here every source is a
+  * `StreamingQuery` inside one SparkSession (Spark schedules them
+  * concurrently); [[superviseOnce]] is the manager loop body:
+  *
+  *  - dead query → restart (Manager.php:63-66 worker-dead check);
+  *  - `{date}`-templated sources whose day changed → graceful stop and
+  *    restart on the new day's path (Manager.php:72-89 rollover, with
+  *    the same start-from-0 semantics: the new path gets a fresh file
+  *    listing while the checkpoint keeps already-read files);
+  *  - not yet started → start.
+  */
+final class TailManager(pipelines: Seq[TailPipeline]) {
+
+  private val queries = mutable.Map.empty[String, StreamingQuery]
+  private val startedDay = mutable.Map.empty[String, LocalDate]
+
+  def activeQueries: Map[String, StreamingQuery] = queries.toMap
+
+  /** One supervision pass; returns the names (re)started. */
+  def superviseOnce(today: LocalDate): Seq[String] = pipelines.flatMap { p =>
+    val name = p.cfg.name
+    val dead = queries.get(name).exists(!_.isActive)
+    val rolled = graft.sources.DatePath.isDaily(p.inputPath) && startedDay.get(name).exists(_ != today)
+    queries.get(name) match {
+      case Some(q) if rolled && q.isActive => p.stopGracefully(q); queries.remove(name)
+      case _ if dead => queries.remove(name)
+      case _ => ()
+    }
+    if (!queries.contains(name)) {
+      queries(name) = p.start(today)
+      startedDay(name) = today
+      Some(name)
+    } else None
+  }
+
+  /** Graceful shutdown of every source with final flush (reference
+    * Manager.php stopProcess + ToolsTraits.php:48-54).
+    */
+  def shutdown(): Unit = {
+    pipelines.foreach { p =>
+      queries.get(p.cfg.name).filter(_.isActive).foreach(p.stopGracefully)
+    }
+    queries.clear()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (LLM-pipeline
+  * brief): token counting, quality scoring, n-gram-heuristic language
+  * ID, and rolling-hash document fingerprinting. Everything is
+  * row-local built-in expressions — the whole family is a shuffle-free
+  * map at any scale.
+  */
+object TextStats {
+
+  /** Stopword list used by both the language heuristic and quality
+    * ratios; mirrored verbatim in oracle SQL.
+    */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** BPE-ish token pattern: word pieces or runs of non-word-non-space. */
+  val BpeTokenPattern = "\\w+|[^\\w\\s]+"
+
+  def words(text: Column): Column = split(text, " ")
+
+  def stopwordHits(text: Column): Column =
+    size(filter(words(text), t => t.isin(EnStopwords: _*)))
+
+  /** (n_ws_tokens, n_bpe_tokens, n_chars) per document. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    docs.select(
+      col(idCol),
+      size(words(text)).as("n_ws_tokens"),
+      size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).as("n_bpe_tokens"),
+      length(text).as("n_chars"))
+  }
+
+  /** Length / punctuation / stopword quality ratios. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nWords = size(words(text))
+    val nChars = length(text)
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round(length(regexp_replace(text, " ", "")) / nWords, 4).as("avg_word_len"),
+      round(stopwordHits(text) / nWords, 4).as("stopword_ratio"),
+      round(size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))) / nChars, 4).as("punct_ratio"))
+  }
+
+  /** N-gram-heuristic language ID: stopword density against the English
+    * list; below the floor → undetermined.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String, minRatio: Double = 0.05): DataFrame = {
+    val text = col(textCol)
+    val ratio = round(stopwordHits(text) / size(words(text)), 4)
+    docs.select(
+      col(idCol),
+      ratio.as("stop_ratio"),
+      when(ratio >= minRatio, lit("en")).otherwise(lit("und")).as("lang_pred"))
+  }
+
+  private val FingerprintMod = 1000000007L // keeps acc*31+h < 2^63 (no ANSI overflow)
+
+  /** Rolling polynomial hash over the token stream:
+    * `h = fold(tokens)(h * 31 + xxhash64(tok) mod M) mod M`.
+    * Order-sensitive (unlike a bag-of-words hash) so re-ordered
+    * documents fingerprint differently.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      words(text),
+      lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(FingerprintMod)), lit(FingerprintMod)))
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+}
