@@ -43,7 +43,7 @@ object MonologParser {
         lines
           .where(l.rlike(pat))
           .select(
-            to_timestamp_ntz(regexp_extract(l, pat, 1), lit(TimestampFormat)).as("created_at"),
+            to_timestamp_ntz(regexp_extract(l, pat, 1), lit(cfg.timestampFormat)).as("created_at"),
             regexp_extract(l, pat, 2).as("logger"),
             regexp_extract(l, pat, 3).as("level"),
             regexp_extract(l, pat, 4).as("message"),

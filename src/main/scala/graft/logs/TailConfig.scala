@@ -29,4 +29,5 @@ final case class TailConfig(
     repo: String,
     host: String = "host1",
     pattern: PatternMode = PatternMode.Default,
-    transform: Option[DataFrame => DataFrame] = None)
+    transform: Option[DataFrame => DataFrame] = None,
+    timestampFormat: String = "yyyy-MM-dd HH:mm:ss")

@@ -40,6 +40,14 @@ final case class TailPipeline(
 
   def resolvedInput(asOf: LocalDate): String = DatePath.resolve(inputPath, asOf)
 
+  /** File-source checkpoints are bound to their source path, so a
+    * daily-rotated source gets a per-day checkpoint — the exact analog
+    * of the reference restarting a rotated worker from index 0 on the
+    * new file (Manager.php:77-80).
+    */
+  private def resolvedCheckpoint(asOf: LocalDate): String =
+    if (DatePath.isDaily(inputPath)) s"$checkpointDir/day=$asOf" else checkpointDir
+
   /** Start the streaming query for the given day's input path. */
   def start(asOf: LocalDate): StreamingQuery = {
     val reader0 = spark.readStream
@@ -47,7 +55,7 @@ final case class TailPipeline(
     val lines = reader.text(resolvedInput(asOf)).withColumnRenamed("value", "line")
     lines.writeStream
       .queryName(cfg.name)
-      .option("checkpointLocation", checkpointDir)
+      .option("checkpointLocation", resolvedCheckpoint(asOf))
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()

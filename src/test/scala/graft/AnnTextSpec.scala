@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.{Cosine, Knn, LshAnn}
+import graft.text.TextStats
+
+class AnnTextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Tables(spark, TestSpark.SfDir, "embeddings")
+    .select(col("vec_id"), Cosine.asDouble(col("embedding")).as("v"))
+
+  test("brute-force knn returns k self-excluded neighbors per query") {
+    val queries = emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val out = Knn.topK(queries, corpus, 5).collect()
+    assert(out.length == 15)
+    assert(out.forall(r => r.getAs[Long]("q") != r.getAs[Long]("neighbor")))
+    // per-query sims are non-increasing with rank
+    out.groupBy(_.getAs[Long]("q")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN reaches >=0.9 recall vs brute force on testdata") {
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val bf = Knn.topK(queries, corpus, 5).select("q", "neighbor").as[(Long, Long)].collect().toSet
+    val approx = LshAnn.topK(queries, corpus, 5, numTables = 16, bitsPerTable = 4)
+      .select("q", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = (bf & approx).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosine similarity of a vector with itself is 1") {
+    val one = emb.limit(1).select(round(Cosine.sim(col("v"), col("v")), 6).as("c")).as[Double].head()
+    assert(one == 1.0)
+  }
+
+  test("quality ratios on a known sentence") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextStats.quality(docs, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") == 11)
+    assert(r.getAs[Int]("n_words") == 3)
+    assert(r.getAs[Double]("stopword_ratio") == 0.3333)
+    assert(r.getAs[Double]("avg_word_len") == 3.0)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
+    val docs = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprints(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("bpe-ish token count splits punctuation runs from words") {
+    val docs = Seq((1L, "hello, world!!")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(docs, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_ws_tokens") == 2)
+    assert(r.getAs[Int]("n_bpe_tokens") == 4) // hello , world !!
+  }
+
+  test("lang-id flags stopword-dense text as en") {
+    val docs = Seq((1L, "the cat is in the house"), (2L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextStats.langId(docs, "doc_id", "text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(out == Seq("en", "und"))
+  }
+}

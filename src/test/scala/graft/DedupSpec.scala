@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash}
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup collapses identical texts, keeps min id") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z w")).toDF("doc_id", "text")
+    val out = ExactDedup.dedup(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard computes exact overlap on known docs") {
+    // bigrams: {a b, b c, c d} vs {a b, b c, c e} → 2/4 = 0.5
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val out = NgramJaccard.pairs(docs, "doc_id", "text", n = 2, minJaccard = 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.5)))
+  }
+
+  test("minhash+LSH finds the same near-dup pairs as exact jaccard on testdata") {
+    val docs = Tables(spark, TestSpark.SfDir, "documents")
+    val exact = NgramJaccard.pairs(docs, "doc_id", "text", n = 2, minJaccard = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val mh = MinHashLSH.pairs(docs, "doc_id", "text", n = 2, minEstJaccard = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall too low (exact=${exact.size}, mh=${mh.size})")
+  }
+
+  test("simhash: identical docs collide at hamming 0, disjoint docs do not pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = SimHash.pairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0)))
+  }
+
+  test("candidate generation is never all-pairs (no cartesian/nested-loop join)") {
+    val docs = Tables(spark, TestSpark.SfDir, "documents")
+    for (df <- Seq(
+        NgramJaccard.pairs(docs, "doc_id", "text"),
+        MinHashLSH.pairs(docs, "doc_id", "text"),
+        SimHash.pairs(docs, "doc_id", "text"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in plan:\n$plan")
+    }
+  }
+}

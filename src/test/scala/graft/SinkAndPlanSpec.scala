@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logs.{LogLines, MonologParser, TailConfig}
+import graft.mm.Multimodal
+import graft.sinks.MergeTreeSink
+import graft.sources.DatePath
+
+class SinkAndPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = TailConfig(name = "access", repo = "api2")
+
+  private def parsedEvents = MonologParser.parse(
+    LogLines.fromEvents(Tables(spark, TestSpark.SfDirSmall, "events")), cfg)
+
+  test("sink writes date partitions, prunes reads, applies TTL") {
+    val root = Files.createTempDirectory("mt_sink").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    sink.write(parsedEvents, SaveMode.Overwrite)
+
+    val parts = root.listFiles().filter(_.getName.startsWith("event_date=")).map(_.getName).sorted
+    assert(parts.length > 1, s"expected multiple date partitions, got ${parts.toSeq}")
+
+    val pruned = sink.readRange(spark, "2024-01-02", "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    // pruned scan reads only the two in-range partitions
+    val readDates = pruned.select("event_date").distinct().as[java.sql.Date].collect().map(_.toString).sorted
+    assert(readDates.forall(d => d >= "2024-01-02" && d <= "2024-01-03"))
+
+    val oldest = parts.head.stripPrefix("event_date=")
+    val dropped = sink.applyTtl(LocalDate.parse(oldest).plusDays(11))
+    assert(dropped.contains(s"event_date=$oldest"))
+    assert(!root.listFiles().map(_.getName).contains(s"event_date=$oldest"))
+  }
+
+  test("within-partition sort gives parquet row-group stats the MergeTree ORDER BY role") {
+    val root = Files.createTempDirectory("mt_sorted").toFile
+    MergeTreeSink(root.getAbsolutePath).write(parsedEvents, SaveMode.Overwrite)
+    val part = root.listFiles().filter(_.getName.startsWith("event_date=")).head
+    val rows = spark.read.parquet(part.getAbsolutePath)
+      .select("created_at").as[java.time.LocalDateTime].collect()
+    assert(rows.zip(rows.tail).forall { case (a, b) => !a.isAfter(b) }, "rows not sorted by created_at")
+  }
+
+  test("date macro resolves and expands over ranges") {
+    assert(DatePath.isDaily("/logs/access-{date}.log"))
+    assert(!DatePath.isDaily("/logs/access.log"))
+    assert(DatePath.resolve("/logs/access-{date}.log", LocalDate.of(2022, 2, 22)) ==
+      "/logs/access-2022-02-22.log")
+    assert(DatePath.range("/l/{date}", LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 3)) ==
+      Seq("/l/2024-01-01", "/l/2024-01-02", "/l/2024-01-03"))
+  }
+
+  test("multimodal binary plumbing: payload bytes + metadata + stub decode") {
+    val docs = Seq((1L, "hi there")).toDF("doc_id", "text")
+    val bin = Multimodal.asBinary(docs, "doc_id", "text")
+    val meta = bin.select("meta.n_bytes", "meta.magic").head()
+    assert(meta.getAs[Int]("n_bytes") == 8)
+    assert(meta.getAs[String]("magic") == "68692074") // "hi t"
+    val decoded = Multimodal.stubDecode(bin, "doc_id").head()
+    val feats = decoded.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 8)
+    assert(math.abs(feats.head - 'h'.toInt / 255f) < 1e-6)
+  }
+
+  test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
+    val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
+    val p5 = q5.queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), s"no broadcast join:\n$p5")
+    val q1 = SparkEntry.queries("q1_agg")(spark, TestSpark.SfDirSmall)
+    val p1 = q1.queryExecution.executedPlan.toString
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"date filter not pushed to parquet scan:\n$p1")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logs.TailConfig
+import graft.sinks.MergeTreeSink
+import graft.streaming.{TailManager, TailPipeline}
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val cfg = TailConfig(name = "stream_access", repo = "api2")
+
+  private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  private def writeLog(dir: Path, fileName: String, lines: Seq[String]): Unit = {
+    // atomic appearance: write to a temp name, then rename — the file
+    // source's unit of ingest, standing in for the reference's
+    // partial-line handling (Worker.php:94-117)
+    val t = dir.resolve(s".$fileName.tmp")
+    Files.write(t, String.join("\n", lines: _*).getBytes, StandardOpenOption.CREATE)
+    Files.move(t, dir.resolve(fileName))
+  }
+
+  private def line(sec: Int, msg: String) =
+    f"[2024-01-01 10:00:$sec%02d] app.INFO: $msg {} []"
+
+  test("tail pipeline: ingest, parse, dead-letter, checkpoint resume without dupes") {
+    val in = tmp("tail_in"); val ck = tmp("tail_ck"); val out = tmp("tail_out"); val dl = tmp("tail_dl")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg, in.toString, ck.toString, sink,
+      deadLetterPath = Some(dl.toString))
+    val day = LocalDate.of(2024, 1, 1)
+
+    writeLog(in, "a.log", Seq(line(1, "one"), line(2, "two"), "garbage"))
+    val q1 = pipe.start(day)
+    q1.processAllAvailable()
+    assert(sink.read(spark).count() == 2)
+    assert(spark.read.parquet(dl.toString).count() == 1)
+
+    // new file while running — picked up by the next microbatch
+    writeLog(in, "b.log", Seq(line(3, "three")))
+    q1.processAllAvailable()
+    assert(sink.read(spark).count() == 3)
+    pipe.stopGracefully(q1)
+
+    // restart from checkpoint: pre-stop files are not re-ingested
+    writeLog(in, "c.log", Seq(line(4, "four")))
+    val q2 = pipe.start(day)
+    q2.processAllAvailable()
+    pipe.stopGracefully(q2)
+    val msgs = sink.read(spark).select("message")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(msgs.sorted == Seq("four", "one", "three", "two"),
+      "checkpoint resume must not duplicate rows")
+  }
+
+  test("manager supervises multiple sources and rolls daily-templated paths") {
+    val base = tmp("mgr")
+    val day1 = LocalDate.of(2024, 1, 1); val day2 = LocalDate.of(2024, 1, 2)
+    val inTemplate = base.resolve("in-{date}").toString
+    Seq(day1, day2).foreach(d => Files.createDirectories(Paths.get(graft.sources.DatePath.resolve(inTemplate, d))))
+    val fixedIn = tmp("mgr_fixed")
+    val sinkA = MergeTreeSink(base.resolve("outA").toString)
+    val sinkB = MergeTreeSink(base.resolve("outB").toString)
+    val pipes = Seq(
+      TailPipeline(spark, TailConfig("daily", "api2"), inTemplate, base.resolve("ckA").toString, sinkA),
+      TailPipeline(spark, TailConfig("fixed", "api2"), fixedIn.toString, base.resolve("ckB").toString, sinkB))
+    val mgr = new TailManager(pipes)
+
+    assert(mgr.superviseOnce(day1).toSet == Set("daily", "fixed"))
+    writeLog(Paths.get(graft.sources.DatePath.resolve(inTemplate, day1)), "a.log", Seq(line(1, "d1")))
+    writeLog(fixedIn, "f.log", Seq(line(2, "fx")))
+    mgr.activeQueries.values.foreach(_.processAllAvailable())
+    assert(sinkA.read(spark).count() == 1)
+    assert(sinkB.read(spark).count() == 1)
+
+    // supervising within the same day restarts nothing
+    assert(mgr.superviseOnce(day1).isEmpty)
+
+    // day rollover: the daily source restarts on the new path, fixed does not
+    assert(mgr.superviseOnce(day2) == Seq("daily"))
+    writeLog(Paths.get(graft.sources.DatePath.resolve(inTemplate, day2)), "b.log", Seq(line(3, "d2")))
+    mgr.activeQueries("daily").processAllAvailable()
+    assert(sinkA.read(spark).count() == 2)
+
+    // dead query is restarted by the next pass
+    mgr.activeQueries("fixed").stop()
+    assert(mgr.superviseOnce(day2) == Seq("fixed"))
+
+    mgr.shutdown()
+    assert(mgr.activeQueries.isEmpty)
+    assert(spark.streams.active.isEmpty)
+  }
+}
