@@ -40,15 +40,20 @@ object MonologParser {
       case PatternMode.Raw => lines.select(l.as("raw"))
       case _ =>
         val pat = regexOf(cfg)
+        // Single-pass extraction: one regex execution per line instead
+        // of rlike + 6 regexp_extract (7 executions) — this transform
+        // runs on 100% of ingested rows.
+        val g = graft.functions.RegexpExtractGroups(l, pat)
         lines
-          .where(l.rlike(pat))
+          .select(g.as("_g"))
+          .where(col("_g").isNotNull)
           .select(
-            to_timestamp_ntz(regexp_extract(l, pat, 1), lit(cfg.timestampFormat)).as("created_at"),
-            regexp_extract(l, pat, 2).as("logger"),
-            regexp_extract(l, pat, 3).as("level"),
-            regexp_extract(l, pat, 4).as("message"),
-            regexp_extract(l, pat, 5).as("context"),
-            regexp_extract(l, pat, 6).as("extra"))
+            to_timestamp_ntz(element_at(col("_g"), 1), lit(cfg.timestampFormat)).as("created_at"),
+            element_at(col("_g"), 2).as("logger"),
+            element_at(col("_g"), 3).as("level"),
+            element_at(col("_g"), 4).as("message"),
+            element_at(col("_g"), 5).as("context"),
+            element_at(col("_g"), 6).as("extra"))
     }
     val enriched = base
       .withColumn("repo", lit(cfg.repo))
