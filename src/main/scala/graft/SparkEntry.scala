@@ -126,6 +126,78 @@ object SparkEntry {
     """SELECT event_type, user_id, count(*) AS cnt FROM events
       |GROUP BY 1, 2 ORDER BY cnt DESC, event_type, user_id LIMIT 10""".stripMargin
 
+  /** Per-user sessionization with a 30-minute inactivity gap — the
+    * classic event-stream analytic over the parsed-log table. Gap
+    * detection compares floor-of-epoch seconds, which both engines
+    * compute identically.
+    */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    val sec = (c: org.apache.spark.sql.Column) => unix_timestamp(c.cast("timestamp"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || (sec(col("ts")) - sec(col("prev"))) > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val sessionizeSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |         CASE WHEN prev IS NULL OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM o)
+      |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Exact interpolated percentiles per level — Spark `percentile` and
+    * DuckDB `quantile_cont` both linearly interpolate the sorted set.
+    */
+  private def pctlValue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("level"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("p"))
+      .select(
+        col("level"),
+        round(element_at(col("p"), 1), 4).as("p50"),
+        round(element_at(col("p"), 2), 4).as("p95"),
+        round(element_at(col("p"), 3), 4).as("p99"))
+      .orderBy("level")
+
+  private val pctlValueSql =
+    """SELECT event_type AS level,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.95), 4) AS p95,
+      |       round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY 1 ORDER BY level""".stripMargin
+
+  /** 7-day moving average of daily event counts per level. */
+  private def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type").as("level"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("level").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg("cnt").over(w), 4))
+      .orderBy("level", "day")
+  }
+
+  private val windowMovingAvgSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type AS level, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, level, cnt,
+      |       round(avg(cnt) OVER (PARTITION BY level ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+      |FROM daily ORDER BY level, day""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Relational core on the TPC-H-ish tables (SURVEY §2.A 18-19)       //
   // ---------------------------------------------------------------- //
@@ -324,6 +396,13 @@ object SparkEntry {
       |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
       |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
 
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    graft.sim.IvfAnn.topK(queries, corpus, 5, numCells = 16, nProbe = 8).orderBy("q", "rank")
+  }
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
@@ -417,6 +496,10 @@ object SparkEntry {
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
     "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),
     "ann_lsh" -> Q(annLsh, None),
+    "ann_ivf" -> Q(annIvf, None),
+    "sessionize" -> Q(sessionize, Some(sessionizeSql)),
+    "pctl_value" -> Q(pctlValue, Some(pctlValueSql)),
+    "window_moving_avg" -> Q(windowMovingAvg, Some(windowMovingAvgSql)),
     "text_tokens" -> Q(textTokens, Some(textTokensSql)),
     "text_quality" -> Q(textQuality, Some(textQualitySql)),
     "text_lang_id" -> Q(textLangId, Some(textLangIdSql)),

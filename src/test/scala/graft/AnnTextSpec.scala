@@ -36,6 +36,20 @@ class AnnTextSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF ANN: probe-limited search reaches reasonable recall, full probe is exact") {
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val bf = Knn.topK(queries, corpus, 5).select("q", "neighbor").as[(Long, Long)].collect().toSet
+    val ivf = graft.sim.IvfAnn.topK(queries, corpus, 5, numCells = 16, nProbe = 8)
+      .select("q", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+    // probing every cell degenerates to exact search
+    val full = graft.sim.IvfAnn.topK(queries, corpus, 5, numCells = 16, nProbe = 16)
+      .select("q", "neighbor").as[(Long, Long)].collect().toSet
+    assert(full == bf)
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val one = emb.limit(1).select(round(Cosine.sim(col("v"), col("v")), 6).as("c")).as[Double].head()
     assert(one == 1.0)

@@ -60,6 +60,21 @@ class SinkAndPlanSpec extends AnyFunSuite {
       Seq("/l/2024-01-01", "/l/2024-01-02", "/l/2024-01-03"))
   }
 
+  test("backfill reads rotated day files with per-day attribution, skipping missing days") {
+    val root = Files.createTempDirectory("backfill").toFile
+    val template = s"${root.getAbsolutePath}/access-{date}.log"
+    java.nio.file.Files.write(java.nio.file.Paths.get(DatePath.resolve(template, LocalDate.of(2024, 1, 1))),
+      "l1\nl2".getBytes)
+    // 2024-01-02 intentionally missing
+    java.nio.file.Files.write(java.nio.file.Paths.get(DatePath.resolve(template, LocalDate.of(2024, 1, 3))),
+      "l3".getBytes)
+    val out = graft.sources.LogBackfill
+      .read(spark, template, LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 3))
+      .groupBy("log_date").count().orderBy("log_date")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(out == Seq((java.sql.Date.valueOf("2024-01-01"), 2L), (java.sql.Date.valueOf("2024-01-03"), 1L)))
+  }
+
   test("multimodal binary plumbing: payload bytes + metadata + stub decode") {
     val docs = Seq((1L, "hi there")).toDF("doc_id", "text")
     val bin = Multimodal.asBinary(docs, "doc_id", "text")
