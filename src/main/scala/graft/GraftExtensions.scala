@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ArrayDot, RegexpExtractGroups}
+
+/** Registers graft's native expressions with the SQL function registry,
+  * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
+  * SQL as well as the Column API.
+  *
+  * Two entry points:
+  *  - config-driven: `spark.sql.extensions=graft.GraftExtensions`
+  *    (the SparkSessionExtensions route for new sessions);
+  *  - [[GraftExtensions.register]] for an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("array_dot",
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+    ("regexp_groups",
+      new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_groups"),
+      (args: Seq[Expression]) => RegexpExtractGroups(args(0), args(1))))
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

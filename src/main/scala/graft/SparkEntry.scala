@@ -374,6 +374,15 @@ object SparkEntry {
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
       |ORDER BY a, b""".stripMargin
 
+  /** The scale path for cosine near-dup: LSH-bucketed candidates +
+    * exact verify (rows-only at the driver; recall vs the exact pair
+    * set is asserted in DedupSpec).
+    */
+  private def dedupCosineLsh(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CosineDedup.pairs(
+      embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec")),
+      minCosine = 0.4).orderBy("a", "b")
+
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
@@ -494,6 +503,7 @@ object SparkEntry {
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
+    "dedup_cosine_lsh" -> Q(dedupCosineLsh, None),
     "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),
     "ann_lsh" -> Q(annLsh, None),
     "ann_ivf" -> Q(annIvf, None),

@@ -44,6 +44,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 0)))
   }
 
+  test("LSH-bucketed cosine dedup recovers the exact pair set without an all-pairs join") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, TestSpark.SfDir, "embeddings")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    val exact = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        graft.sim.Cosine.sim(col("x.vec"), col("y.vec")).as("c"))
+      .where(col("c") >= 0.4).select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = graft.dedup.CosineDedup.pairs(e, minCosine = 0.4)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in plan:\n$plan")
+    val got = lsh.select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"cosine LSH recall $recall (exact=${exact.size}, lsh=${got.size})")
+    assert(got.subsetOf(exact), "exact verification stage must not emit false positives")
+  }
+
   test("candidate generation is never all-pairs (no cartesian/nested-loop join)") {
     val docs = Tables(spark, TestSpark.SfDir, "documents")
     for (df <- Seq(

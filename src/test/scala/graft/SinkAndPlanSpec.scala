@@ -87,6 +87,18 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(math.abs(feats.head - 'h'.toInt / 255f) < 1e-6)
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(dot == 11.0)
+    val groups = spark.sql(
+      """SELECT regexp_groups('[2024-01-01 00:00:00] app.INFO: hi {} []',
+        |  '\\[(.*)\\] (\\w+)\\.(\\w+): (.*[^ ]+) ([^ ]+) ([^ ]+)') AS g""".stripMargin)
+      .selectExpr("g[2]").as[String].head()
+    assert(groups == "INFO")
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString
