@@ -358,11 +358,15 @@ object SparkEntry {
     * see ann_lsh / AnnSpec).
     */
   private def dedupCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(s, dir)
+    // norms precomputed per vector, not per pair: the pair stage does
+    // one ArrayDot instead of three
+    val e = embDouble(s, dir).select(
+      col("vec_id"), col("v"),
+      sqrt(graft.sim.Cosine.dot(col("v"), col("v"))).as("nrm"))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(
         col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(graft.sim.Cosine.sim(col("x.v"), col("y.v")), 4).as("cosine"))
+        round(graft.sim.Cosine.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cosine"))
       .where(col("cosine") >= 0.4)
       .orderBy("a", "b")
   }

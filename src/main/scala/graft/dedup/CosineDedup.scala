@@ -23,18 +23,31 @@ object CosineDedup {
       numTables: Int = 16,
       bitsPerTable: Int = 4,
       dim: Int = 64): DataFrame = {
+    // Candidate generation moves only (id, table, bucket) — never the
+    // vectors. Shuffling 64-dim payloads through the bucket join and
+    // the pair-dedup costs ~60x the bytes and measured ~10x slower;
+    // vectors (with precomputed norms) are joined back onto the
+    // deduplicated pair list for the exact check — auto-broadcast when
+    // the embedding table is small, shuffle hash join on the id keys at
+    // corpus scale (no forced hint, so neither regime OOMs).
     val b = LshAnn.withBuckets(embeddings, "vec", numTables, bitsPerTable, dim)
     val long = b.select(
-      col("id"), col("vec"),
+      col("id"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    long.as("a")
+      .select(col("id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = long.as("a")
       .join(long.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"), col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
       .dropDuplicates("a", "b")
-      .select(col("a"), col("b"), round(Cosine.sim(col("va"), col("vb")), 4).as("cosine"))
+    val vecs = embeddings.select(
+      col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm"))
+    cand
+      .join(vecs.as("x"), col("a") === col("x.id"))
+      .join(vecs.as("y"), col("b") === col("y.id"))
+      .select(col("a"), col("b"),
+        round(Cosine.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 4).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }

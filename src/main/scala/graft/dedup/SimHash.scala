@@ -25,6 +25,8 @@ object SimHash {
 
   /** Row-local fingerprint: fold tokens into 64 bit-votes, then pack the
     * vote signs into one long with bitwise OR (no additive overflow).
+    * Interpreted higher-order fold — fine for ad-hoc use; the bulk path
+    * is [[fingerprints]].
     */
   def fingerprint(text: Column): Column = {
     val toks = Shingles.tokens(text)
@@ -40,8 +42,26 @@ object SimHash {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("simhash"))
+  /** Bulk fingerprints via explode + one codegen'd hash-aggregate with
+    * 64 sum buffers (same shape as MinHashLSH.signatures — the per-row
+    * interpreted fold measured several times slower). Empty documents
+    * get no row (explode of an empty token stream yields none after the
+    * grouping); all real documents tokenize to at least one token.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(
+      col(idCol).as("id"),
+      explode(Shingles.tokens(col(textCol))).as("t"))
+    val h = xxhash64(col("t"))
+    val votes = (0 until 64).map { i =>
+      sum(when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"_v$i")
+    }
+    val packed = (0 until 64)
+      .map(i => when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
 
   /** Pairs within `maxHamming` via band-bucket join; guaranteed complete
     * when `maxHamming < bands`.

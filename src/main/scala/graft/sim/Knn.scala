@@ -19,12 +19,18 @@ object Knn {
     * @param corpus  (id, vec array<double>)
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")), col("q.qid") =!= col("c.id"))
+    // norms are per-vector, so compute them before the pair join — the
+    // |queries| x |corpus| stage then costs one dot product per pair
+    val c = corpus.select(col("id"), col("vec"),
+      sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"))
+    val q = queries.select(col("qid"), col("qvec"),
+      sqrt(Cosine.dot(col("qvec"), col("qvec"))).as("qn"))
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")), col("q.qid") =!= col("c.id"))
       .select(
         col("q.qid").as("q"),
         col("c.id").as("neighbor"),
-        Cosine.sim(col("q.qvec"), col("c.vec")).as("sim"))
+        (Cosine.dot(col("q.qvec"), col("c.vec")) / (col("q.qn") * col("c.cn"))).as("sim"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -48,23 +48,32 @@ object LshAnn {
       numTables: Int = 8,
       bitsPerTable: Int = 8,
       dim: Int = 64): DataFrame = {
+    // Bucket probing moves only (id, table, bucket); vectors join back
+    // onto the deduplicated candidate list for the exact rerank (same
+    // shuffle-payload reasoning as CosineDedup.pairs).
     val qb = withBuckets(queries, "qvec", numTables, bitsPerTable, dim)
     val cb = withBuckets(corpus, "vec", numTables, bitsPerTable, dim)
     val qLong = qb.select(
-      col("qid"), col("qvec"),
+      col("qid"),
       explode(array((0 until numTables).map(t => struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
-      .select(col("qid"), col("qvec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      .select(col("qid"), col("tb.t").as("t"), col("tb.bk").as("bk"))
     val cLong = cb.select(
-      col("id"), col("vec"),
+      col("id"),
       explode(array((0 until numTables).map(t => struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
     val cands = broadcast(qLong).join(cLong,
         col("qid") =!= col("id") && qLong("t") === cLong("t") && qLong("bk") === cLong("bk"))
-      .select(col("qid").as("q"), col("id").as("neighbor"), col("qvec"), col("vec"))
+      .select(col("qid").as("q"), col("id").as("neighbor"))
       .dropDuplicates("q", "neighbor")
-    val scored = cands.select(
-      col("q"), col("neighbor"),
-      Cosine.sim(col("qvec"), col("vec")).as("sim"))
+    val qv = queries.select(col("qid"), col("qvec"),
+      sqrt(Cosine.dot(col("qvec"), col("qvec"))).as("qn"))
+    val cv = corpus.select(col("id"), col("vec"),
+      sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"))
+    val scored = cands
+      .join(broadcast(qv), col("q") === col("qid"))
+      .join(cv, col("neighbor") === col("id"))
+      .select(col("q"), col("neighbor"),
+        (Cosine.dot(col("qvec"), col("vec")) / (col("qn") * col("cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
