@@ -17,10 +17,12 @@ import graft.functions.{ArrayDot, RegexpExtractGroups}
   *  - [[GraftExtensions.register]] for an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -33,10 +35,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_groups"),
       (args: Seq[Expression]) => RegexpExtractGroups(args(0), args(1))))
 
-  /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (functions + the HOF-dot-product
+    * rewrite rule).
+    */
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.functions.DotProductRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.functions.DotProductRewrite
+    }
+  }
 }

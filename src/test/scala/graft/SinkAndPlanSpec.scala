@@ -99,6 +99,23 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(groups == "INFO")
   }
 
+  test("optimizer rule rewrites HOF dot products to the codegen'd ArrayDot") {
+    GraftExtensions.register(spark)
+    // parquet-backed input so ConvertToLocalRelation can't fold the
+    // whole expression away before the plan is inspectable
+    val df = Tables(spark, TestSpark.SfDir, "embeddings")
+      .selectExpr("CAST(embedding AS array<double>) AS a")
+      .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 0d, (acc, v) -> acc + v) AS d")
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"),
+      s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    val viaHof = df.orderBy("d").as[Double].head()
+    val viaDot = Tables(spark, TestSpark.SfDir, "embeddings")
+      .selectExpr("CAST(embedding AS array<double>) AS a")
+      .select(graft.functions.ArrayDot(col("a"), col("a")).as("d"))
+      .orderBy("d").as[Double].head()
+    assert(viaHof == viaDot)
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString
