@@ -198,6 +198,65 @@ object SparkEntry {
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
       |FROM daily ORDER BY level, day""".stripMargin
 
+  private def aggDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("level"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("cnt"))
+      .orderBy("level")
+
+  private val aggDistinctUsersSql =
+    """SELECT event_type AS level, count(DISTINCT user_id) AS users, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY level""".stripMargin
+
+  /** Regex search over parsed log messages — the ad-hoc "grep the logs"
+    * query shape; the rlike predicate evaluates inside the scan stage.
+    */
+  private def searchMessages(s: SparkSession, dir: String): DataFrame = {
+    val lines = LogLines.fromEvents(t(s, dir, "events"))
+    MonologParser.parse(lines, access)
+      .where(col("level") === "ERROR" && col("message").rlike("user 1\\d{2} "))
+      .select("created_at", "level", "message")
+      .orderBy("created_at", "message")
+  }
+
+  private val searchMessagesSql =
+    s"""WITH lines AS (${LogLines.linesSql()})
+       |SELECT strptime(regexp_extract(line, '$P', 1), '%Y-%m-%d %H:%M:%S') AS created_at,
+       |       regexp_extract(line, '$P', 3) AS level,
+       |       regexp_extract(line, '$P', 4) AS message
+       |FROM lines
+       |WHERE regexp_matches(line, '$P')
+       |  AND regexp_extract(line, '$P', 3) = 'ERROR'
+       |  AND regexp_matches(regexp_extract(line, '$P', 4), 'user 1\\d{2} ')
+       |ORDER BY created_at, message""".stripMargin
+
+  /** Anti-join: users who hit errors but never purchased. */
+  private def antiJoinUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errs = ev.where(col("event_type") === "error").select("user_id").distinct()
+    val buyers = ev.where(col("event_type") === "purchase").select("user_id").distinct()
+    errs.join(buyers, Seq("user_id"), "left_anti").orderBy("user_id")
+  }
+
+  private val antiJoinUsersSql =
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      |  AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY user_id""".stripMargin
+
+  /** OLAP rollup: counts at (level, day), per-level subtotals, grand
+    * total — one pass, partial aggregation per grouping set.
+    */
+  private def rollupCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .rollup(col("event_type").as("level"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("level").asc_nulls_first, col("day").asc_nulls_first)
+
+  private val rollupCountsSql =
+    """SELECT event_type AS level, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |FROM events GROUP BY ROLLUP (1, 2)
+      |ORDER BY level ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Relational core on the TPC-H-ish tables (SURVEY §2.A 18-19)       //
   // ---------------------------------------------------------------- //
@@ -512,6 +571,10 @@ object SparkEntry {
     "ann_lsh" -> Q(annLsh, None),
     "ann_ivf" -> Q(annIvf, None),
     "sessionize" -> Q(sessionize, Some(sessionizeSql)),
+    "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
+    "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
+    "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
+    "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),
     "pctl_value" -> Q(pctlValue, Some(pctlValueSql)),
     "window_moving_avg" -> Q(windowMovingAvg, Some(windowMovingAvgSql)),
     "text_tokens" -> Q(textTokens, Some(textTokensSql)),
