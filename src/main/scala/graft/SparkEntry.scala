@@ -584,9 +584,12 @@ object SparkEntry {
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
   )
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * reference's core transform: monolog lines → typed, enriched
+    * columns (Worker.php:25, 131-148).
+    */
   def entry(spark: SparkSession): DataFrame =
-    q1Agg(spark, "/root/testdata/sf0.001")
+    parseMonolog(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -58,6 +58,21 @@ class StreamingSpec extends AnyFunSuite {
       "checkpoint resume must not duplicate rows")
   }
 
+  test("maxFilesPerTrigger bounds each flush like the reference's max_sent_count") {
+    val in = tmp("mft_in"); val ck = tmp("mft_ck"); val out = tmp("mft_out")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "mft"), in.toString, ck.toString, sink,
+      maxFilesPerTrigger = Some(1))
+    (0 until 3).foreach(i => writeLog(in, s"f$i.log", Seq(line(i, s"m$i"))))
+    val q = pipe.start(LocalDate.of(2024, 1, 1))
+    q.processAllAvailable()
+    pipe.stopGracefully(q)
+    assert(sink.read(spark).count() == 3)
+    // three files at one file per trigger → at least 3 non-empty batches
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty >= 3, s"expected >=3 bounded batches, saw $nonEmpty")
+  }
+
   test("manager supervises multiple sources and rolls daily-templated paths") {
     val base = tmp("mgr")
     val day1 = LocalDate.of(2024, 1, 1); val day2 = LocalDate.of(2024, 1, 2)
