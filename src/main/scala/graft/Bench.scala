@@ -40,6 +40,16 @@ object Bench {
       }
     }
 
+    // Raw parse throughput (the reference's headline metric is ingest
+    // rate): monolog lines -> typed columns, no ORDER BY gate artifact.
+    val events = Tables(spark, sfDir, "events")
+    val nRows = events.count()
+    val lines = graft.logs.LogLines.fromEvents(events)
+    val cfg = graft.logs.TailConfig(name = "bench", repo = "bench")
+    val tp0 = System.nanoTime()
+    graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
+    val parseRowsPerSec = nRows / ((System.nanoTime() - tp0) / 1e9)
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -50,7 +60,7 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,6 +99,31 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(groups == "INFO")
   }
 
+  test("salted join matches the plain join result (skew mitigation)") {
+    val li = Tables(spark, TestSpark.SfDirSmall, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, TestSpark.SfDirSmall, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    val salted = graft.ops.SaltedJoin.join(li, o, "l_orderkey", nSalts = 8)
+      .groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    assert(plain.sameElements(salted))
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val li = Tables(spark, TestSpark.SfDirSmall, "lineitem").select("l_orderkey", "l_quantity")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_bucket_a")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_bucket_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bucket_a").join(spark.table("li_bucket_b"), "l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("optimizer rule rewrites HOF dot products to the codegen'd ArrayDot") {
     GraftExtensions.register(spark)
     // parquet-backed input so ConvertToLocalRelation can't fold the
