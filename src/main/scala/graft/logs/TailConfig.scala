@@ -27,7 +27,16 @@ object PatternMode {
 final case class TailConfig(
     name: String,
     repo: String,
-    host: String = "host1",
+    host: String = TailConfig.defaultHost,
     pattern: PatternMode = PatternMode.Default,
     transform: Option[DataFrame => DataFrame] = None,
     timestampFormat: String = "yyyy-MM-dd HH:mm:ss")
+
+object TailConfig {
+  /** The reference defaults `host` to `gethostname()` when unset
+    * (Worker.php:148).
+    */
+  lazy val defaultHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown" }
+}
