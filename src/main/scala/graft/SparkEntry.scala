@@ -198,6 +198,24 @@ object SparkEntry {
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
       |FROM daily ORDER BY level, day""".stripMargin
 
+  /** Hourly tumbling-window counts per level — the batch validation of
+    * the streaming WindowedCounts operator (same expression; the
+    * streaming path adds the watermark, StreamingSpec covers it).
+    */
+  private def windowedCounts(s: SparkSession, dir: String): DataFrame = {
+    val parsed = MonologParser.parse(LogLines.fromEvents(t(s, dir, "events")), access)
+    graft.streaming.WindowedCounts.perLevel(parsed, "1 hour")
+      .select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("level"), col("cnt"))
+      .orderBy("window_start", "level")
+  }
+
+  private val windowedCountsSql =
+    """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+      |       upper(event_type) AS level, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, level""".stripMargin
+
   private def aggDistinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type").as("level"))
@@ -572,6 +590,7 @@ object SparkEntry {
     "ann_ivf" -> Q(annIvf, None),
     "sessionize" -> Q(sessionize, Some(sessionizeSql)),
     "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
+    "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

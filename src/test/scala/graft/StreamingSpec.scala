@@ -11,6 +11,7 @@ import graft.streaming.{TailManager, TailPipeline}
 
 class StreamingSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
 
   private val cfg = TailConfig(name = "stream_access", repo = "api2")
 
@@ -71,6 +72,30 @@ class StreamingSpec extends AnyFunSuite {
     // three files at one file per trigger → at least 3 non-empty batches
     val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
     assert(nonEmpty >= 3, s"expected >=3 bounded batches, saw $nonEmpty")
+  }
+
+  test("watermarked windowed counts aggregate the stream by event time") {
+    val in = tmp("win_in"); val ck = tmp("win_ck")
+    writeLog(in, "a.log", Seq(
+      "[2024-01-01 10:00:10] app.INFO: a {} []",
+      "[2024-01-01 10:00:50] app.ERROR: b {} []",
+      "[2024-01-01 10:01:10] app.INFO: c {} []"))
+    val lines = spark.readStream.text(in.toString).withColumnRenamed("value", "line")
+    val parsed = graft.logs.MonologParser.parse(lines, cfg.copy(name = "win"))
+    val counts = graft.streaming.WindowedCounts.perLevel(parsed, "1 minute", "2 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .option("checkpointLocation", ck.toString)
+      .start()
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .selectExpr("CAST(window_start AS STRING)", "level", "cnt")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "INFO", 1L),
+      ("2024-01-01 10:00:00", "ERROR", 1L),
+      ("2024-01-01 10:01:00", "INFO", 1L)))
   }
 
   test("manager supervises multiple sources and rolls daily-templated paths") {
