@@ -16,6 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) keeps the queries' deterministic ORDER BY intact in
+      // the dump (range-ordered partitions concatenate in order; a
+      // repartition would shuffle it away). Oracle-dump path only —
+      // operators never do this.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

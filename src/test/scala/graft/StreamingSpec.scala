@@ -74,6 +74,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonEmpty >= 3, s"expected >=3 bounded batches, saw $nonEmpty")
   }
 
+  test("mapGroupsWithState sessionization: per-key state survives across microbatches") {
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.KeyedEvent
+    val ck = tmp("sess_ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedEvent](spark)
+    val counts = StreamingSessionize.sessionCounts(input.toDS(), gapSeconds = 1800)
+    val q = counts.writeStream
+      .format("memory").queryName("sess_counts")
+      .outputMode(StreamingSessionize.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    val h = 3600L * 1000
+    // batch 1: u1 has two events 10 min apart (1 session); u2 one event
+    input.addData(KeyedEvent("u1", h), KeyedEvent("u1", h + 600 * 1000), KeyedEvent("u2", h))
+    q.processAllAvailable()
+    // batch 2: u1 returns 2h later (new session); u2 within the gap (same session)
+    input.addData(KeyedEvent("u1", h + 2 * h), KeyedEvent("u2", h + 900 * 1000))
+    q.processAllAvailable()
+    val last = spark.table("sess_counts")
+      .groupBy("key").agg(org.apache.spark.sql.functions.max("sessions").as("sessions"))
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(last == Map("u1" -> 2L, "u2" -> 1L))
+  }
+
   test("watermarked windowed counts aggregate the stream by event time") {
     val in = tmp("win_in"); val ck = tmp("win_ck")
     writeLog(in, "a.log", Seq(
