@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

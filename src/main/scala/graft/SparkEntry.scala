@@ -562,6 +562,29 @@ object SparkEntry {
       |       substring(hex(encode(text)), 1, 8) AS magic
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Exercises the custom TopKPerKey operator (logical node + strategy
+    * + bounded-heap exec, SURVEY §2): sum of the top-5 extended prices
+    * per (returnflag, linestatus). The sum is tie-invariant (tied
+    * k-th-place rows have equal values), so the arbitrary tie winner
+    * cannot break oracle parity.
+    */
+  private def topkCustom(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_returnflag", "l_linestatus", "l_extendedprice")
+    graft.plans.TopK.perKey(li, Seq("l_returnflag", "l_linestatus"), "l_extendedprice", 5)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_extendedprice")), 2).as("top5_sum"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val topkCustomSql =
+    """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS top5_sum, count(*) AS n
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |                            ORDER BY l_extendedprice DESC) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 5 GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -594,6 +617,7 @@ object SparkEntry {
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),
+    "topk_custom" -> Q(topkCustom, Some(topkCustomSql)),
     "pctl_value" -> Q(pctlValue, Some(pctlValueSql)),
     "window_moving_avg" -> Q(windowMovingAvg, Some(windowMovingAvgSql)),
     "text_tokens" -> Q(textTokens, Some(textTokensSql)),

@@ -1,0 +1,133 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.DoubleType
+
+/** Whole-operator custom plan: top-k rows per key by a double-valued
+  * score, as a logical node + planner [[Strategy]] + physical exec pair.
+  *
+  * The built-in route — `row_number().over(Window.partitionBy(keys)
+  * .orderBy(score.desc)) <= k` — fully sorts every key group after the
+  * shuffle: O(n log n) per group in time and O(group) in memory, spilled
+  * for hot keys. This operator keeps a bounded k-element heap per key,
+  * in two phases: a partial pass before the shuffle caps every
+  * partition's contribution at k rows per key (a map-side combine for
+  * top-k), then the exchange moves at most k·partitions rows per key,
+  * and the final pass merges. Memory is O(keys·k) regardless of group
+  * size — the property the window route lacks at 100 TB.
+  *
+  * Tier (c) of the brief's preference order, used where it genuinely
+  * wins; registered via [[graft.GraftExtensions]] or
+  * `spark.experimental.extraStrategies`.
+  */
+final case class TopKPerKey(
+    keyExprs: Seq[Expression],
+    scoreExpr: Expression,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, score, k, child) =>
+      val partial = TopKPerKeyExec(keys, score, k, global = false, planLater(child))
+      TopKPerKeyExec(keys, score, k, global = true, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    keyExprs: Seq[Expression],
+    scoreExpr: Expression,
+    k: Int,
+    global: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** The global phase demands co-location by key; EnsureRequirements
+    * inserts the hash exchange between the two phases.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (global) ClusteredDistribution(keyExprs) :: Nil else UnspecifiedDistribution :: Nil
+
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprsLocal = keyExprs
+    val scoreLocal = BindReferences.bindReference(scoreExpr, child.output)
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprsLocal, childOutput)
+      // min-heap on score: the head is the weakest of the current top-k
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
+      implicit val ord: Ordering[(Double, UnsafeRow)] =
+        Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
+      iter.foreach { row =>
+        val score = scoreLocal.eval(row) match {
+          case null => Double.NegativeInfinity
+          case d: java.lang.Double => d.doubleValue()
+          case other => other.asInstanceOf[Double]
+        }
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
+            heaps(key.copy()) = h
+            h
+        }
+        if (heap.size < k) {
+          heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+        } else if (heap.head._1 < score) {
+          heap.dequeue()
+          heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2: InternalRow))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-level entry point. */
+object TopK {
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+
+  /** Top `k` rows per `keyCols` group by `scoreCol` (descending).
+    * `scoreCol` must be double-valued. Row order within the result is
+    * unspecified; ties at the k-th place keep an arbitrary winner.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n in ${analyzed.output.map(_.name)}"))
+    val score = attr(scoreCol)
+    require(score.dataType == DoubleType, s"$scoreCol must be double, is ${score.dataType}")
+    ColumnBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerKey(keyCols.map(attr), score, k, analyzed))
+  }
+}

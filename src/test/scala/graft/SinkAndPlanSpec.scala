@@ -99,6 +99,29 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(groups == "INFO")
   }
 
+  test("custom TopKPerKey operator matches the window route; plan shows two-phase exec") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, TestSpark.SfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_extendedprice")
+    val custom = graft.plans.TopK.perKey(
+      li, Seq("l_returnflag", "l_linestatus"), "l_extendedprice", 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    // physical nodes render without the Exec suffix
+    assert("TopKPerKey ".r.findAllIn(plan).size == 2, s"expected partial+global phases:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"no key exchange between phases:\n$plan")
+
+    val w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(col("l_extendedprice").desc)
+    val viaWindow = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+    // compare as sorted multisets of (key, score) — row order is
+    // unspecified and k-th-place ties may pick different orderkeys
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+      .collect().map(_.toString).sorted.toSeq
+    val a = canon(custom)
+    val b = canon(viaWindow)
+    assert(a == b, s"custom=${a.take(3)} window=${b.take(3)}")
+  }
+
   test("salted join matches the plain join result (skew mitigation)") {
     val li = Tables(spark, TestSpark.SfDirSmall, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, TestSpark.SfDirSmall, "orders").select("o_orderkey", "o_totalprice")
