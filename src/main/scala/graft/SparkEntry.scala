@@ -82,6 +82,49 @@ object SparkEntry {
        |SELECT line AS raw FROM lines WHERE NOT regexp_matches(line, '$P')
        |ORDER BY raw""".stripMargin
 
+  /** The JSON-lines wire format (monolog's JSON formatter) through
+    * graft.logs.JsonLogParser; the oracle computes the canonical
+    * columns straight from events, so the parse must invert the
+    * construction exactly.
+    */
+  private def parseJsonLogs(s: SparkSession, dir: String): DataFrame = {
+    val lines = LogLines.jsonFromEvents(t(s, dir, "events"))
+    graft.logs.JsonLogParser.parse(lines, access).orderBy("created_at", "message", "context")
+  }
+
+  private val parseJsonLogsSql =
+    """SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS created_at,
+      |       'app' AS logger, upper(event_type) AS level,
+      |       'user ' || user_id || ' event ' || event_id AS message,
+      |       replace(props, ' ', '') AS context, '[]' AS extra,
+      |       'api2' AS repo, 'access' AS name, 'host1' AS host
+      |FROM events ORDER BY created_at, message, context""".stripMargin
+
+  /** HLL++ approximate distinct — the sketch path for cardinalities too
+    * large for exact count-distinct state; rows-only at the driver
+    * (sketch estimates are engine-specific), accuracy vs exact asserted
+    * in tests.
+    */
+  private def approxUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("level"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("level")
+
+  /** Broadcast enrichment join: events against the customer dimension. */
+  private def enrichJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .join(broadcast(t(s, dir, "customer")), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type").as("level"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("segment", "level")
+
+  private val enrichJoinSql =
+    """SELECT c_mktsegment AS segment, event_type AS level,
+      |       count(*) AS cnt, round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY segment, level""".stripMargin
+
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(
@@ -595,6 +638,9 @@ object SparkEntry {
     "parse_callback" -> Q(parseCallback, Some(parseCallbackSql)),
     "dead_letter" -> Q(deadLetter, Some(deadLetterSql)),
     "json_extract_props" -> Q(jsonExtract, Some(jsonExtractSql)),
+    "parse_json_logs" -> Q(parseJsonLogs, Some(parseJsonLogsSql)),
+    "approx_users" -> Q(approxUsers, None),
+    "enrich_join" -> Q(enrichJoin, Some(enrichJoinSql)),
     "filter_level" -> Q(filterLevel, Some(filterLevelSql)),
     "agg_level_daily" -> Q(aggLevelDaily, Some(aggLevelDailySql)),
     "top_messages" -> Q(topMessages, Some(topMessagesSql)),

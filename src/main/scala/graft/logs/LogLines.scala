@@ -38,6 +38,20 @@ object LogLines {
     events.select(line.as("line"))
   }
 
+  /** events → monolog-JSON-formatter lines (one JSON object per line),
+    * for the [[JsonLogParser]] path. The oracle for this path computes
+    * the parsed columns directly from events, so the exact JSON byte
+    * layout here is free to be whatever `to_json` emits.
+    */
+  def jsonFromEvents(events: DataFrame): DataFrame =
+    events.select(to_json(struct(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+      lit("app").as("logger"),
+      upper(col("event_type")).as("level"),
+      concat(lit("user "), col("user_id"), lit(" event "), col("event_id")).as("message"),
+      regexp_replace(col("props"), " ", "").as("context"),
+      lit("[]").as("extra"))).as("line"))
+
   /** The same line construction as ANSI SQL for the DuckDB oracle; must
     * stay in lockstep with [[lineExpr]].
     */

@@ -27,6 +27,14 @@ import graft.sources.DatePath
   *  - regex parse + enrichment + callback (Worker.php:131-148) →
   *    [[MonologParser.parse]] inside `foreachBatch`;
   *  - invalid lines dead-lettered, not dropped (Worker.php:151-156).
+  *
+  * Delivery semantics: source offsets are exactly-once (checkpoint
+  * WAL), the parquet append inside `foreachBatch` is at-least-once on
+  * batch retry — same guarantee as the reference, whose offset cache
+  * is written only after a successful insert (Worker.php:121-124), so
+  * a crash between insert and cache write also re-sends. True
+  * exactly-once needs a transactional/idempotent sink (e.g. batch-id
+  * keyed overwrite or ClickHouse ReplacingMergeTree downstream).
   */
 final case class TailPipeline(
     spark: SparkSession,

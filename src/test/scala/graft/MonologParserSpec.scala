@@ -59,6 +59,31 @@ class MonologParserSpec extends AnyFunSuite {
     assert(out.select("level").as[String].head() == "WARN")
   }
 
+  test("json-lines parser inverts the json formatter and dead-letters garbage") {
+    val jl = Seq(
+      """{"created_at":"2024-01-01 10:00:00","logger":"app","level":"ERROR","message":"boom","context":"{}","extra":"[]"}""",
+      "not json at all").toDF("line")
+    val out = graft.logs.JsonLogParser.parse(jl, cfg)
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getAs[String]("level") == "ERROR" && r.getAs[String]("message") == "boom")
+    assert(r.getAs[String]("repo") == "api2")
+    val dl = graft.logs.JsonLogParser.deadLetter(jl, cfg).as[String].collect()
+    assert(dl.toSeq == Seq("not json at all"))
+  }
+
+  test("approx distinct stays within 5% of exact on testdata") {
+    val ev = Tables(spark, TestSpark.SfDir, "events")
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ev.groupBy("event_type").agg(approx_count_distinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("parse stage has no shuffle (map-only at any scale)") {
     val plan = MonologParser.parse(lines, cfg).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in parse plan:\n$plan")
