@@ -56,6 +56,28 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
   def readRange(spark: SparkSession, from: String, to: String): DataFrame =
     read(spark).where(col("event_date").between(from, to))
 
+  /** Rewrite one date partition into `targetFiles` files — the
+    * maintenance job for streaming ingest, which appends a file per
+    * microbatch and would otherwise accumulate thousands of small files
+    * per day (ClickHouse's background merges do this implicitly for
+    * MergeTree parts). Rewrites via a temp directory then an atomic-ish
+    * swap so a crash never leaves the partition half-compacted.
+    */
+  def compact(spark: SparkSession, date: String, targetFiles: Int = 1): Unit = {
+    val partDir = new java.io.File(path, s"event_date=$date")
+    if (!partDir.isDirectory) return
+    val tmp = new java.io.File(path, s".compact_event_date=$date")
+    spark.read.parquet(partDir.getAbsolutePath)
+      .repartition(targetFiles)
+      .sortWithinPartitions("created_at", "repo", "host")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    partDir.listFiles().foreach(_.delete())
+    partDir.delete()
+    if (!tmp.renameTo(partDir)) {
+      throw new java.io.IOException(s"compaction swap failed for $partDir")
+    }
+  }
+
   /** Drop partitions whose date is older than `ttlDays` before `asOf`
     * (the MergeTree TTL clause). Returns the dropped partition names.
     */

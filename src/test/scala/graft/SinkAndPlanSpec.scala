@@ -42,6 +42,24 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(!root.listFiles().map(_.getName).contains(s"event_date=$oldest"))
   }
 
+  test("compaction collapses a partition's files without changing its rows") {
+    val root = Files.createTempDirectory("mt_compact").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath)
+    // two appends → at least two files per touched partition
+    sink.write(parsedEvents)
+    sink.write(parsedEvents)
+    val part = root.listFiles().filter(_.getName.startsWith("event_date=")).head
+    val date = part.getName.stripPrefix("event_date=")
+    val before = spark.read.parquet(part.getAbsolutePath)
+      .orderBy("created_at", "message").collect()
+    assert(part.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
+    sink.compact(spark, date)
+    assert(part.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    val after = spark.read.parquet(part.getAbsolutePath)
+      .orderBy("created_at", "message").collect()
+    assert(after.sameElements(before))
+  }
+
   test("within-partition sort gives parquet row-group stats the MergeTree ORDER BY role") {
     val root = Files.createTempDirectory("mt_sorted").toFile
     MergeTreeSink(root.getAbsolutePath).write(parsedEvents, SaveMode.Overwrite)
