@@ -111,6 +111,36 @@ object SparkEntry {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("level")
 
+  /** As-of join: each event enriched with the user's latest order at or
+    * before the event time (one shuffle + window, never an
+    * inequality-join explosion — see graft.ops.AsOfJoin). Orders are
+    * pre-deduplicated to one per (custkey, date) with `max_by` so the
+    * carried row is deterministic; DuckDB's native ASOF JOIN is the
+    * oracle.
+    */
+  private def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(
+        max(col("o_orderkey")).as("o_orderkey"),
+        expr("max_by(o_totalprice, o_orderkey)").as("o_totalprice"))
+    graft.ops.AsOfJoin
+      .lastBefore(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        carry = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  private val asofLastOrderSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |ORDER BY event_id""".stripMargin
+
   /** Broadcast enrichment join: events against the customer dimension. */
   private def enrichJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -641,6 +671,7 @@ object SparkEntry {
     "parse_json_logs" -> Q(parseJsonLogs, Some(parseJsonLogsSql)),
     "approx_users" -> Q(approxUsers, None),
     "enrich_join" -> Q(enrichJoin, Some(enrichJoinSql)),
+    "asof_last_order" -> Q(asofLastOrder, Some(asofLastOrderSql)),
     "filter_level" -> Q(filterLevel, Some(filterLevelSql)),
     "agg_level_daily" -> Q(aggLevelDaily, Some(aggLevelDailySql)),
     "top_messages" -> Q(topMessages, Some(topMessagesSql)),

@@ -140,6 +140,22 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(a == b, s"custom=${a.take(3)} window=${b.take(3)}")
   }
 
+  test("as-of join picks the latest preceding right row per key, null when none") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u1", 90L, "a"), ("u1", 200L, "b"), ("u1", 300L, "c"), ("u3", 10L, "x"))
+      .toDF("k", "t", "v")
+    val out = graft.ops.AsOfJoin
+      .lastBefore(left, right, "k", "k", "t", "t", carry = Seq("v"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, null)))
+    // boundary: a right row exactly AT the left time matches (<=)
+    val eq = graft.ops.AsOfJoin
+      .lastBefore(Seq((9L, "u1", 200L)).toDF("id", "k", "t"), right, "k", "k", "t", "t", Seq("v"))
+      .select("v").as[String].head()
+    assert(eq == "b")
+  }
+
   test("salted join matches the plain join result (skew mitigation)") {
     val li = Tables(spark, TestSpark.SfDirSmall, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, TestSpark.SfDirSmall, "orders").select("o_orderkey", "o_totalprice")

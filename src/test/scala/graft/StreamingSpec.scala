@@ -74,6 +74,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonEmpty >= 3, s"expected >=3 bounded batches, saw $nonEmpty")
   }
 
+  test("ingest metrics listener counts rows per source from engine progress events") {
+    val in = tmp("met_in"); val ck = tmp("met_ck"); val out = tmp("met_out")
+    val metrics = new graft.streaming.IngestMetrics
+    spark.streams.addListener(metrics)
+    try {
+      val pipe = TailPipeline(spark, cfg.copy(name = "metered"), in.toString, ck.toString,
+        MergeTreeSink(out.toString))
+      writeLog(in, "a.log", Seq(line(1, "m1"), line(2, "m2")))
+      val q = pipe.start(LocalDate.of(2024, 1, 1))
+      q.processAllAvailable()
+      pipe.stopGracefully(q)
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      var snap = metrics.snapshot
+      while (!snap.contains("metered") && System.nanoTime() < deadline) {
+        Thread.sleep(100); snap = metrics.snapshot
+      }
+      assert(snap.get("metered").exists(_.rows == 2), s"got $snap")
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("mapGroupsWithState sessionization: per-key state survives across microbatches") {
     import graft.streaming.StreamingSessionize
     import graft.streaming.StreamingSessionize.KeyedEvent
