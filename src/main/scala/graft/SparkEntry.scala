@@ -141,6 +141,30 @@ object SparkEntry {
       |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Range join via bucketization (graft.ops.RangeJoin): events
+    * classified into value bands — equi hash join on overlapped
+    * buckets, not a nested-loop interval scan.
+    */
+  private def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 5.0, "b0_tiny"), (5.0, 10.0, "b1_small"), (10.0, 20.0, "b2_medium"),
+      (20.0, 50.0, "b3_large"), (50.0, 1000.0, "b4_huge"))
+      .toDF("lo", "hi", "label")
+    graft.ops.RangeJoin.bucketed(t(s, dir, "events"), bands, "value", "lo", "hi", bucketSize = 5.0)
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy("label")
+  }
+
+  private val rangeJoinBandsSql =
+    """WITH iv(lo, hi, label) AS (VALUES
+      |  (0.0, 5.0, 'b0_tiny'), (5.0, 10.0, 'b1_small'), (10.0, 20.0, 'b2_medium'),
+      |  (20.0, 50.0, 'b3_large'), (50.0, 1000.0, 'b4_huge'))
+      |SELECT label, count(*) AS cnt, round(avg(value), 2) AS avg_value
+      |FROM events JOIN iv ON value >= lo AND value < hi
+      |GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Broadcast enrichment join: events against the customer dimension. */
   private def enrichJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -672,6 +696,7 @@ object SparkEntry {
     "approx_users" -> Q(approxUsers, None),
     "enrich_join" -> Q(enrichJoin, Some(enrichJoinSql)),
     "asof_last_order" -> Q(asofLastOrder, Some(asofLastOrderSql)),
+    "range_join_bands" -> Q(rangeJoinBands, Some(rangeJoinBandsSql)),
     "filter_level" -> Q(filterLevel, Some(filterLevelSql)),
     "agg_level_daily" -> Q(aggLevelDaily, Some(aggLevelDailySql)),
     "top_messages" -> Q(topMessages, Some(topMessagesSql)),

@@ -140,6 +140,20 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(a == b, s"custom=${a.take(3)} window=${b.take(3)}")
   }
 
+  test("bucketed range join matches the naive interval join, as an equi join") {
+    val ev = Tables(spark, TestSpark.SfDir, "events").select("event_id", "value")
+    val iv = Seq((0.0, 7.5, "lo"), (7.5, 30.0, "mid"), (30.0, 1000.0, "hi"))
+      .toDF("lo", "hi", "label")
+    val naive = ev.join(iv, col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "label").collect().map(_.toString).sorted.toSeq
+    val bucketed = graft.ops.RangeJoin.bucketed(ev, iv, "value", "lo", "hi", bucketSize = 10.0)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to nested loop:\n$plan")
+    val got = bucketed.select("event_id", "label").collect().map(_.toString).sorted.toSeq
+    assert(got == naive)
+  }
+
   test("as-of join picks the latest preceding right row per key, null when none") {
     val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
       .toDF("id", "k", "t")
