@@ -517,6 +517,22 @@ object SparkEntry {
       |WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6
       |ORDER BY a, b""".stripMargin
 
+  /** Exact dedup under normalization (case/whitespace/punctuation
+    * folded) — catches trivially-reformatted duplicates that byte-exact
+    * hashing misses; same hash-group shape as dedup_exact.
+    */
+  private def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(xxhash64(lower(regexp_replace(col("text"), "[^\\w]", ""))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+
+  private val dedupNormalizedSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY lower(regexp_replace(text, '[^\w]', '', 'g'))
+      |ORDER BY doc_id""".stripMargin
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.MinHashLSH.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3).orderBy("a", "b")
 
@@ -705,6 +721,7 @@ object SparkEntry {
     "q5_join" -> Q(q5Join, Some(q5JoinSql)),
     "sink_roundtrip" -> Q(sinkRoundtrip, Some(sinkRoundtripSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
+    "dedup_normalized" -> Q(dedupNormalized, Some(dedupNormalizedSql)),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
