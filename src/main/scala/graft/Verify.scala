@@ -26,6 +26,23 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Make each oracle self-contained: prepend CTEs binding every
+    // referenced table name to its parquet file, so the SQL runs in any
+    // DuckDB session regardless of which views the driver registered
+    // (CTEs harmlessly shadow same-named views when they do exist).
+    def withSources(sql: String): String = {
+      val used = Tables.all.filter(t => ("\\b" + t + "\\b").r.findFirstIn(sql).isDefined)
+      if (used.isEmpty) sql
+      else {
+        val ctes = used
+          .map(t => s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))")
+          .mkString(", ")
+        val trimmed = sql.trim
+        if (trimmed.take(5).equalsIgnoreCase("WITH ")) s"WITH $ctes, ${trimmed.drop(5)}"
+        else s"WITH $ctes $trimmed"
+      }
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,7 +56,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(withSources(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
