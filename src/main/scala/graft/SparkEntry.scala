@@ -521,12 +521,15 @@ object SparkEntry {
     * folded) — catches trivially-reformatted duplicates that byte-exact
     * hashing misses; same hash-group shape as dedup_exact.
     */
-  private def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+  private def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    // (hash, length) key — same collision-hardening as ExactDedup.dedup
+    val norm = lower(regexp_replace(col("text"), "[^\\w]", ""))
     t(s, dir, "documents")
-      .groupBy(xxhash64(lower(regexp_replace(col("text"), "[^\\w]", ""))).as("h"))
+      .groupBy(xxhash64(norm).as("h"), length(norm).as("l"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
       .orderBy("doc_id")
+  }
 
   private val dedupNormalizedSql =
     """SELECT min(doc_id) AS doc_id, count(*) AS dup_count

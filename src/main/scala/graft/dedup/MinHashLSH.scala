@@ -56,8 +56,10 @@ object MinHashLSH {
   def candidatePairs(
       sigs: DataFrame,
       bands: Int = 16,
-      minEstJaccard: Double = 0.6): DataFrame = {
-    val numHashes = 64 // matches signatures() default; r = numHashes / bands
+      minEstJaccard: Double = 0.6,
+      numHashes: Int = 64): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) for even band slicing")
     val r = numHashes / bands
     val bandRows = sigs.select(
       col("id"), col("sig"),
@@ -79,6 +81,6 @@ object MinHashLSH {
 
   /** Full pipeline: near-dup pairs on word n-gram shingles. */
   def pairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 2,
-            bands: Int = 16, minEstJaccard: Double = 0.6): DataFrame =
-    candidatePairs(signatures(docs, idCol, textCol, n), bands, minEstJaccard)
+            bands: Int = 16, minEstJaccard: Double = 0.6, numHashes: Int = 64): DataFrame =
+    candidatePairs(signatures(docs, idCol, textCol, n, numHashes), bands, minEstJaccard, numHashes)
 }

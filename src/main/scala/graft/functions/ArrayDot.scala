@@ -21,13 +21,33 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override def dataType: DataType = DoubleType
 
+  // Observationally equivalent to the zip_with/aggregate HOF idiom (a
+  // requirement for DotProductRewrite to be semantics-preserving):
+  // unequal lengths → null (the HOF null-pads the shorter side, so its
+  // fold yields null), and a null ELEMENT → null (null * y = null
+  // poisons the HOF sum). The element checks are emitted only when the
+  // child type says elements can be null, so the common
+  // containsNull=false hot path keeps the tight branch-free loop.
+  override def nullable: Boolean = true
+
+  private def elementsNullable(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable(left) || elementsNullable(right)
     var i = 0
     var s = 0.0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -36,13 +56,22 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable(left) || elementsNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -49,6 +49,11 @@ object DotProductRewrite extends Rule[LogicalPlan] {
       ArrayDot(a, b)
   }
 
+  // Safe for any containsNull: ArrayDot mirrors the HOF's null
+  // semantics exactly — null on unequal lengths (the HOF via zip_with
+  // null-padding) and null when any element is null (the HOF's fold is
+  // poisoned by null * y) — emitting the element null checks only when
+  // the array type says they can occur.
   private def isDoubleArray(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
     case _ => false

@@ -17,6 +17,13 @@ object MonologParser {
   /** Group-indexed equivalent of the reference's named-group monolog
     * pattern (Worker.php:25). Groups: 1 created_at, 2 logger, 3 level,
     * 4 message, 5 context, 6 extra.
+    *
+    * Recorded deviation: the reference separates logger and level with
+    * an UNESCAPED `.` (any character), so it also parses lines like
+    * `app INFO:`. Here the dot is escaped — a literal `logger.LEVEL`
+    * separator per the monolog spec — so such malformed lines are
+    * dead-lettered rather than silently mis-parsed. Intentional
+    * strictness fix, also noted in SURVEY.md §2 row 4.
     */
   val DefaultPattern: String =
     "\\[(.*)\\] (\\w+)\\.(\\w+): (.*[^ ]+) ([^ ]+) ([^ ]+)"

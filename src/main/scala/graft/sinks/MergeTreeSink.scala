@@ -2,6 +2,7 @@ package graft.sinks
 
 import java.time.LocalDate
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,68 +30,170 @@ import org.apache.spark.sql.functions._
   *  - `TTL 10 DAY` → [[applyTtl]] drops whole expired partitions —
   *    O(partitions) metadata work, never a row-level delete.
   *
-  * The `repartition(event_date)` before write bounds output files at
-  * one per date per write (avoiding the shuffle-partitions × dates
-  * small-file explosion); daily log volume at scale would hash-bucket
-  * within the day instead (`repartition(N, event_date, xxhash64(...))`).
+  * Two directory layouts, one per write mode:
+  *
+  *  - batch writes ([[write]]): `path/event_date=D/...` — plain
+  *    append/overwrite.
+  *  - streaming ingest ([[writeBatch]]): `path/ingest_batch=B/
+  *    event_date=D/...` — each micro-batch owns its `ingest_batch`
+  *    directory and is written with Overwrite, so a replayed batch
+  *    (foreachBatch retry after a crash mid-commit) rewrites exactly
+  *    its own files: **idempotent, hence exactly-once end to end**
+  *    (file-source offsets in the checkpoint WAL are already
+  *    exactly-once). `event_date` stays a partition column either way,
+  *    so pruning is identical. A sink root is one layout or the other,
+  *    never mixed (Spark partition discovery requires uniform depth).
+  *
+  * All maintenance paths ([[compact]], [[applyTtl]]) go through the
+  * Hadoop `FileSystem` API resolved from the sink path, so they run
+  * unchanged against HDFS/S3/local — no `java.io.File` anywhere.
   */
 final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
 
+  /** Reserved ingest_batch key that [[compact]] rewrites batch-layout
+    * data into; streaming batch keys never start with '.' so it never
+    * collides.
+    */
+  val CompactedBatchId: String = "compacted"
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def withDate(batch: DataFrame): DataFrame =
+    batch.withColumn("event_date", to_date(col("created_at")))
+
+  /** One output file per date per write by default; `filesPerDay > 1`
+    * hash-buckets within the day for high-volume dates (SURVEY §5) —
+    * the repartition keys on (date, bucket) so a hot date fans out
+    * over `filesPerDay` tasks instead of serializing through one.
+    */
+  private def partitionForWrite(df: DataFrame, filesPerDay: Int): DataFrame =
+    if (filesPerDay <= 1) df.repartition(col("event_date"))
+    else df.repartition(col("event_date"),
+      pmod(xxhash64(col("created_at"), col("message")), lit(filesPerDay)))
+
   /** Write a parsed-log batch (schema per MonologParser.parse). */
-  def write(batch: DataFrame, mode: SaveMode = SaveMode.Append): Unit =
-    batch
-      .withColumn("event_date", to_date(col("created_at")))
-      .repartition(col("event_date"))
+  def write(batch: DataFrame, mode: SaveMode = SaveMode.Append, filesPerDay: Int = 1): Unit =
+    partitionForWrite(withDate(batch), filesPerDay)
       .sortWithinPartitions("created_at", "repo", "host")
       .write
       .partitionBy("event_date")
       .mode(mode)
       .parquet(path)
 
+  /** Idempotent micro-batch write for streaming ingest: the batch owns
+    * `path/ingest_batch=<key>` and Overwrite makes a retried batch a
+    * no-op-equivalent rewrite — zero duplicates on foreachBatch replay
+    * (tested in StreamingSpec).
+    *
+    * `batchKey` must be stable across retries of the same batch and
+    * unique across everything else writing to this root: TailPipeline
+    * uses `<source>_<batchId>` (plus the day for daily-rotated sources,
+    * whose per-day checkpoints restart batch ids at 0 — two different
+    * days' batch 0 must not share a directory).
+    */
+  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int = 1): Unit =
+    partitionForWrite(withDate(batch), filesPerDay)
+      .sortWithinPartitions("created_at", "repo", "host")
+      .write
+      .partitionBy("event_date")
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/ingest_batch=$batchKey")
+
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 
   /** Date-range read; the `event_date` predicate is a partition filter
-    * (verified in MergeTreeSinkSpec), so only in-range partitions are
-    * scanned.
+    * (verified in SinkAndPlanSpec), so only in-range partitions are
+    * scanned — in both layouts, since `event_date` is a discovered
+    * partition column in both.
     */
   def readRange(spark: SparkSession, from: String, to: String): DataFrame =
     read(spark).where(col("event_date").between(from, to))
 
-  /** Rewrite one date partition into `targetFiles` files — the
-    * maintenance job for streaming ingest, which appends a file per
-    * microbatch and would otherwise accumulate thousands of small files
-    * per day (ClickHouse's background merges do this implicitly for
-    * MergeTree parts). Rewrites via a temp directory then an atomic-ish
-    * swap so a crash never leaves the partition half-compacted.
+  /** All directories holding `date`'s rows, across both layouts. */
+  private def datePartDirs(f: FileSystem, date: String): Seq[Path] = {
+    val root = new Path(path)
+    val direct = new Path(root, s"event_date=$date")
+    val nested = Option(f.globStatus(new Path(root, s"ingest_batch=*/event_date=$date")))
+      .getOrElse(Array.empty).toSeq.map(_.getPath)
+    (if (f.exists(direct)) Seq(direct) else Nil) ++ nested
+  }
+
+  /** Rewrite one date's data into `targetFiles` files — the maintenance
+    * job for streaming ingest, which writes a directory per micro-batch
+    * and would otherwise accumulate thousands of small files per day
+    * (ClickHouse's background merges do this implicitly for MergeTree
+    * parts). In the streaming layout the date's slices across all
+    * `ingest_batch` dirs collapse into `ingest_batch=-1/event_date=D`.
+    *
+    * Crash safety (swap ordering): write the compacted copy to a hidden
+    * temp dir, rename the live dirs ASIDE, rename the temp into place,
+    * then delete the aside dirs. A crash mid-swap can leave the
+    * partition briefly aside-named but never deleted-without-
+    * replacement — recovery is renaming the aside dirs back.
+    *
+    * Only compact dates past the in-flight horizon: a still-retryable
+    * streaming batch rewriting its `ingest_batch` dir after its rows
+    * were compacted away would duplicate them.
     */
   def compact(spark: SparkSession, date: String, targetFiles: Int = 1): Unit = {
-    val partDir = new java.io.File(path, s"event_date=$date")
-    if (!partDir.isDirectory) return
-    val tmp = new java.io.File(path, s".compact_event_date=$date")
-    spark.read.parquet(partDir.getAbsolutePath)
+    val f = fs(spark)
+    val live = datePartDirs(f, date)
+    if (live.isEmpty) return
+    val root = new Path(path)
+    val streamingLayout = live.exists(_.getParent.getName.startsWith("ingest_batch="))
+    val dest =
+      if (streamingLayout) new Path(root, s"ingest_batch=$CompactedBatchId/event_date=$date")
+      else new Path(root, s"event_date=$date")
+    val tmp = new Path(root, s".compact_event_date=$date")
+    f.delete(tmp, true)
+    spark.read.parquet(live.map(_.toString): _*)
       .repartition(targetFiles)
       .sortWithinPartitions("created_at", "repo", "host")
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    partDir.listFiles().foreach(_.delete())
-    partDir.delete()
-    if (!tmp.renameTo(partDir)) {
-      throw new java.io.IOException(s"compaction swap failed for $partDir")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val aside = live.zipWithIndex.map { case (dir, i) =>
+      val a = new Path(dir.getParent, s".aside_${i}_${dir.getName}")
+      if (!f.rename(dir, a))
+        throw new java.io.IOException(s"compaction aside-rename failed for $dir")
+      a
     }
+    f.mkdirs(dest.getParent)
+    if (!f.rename(tmp, dest)) {
+      // restore the originals; the partition is intact, compaction just failed
+      aside.zip(live).foreach { case (a, orig) => f.rename(a, orig) }
+      throw new java.io.IOException(s"compaction swap failed for $dest")
+    }
+    aside.foreach(f.delete(_, true))
   }
 
   /** Drop partitions whose date is older than `ttlDays` before `asOf`
-    * (the MergeTree TTL clause). Returns the dropped partition names.
+    * (the MergeTree TTL clause), in either layout. Returns the dropped
+    * partition directory names relative to the sink root.
     */
-  def applyTtl(asOf: LocalDate): Seq[String] = {
+  def applyTtl(spark: SparkSession, asOf: LocalDate): Seq[String] = {
+    val f = fs(spark)
     val cutoff = asOf.minusDays(ttlDays.toLong)
-    val root = new java.io.File(path)
-    val dropped = Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
-      .filter { f =>
-        val date = f.getName.stripPrefix("event_date=")
+    val root = new Path(path)
+    val candidates =
+      Option(f.globStatus(new Path(root, "event_date=*"))).getOrElse(Array.empty).toSeq ++
+        Option(f.globStatus(new Path(root, "ingest_batch=*/event_date=*"))).getOrElse(Array.empty).toSeq
+    val expired = candidates
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val date = p.getName.stripPrefix("event_date=")
         scala.util.Try(LocalDate.parse(date)).toOption.exists(_.isBefore(cutoff))
       }
-    dropped.foreach(dir => dir.listFiles().foreach(_.delete()) -> dir.delete())
-    dropped.map(_.getName)
+    expired.foreach { p =>
+      f.delete(p, true)
+      // prune the parent ingest_batch dir once its last date is gone
+      val parent = p.getParent
+      if (parent.getName.startsWith("ingest_batch=") &&
+        Option(f.listStatus(parent)).forall(_.isEmpty)) f.delete(parent, false)
+    }
+    expired.map { p =>
+      val parent = p.getParent.getName
+      if (parent.startsWith("ingest_batch=")) s"$parent/${p.getName}" else p.getName
+    }
   }
 }

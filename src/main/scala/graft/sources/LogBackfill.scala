@@ -15,11 +15,17 @@ object LogBackfill {
   /** Union of the days in [from, to] whose resolved path exists, with a
     * `log_date` column recording the file's day. Missing days are
     * skipped, as the reference skips missing files
-    * (Manager.php:90-93).
+    * (Manager.php:90-93). Existence checks go through the Hadoop
+    * FileSystem resolved from the path, so the backfill runs unchanged
+    * over HDFS/S3/local.
     */
   def read(spark: SparkSession, template: String, from: LocalDate, to: LocalDate): DataFrame = {
     val days = Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(to)).toSeq
-    val existing = days.filter(d => new java.io.File(DatePath.resolve(template, d)).exists())
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val existing = days.filter { d =>
+      val p = new org.apache.hadoop.fs.Path(DatePath.resolve(template, d))
+      p.getFileSystem(hadoopConf).exists(p)
+    }
     require(existing.nonEmpty, s"no files for $template in [$from, $to]")
     existing
       .map { d =>

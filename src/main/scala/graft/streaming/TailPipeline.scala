@@ -29,12 +29,15 @@ import graft.sources.DatePath
   *  - invalid lines dead-lettered, not dropped (Worker.php:151-156).
   *
   * Delivery semantics: source offsets are exactly-once (checkpoint
-  * WAL), the parquet append inside `foreachBatch` is at-least-once on
-  * batch retry — same guarantee as the reference, whose offset cache
-  * is written only after a successful insert (Worker.php:121-124), so
-  * a crash between insert and cache write also re-sends. True
-  * exactly-once needs a transactional/idempotent sink (e.g. batch-id
-  * keyed overwrite or ClickHouse ReplacingMergeTree downstream).
+  * WAL), and the sink write is **idempotent on batch replay** — each
+  * micro-batch writes its own `ingest_batch=<id>` directory with
+  * Overwrite ([[MergeTreeSink.writeBatch]]), so a crash mid-commit
+  * followed by a retry of the same batch id rewrites the same files
+  * instead of appending duplicates: exactly-once end to end, verified
+  * by StreamingSpec's replay test. (The reference is at-least-once
+  * here: its offset cache is written only after a successful insert,
+  * Worker.php:121-124, so a crash between insert and cache write
+  * re-sends.) Dead-letter output uses the same batch-id-keyed layout.
   */
 final case class TailPipeline(
     spark: SparkSession,
@@ -65,18 +68,35 @@ final case class TailPipeline(
       .queryName(cfg.name)
       .option("checkpointLocation", resolvedCheckpoint(asOf))
       .trigger(Trigger.ProcessingTime(triggerInterval))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          sink.write(MonologParser.parse(b, cfg))
-          deadLetterPath.foreach { dl =>
-            MonologParser.deadLetter(b, cfg)
-              .withColumn("name", org.apache.spark.sql.functions.lit(cfg.name))
-              .write.mode("append").parquet(dl)
-          }
+          writeMicroBatch(b, batchId, asOf)
         } finally { b.unpersist(); () }
       }
       .start()
+  }
+
+  /** The foreachBatch body, exposed for StreamingSpec's replay test:
+    * calling it twice with the same batch id must leave the sink
+    * byte-identical (idempotence = the exactly-once half the
+    * checkpoint WAL can't provide on its own).
+    *
+    * The batch key namespaces the output directory by source name (so
+    * sources sharing a sink root can't collide) and, for daily-rotated
+    * sources, by the day — their per-day checkpoints restart batch ids
+    * at 0 on rollover, and day 2's batch 0 must not overwrite day 1's.
+    */
+  def writeMicroBatch(batch: DataFrame, batchId: Long, asOf: LocalDate): Unit = {
+    val batchKey =
+      if (DatePath.isDaily(inputPath)) s"${cfg.name}_${asOf}_$batchId"
+      else s"${cfg.name}_$batchId"
+    sink.writeBatch(MonologParser.parse(batch, cfg), batchKey)
+    deadLetterPath.foreach { dl =>
+      MonologParser.deadLetter(batch, cfg)
+        .withColumn("name", org.apache.spark.sql.functions.lit(cfg.name))
+        .write.mode("overwrite").parquet(s"$dl/ingest_batch=$batchKey")
+    }
   }
 
   /** Graceful shutdown with final flush (reference ToolsTraits.php:48-54

@@ -37,9 +37,51 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(readDates.forall(d => d >= "2024-01-02" && d <= "2024-01-03"))
 
     val oldest = parts.head.stripPrefix("event_date=")
-    val dropped = sink.applyTtl(LocalDate.parse(oldest).plusDays(11))
+    val dropped = sink.applyTtl(spark, LocalDate.parse(oldest).plusDays(11))
     assert(dropped.contains(s"event_date=$oldest"))
     assert(!root.listFiles().map(_.getName).contains(s"event_date=$oldest"))
+  }
+
+  test("streaming layout: idempotent batch writes, compaction across batch dirs, TTL") {
+    val root = Files.createTempDirectory("mt_stream").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    val rows = parsedEvents.limit(200).cache()
+    sink.writeBatch(rows, "access_0")
+    sink.writeBatch(rows, "access_1")
+    val twoBatches = sink.read(spark).count()
+    assert(twoBatches == 400)
+    // replayed batch key overwrites its own directory: no duplicates
+    sink.writeBatch(rows, "access_1")
+    assert(sink.read(spark).count() == twoBatches, "batch replay must be idempotent")
+
+    // pruning works identically in the nested layout
+    val pruned = sink.readRange(spark, "2024-01-01", "2024-01-02")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+
+    // compaction collapses one date's slices across batch dirs
+    val date = sink.read(spark).selectExpr("CAST(event_date AS STRING)")
+      .as[String].head()
+    val before = sink.read(spark).where(col("event_date") === date)
+      .drop("ingest_batch").orderBy("created_at", "message").collect()
+    sink.compact(spark, date)
+    val compactDir = new java.io.File(root, s"ingest_batch=${sink.CompactedBatchId}/event_date=$date")
+    assert(compactDir.isDirectory, s"no compacted dir at $compactDir")
+    val after = sink.read(spark).where(col("event_date") === date)
+      .drop("ingest_batch").orderBy("created_at", "message").collect()
+    assert(after.sameElements(before), "compaction changed the date's rows")
+
+    // TTL drops expired date dirs inside batch dirs too: asOf 11 days
+    // past the max date expires every partition
+    val maxDate = sink.read(spark).selectExpr("CAST(max(event_date) AS STRING)").as[String].head()
+    val droppedAll = sink.applyTtl(spark, LocalDate.parse(maxDate).plusDays(11))
+    assert(droppedAll.nonEmpty && droppedAll.forall(_.contains("event_date=")))
+    val leftover = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("event_date="))
+    assert(leftover.isEmpty, s"expired partitions survived TTL: ${leftover.toSeq}")
+    rows.unpersist()
+    ()
   }
 
   test("compaction collapses a partition's files without changing its rows") {

@@ -59,6 +59,30 @@ class StreamingSpec extends AnyFunSuite {
       "checkpoint resume must not duplicate rows")
   }
 
+  test("batch replay after simulated mid-commit crash leaves zero duplicate rows") {
+    val in = tmp("replay_in"); val ck = tmp("replay_ck"); val out = tmp("replay_out"); val dl = tmp("replay_dl")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "replay"), in.toString, ck.toString, sink,
+      deadLetterPath = Some(dl.toString))
+    writeLog(in, "a.log", Seq(line(1, "one"), line(2, "two"), "garbage"))
+    val q = pipe.start(LocalDate.of(2024, 1, 1))
+    q.processAllAvailable()
+    pipe.stopGracefully(q)
+    val committed = sink.read(spark).count()
+    assert(committed == 2)
+    // simulate the engine retrying the last batch after a crash between
+    // the sink write and the offset commit: re-run the same foreachBatch
+    // body with the same batch id and the same input
+    val replayBatch = spark.read.text(in.resolve("a.log").toString)
+      .withColumnRenamed("value", "line")
+    val lastBatchId = q.lastProgress.batchId
+    pipe.writeMicroBatch(replayBatch, lastBatchId, LocalDate.of(2024, 1, 1))
+    assert(sink.read(spark).count() == committed,
+      "replayed batch must overwrite its own directory, not append duplicates")
+    assert(spark.read.parquet(dl.toString).count() == 1,
+      "replayed dead-letter batch must not duplicate either")
+  }
+
   test("maxFilesPerTrigger bounds each flush like the reference's max_sent_count") {
     val in = tmp("mft_in"); val ck = tmp("mft_ck"); val out = tmp("mft_out")
     val sink = MergeTreeSink(out.toString)
