@@ -101,15 +101,25 @@ object SparkEntry {
       |FROM events ORDER BY created_at, message, context""".stripMargin
 
   /** HLL++ approximate distinct — the sketch path for cardinalities too
-    * large for exact count-distinct state; rows-only at the driver
-    * (sketch estimates are engine-specific), accuracy vs exact asserted
-    * in tests.
+    * large for exact count-distinct state. The sketch estimate is
+    * engine-specific, so the oracle is precision-style: DuckDB
+    * recomputes the exact distinct count per level and keeps the
+    * emitted row only if the estimate is within HLL++'s advertised 5%
+    * — an off-estimate drops the row and fails the hash compare.
     */
   private def approxUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type").as("level"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("level")
+
+  private val approxUsersSql =
+    """SELECT g.level, g.approx_users
+      |FROM graft_result g
+      |JOIN (SELECT event_type AS level, count(DISTINCT user_id) AS exact_users
+      |      FROM events GROUP BY 1) e USING (level)
+      |WHERE abs(g.approx_users - e.exact_users) <= 0.05 * e.exact_users
+      |ORDER BY level""".stripMargin
 
   /** As-of join: each event enriched with the user's latest order at or
     * before the event time (one shuffle + window, never an
@@ -536,49 +546,85 @@ object SparkEntry {
       |FROM documents GROUP BY lower(regexp_replace(text, '[^\w]', '', 'g'))
       |ORDER BY doc_id""".stripMargin
 
+  /** MinHash is approximate by construction, so the oracle is
+    * precision-style: every emitted pair must (a) claim est_jaccard at
+    * or above the 0.6 threshold and (b) have TRUE trigram Jaccard —
+    * recomputed from `documents` in SQL — at least 0.45 (threshold
+    * minus the ~2.5 sigma estimation noise of 64 hashes). A pair whose
+    * signatures collided without real overlap drops out of the oracle
+    * result and fails the hash compare. Recall vs the exact pair set
+    * is asserted separately in DedupSpec.
+    */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.MinHashLSH.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3).orderBy("a", "b")
 
+  private val dedupMinhashSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2)
+      |SELECT g.a, g.b, g.est_jaccard
+      |FROM graft_result g
+      |JOIN inter i ON g.a = i.a AND g.b = i.b
+      |JOIN sizes sa ON g.a = sa.doc_id JOIN sizes sb ON g.b = sb.doc_id
+      |WHERE g.est_jaccard >= 0.6 AND i.i / (sa.n + sb.n - i.i) >= 0.45
+      |ORDER BY g.a, g.b""".stripMargin
+
+  /** SimHash pairs carry both fingerprints, so the oracle recomputes
+    * the hamming distance (`bit_count(xor(fa, fb))`) and re-applies
+    * the <=3 threshold on the emitted rows — a wrong distance or an
+    * over-threshold pair fails the hash compare.
+    */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.SimHash.pairs(t(s, dir, "documents"), "doc_id", "text").orderBy("a", "b")
+
+  private val dedupSimhashSql =
+    """SELECT g.a, g.b, g.fa, g.fb,
+      |       CAST(bit_count(xor(g.fa, g.fb)) AS BIGINT) AS hamming
+      |FROM graft_result g
+      |WHERE bit_count(xor(g.fa, g.fb)) <= 3
+      |ORDER BY a, b""".stripMargin
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), graft.sim.Cosine.asDouble(col("embedding")).as("v"))
 
-  /** Exact cosine near-dup pairs — the verification stage candidates
-    * flow into at scale (candidate generation itself is LSH-bucketed,
-    * see ann_lsh / AnnSpec).
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
+    * cosine verify — the only shape that survives 100 TB (the n²
+    * all-pairs ground truth lives exclusively in DedupSpec as the
+    * recall baseline; no shipped query plans a BroadcastNestedLoopJoin,
+    * asserted over the whole registry in SinkAndPlanSpec). 32 tables =
+    * the high-recall configuration (DedupSpec measures recall vs
+    * exact). The oracle is precision-style: DuckDB recomputes the true
+    * cosine of each emitted pair from `embeddings` and re-applies the
+    * threshold, so a wrong similarity or sub-threshold pair fails the
+    * hash compare.
     */
-  private def dedupCosine(s: SparkSession, dir: String): DataFrame = {
-    // norms precomputed per vector, not per pair: the pair stage does
-    // one ArrayDot instead of three
-    val e = embDouble(s, dir).select(
-      col("vec_id"), col("v"),
-      sqrt(graft.sim.Cosine.dot(col("v"), col("v"))).as("nrm"))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(graft.sim.Cosine.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cosine"))
-      .where(col("cosine") >= 0.4)
-      .orderBy("a", "b")
-  }
+  private def dedupCosine(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CosineDedup.pairs(
+      embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec")),
+      minCosine = 0.4, numTables = 32).orderBy("a", "b")
 
-  private val dedupCosineSql =
-    """SELECT a.vec_id AS a, b.vec_id AS b,
-      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+  private def cosinePrecisionSql: String =
+    """SELECT g.a, g.b,
+      |       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+      |FROM graft_result g
+      |JOIN embeddings ea ON g.a = ea.vec_id
+      |JOIN embeddings eb ON g.b = eb.vec_id
+      |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
       |ORDER BY a, b""".stripMargin
 
-  /** The scale path for cosine near-dup: LSH-bucketed candidates +
-    * exact verify (rows-only at the driver; recall vs the exact pair
-    * set is asserted in DedupSpec).
+  private val dedupCosineSql = cosinePrecisionSql
+
+  /** Same operator at the default table count — the documented
+    * cost/recall tradeoff configuration (SURVEY §2 row 24).
     */
   private def dedupCosineLsh(s: SparkSession, dir: String): DataFrame =
     graft.dedup.CosineDedup.pairs(
       embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec")),
       minCosine = 0.4).orderBy("a", "b")
+
+  private val dedupCosineLshSql = cosinePrecisionSql
 
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
@@ -602,11 +648,31 @@ object SparkEntry {
       |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
       |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
 
+  /** ANN results are approximate in WHICH neighbors they find, but
+    * exact in what they claim about them — so the oracle recomputes
+    * each emitted (q, neighbor) pair's true cosine from `embeddings`
+    * and re-derives the rank ordering within the emitted set: a wrong
+    * similarity or an inconsistent ranking fails the hash compare.
+    * Recall vs exact top-k is asserted in AnnTextSpec.
+    */
+  private val annPrecisionSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve FROM embeddings),
+      |s AS (
+      |  SELECT g.q, g.neighbor, list_cosine_similarity(vq.ve, vc.ve) AS sim_raw
+      |  FROM graft_result g
+      |  JOIN v vq ON g.q = vq.vec_id
+      |  JOIN v vc ON g.neighbor = vc.vec_id)
+      |SELECT q, neighbor, round(sim_raw, 4) AS sim,
+      |       row_number() OVER (PARTITION BY q ORDER BY sim_raw DESC, neighbor) AS rank
+      |FROM s ORDER BY q, rank""".stripMargin
+
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
     val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
-    graft.sim.IvfAnn.topK(queries, corpus, 5, numCells = 16, nProbe = 8).orderBy("q", "rank")
+    graft.sim.IvfAnn.topK(queries, corpus, 5, numCells = 16, nProbe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
   }
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
@@ -617,7 +683,9 @@ object SparkEntry {
     // cosine ~0.33 ≈ 70° — far looser than real embedding clusters), so
     // match probability per bit is only ~0.6 and shorter bucket keys
     // with more tables are needed for recall.
-    graft.sim.LshAnn.topK(queries, corpus, 5, numTables = 16, bitsPerTable = 4).orderBy("q", "rank")
+    graft.sim.LshAnn.topK(queries, corpus, 5, numTables = 16, bitsPerTable = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
   }
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -662,8 +730,21 @@ object SparkEntry {
       |            THEN 'en' ELSE 'und' END AS lang_pred
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Fully recomputable in DuckDB: the rolling hash's per-token hash is
+    * MD5-derived (bit-identical across engines), so the oracle folds
+    * the identical polynomial over the identical tokens — a complete
+    * value-level oracle, not just precision-style.
+    */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     graft.text.TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+      |           t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT))),
+      |         (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.asBinary(t(s, dir, "documents"), "doc_id", "text")
@@ -712,7 +793,7 @@ object SparkEntry {
     "dead_letter" -> Q(deadLetter, Some(deadLetterSql)),
     "json_extract_props" -> Q(jsonExtract, Some(jsonExtractSql)),
     "parse_json_logs" -> Q(parseJsonLogs, Some(parseJsonLogsSql)),
-    "approx_users" -> Q(approxUsers, None),
+    "approx_users" -> Q(approxUsers, Some(approxUsersSql)),
     "enrich_join" -> Q(enrichJoin, Some(enrichJoinSql)),
     "asof_last_order" -> Q(asofLastOrder, Some(asofLastOrderSql)),
     "range_join_bands" -> Q(rangeJoinBands, Some(rangeJoinBandsSql)),
@@ -726,13 +807,13 @@ object SparkEntry {
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_normalized" -> Q(dedupNormalized, Some(dedupNormalizedSql)),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
-    "dedup_minhash" -> Q(dedupMinhash, None),
-    "dedup_simhash" -> Q(dedupSimhash, None),
+    "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
+    "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
-    "dedup_cosine_lsh" -> Q(dedupCosineLsh, None),
+    "dedup_cosine_lsh" -> Q(dedupCosineLsh, Some(dedupCosineLshSql)),
     "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),
-    "ann_lsh" -> Q(annLsh, None),
-    "ann_ivf" -> Q(annIvf, None),
+    "ann_lsh" -> Q(annLsh, Some(annPrecisionSql)),
+    "ann_ivf" -> Q(annIvf, Some(annPrecisionSql)),
     "sessionize" -> Q(sessionize, Some(sessionizeSql)),
     "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
     "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
@@ -745,7 +826,7 @@ object SparkEntry {
     "text_tokens" -> Q(textTokens, Some(textTokensSql)),
     "text_quality" -> Q(textQuality, Some(textQualitySql)),
     "text_lang_id" -> Q(textLangId, Some(textLangIdSql)),
-    "text_fingerprint" -> Q(textFingerprint, None),
+    "text_fingerprint" -> Q(textFingerprint, Some(textFingerprintSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
   )
 

@@ -30,13 +30,22 @@ object Verify {
     // referenced table name to its parquet file, so the SQL runs in any
     // DuckDB session regardless of which views the driver registered
     // (CTEs harmlessly shadow same-named views when they do exist).
-    def withSources(sql: String): String = {
+    // `graft_result` binds to the query's OWN dumped output — the
+    // precision-oracle pattern for approximate operators: DuckDB
+    // recomputes the claimed metric on exactly the emitted rows and
+    // re-applies the threshold, so any false claim drops rows and
+    // fails the hash compare.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    def withSources(name: String, sql: String): String = {
+      val self =
+        if (("\\bgraft_result\\b").r.findFirstIn(sql).isDefined)
+          Seq(s"graft_result AS (SELECT * FROM read_parquet('$outAbs/$name/*.parquet'))")
+        else Nil
       val used = Tables.all.filter(t => ("\\b" + t + "\\b").r.findFirstIn(sql).isDefined)
-      if (used.isEmpty) sql
+      val ctes = (self ++ used.map(t => s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))"))
+        .mkString(", ")
+      if (ctes.isEmpty) sql
       else {
-        val ctes = used
-          .map(t => s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))")
-          .mkString(", ")
         val trimmed = sql.trim
         if (trimmed.take(5).equalsIgnoreCase("WITH ")) s"WITH $ctes, ${trimmed.drop(5)}"
         else s"WITH $ctes $trimmed"
@@ -56,7 +65,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(withSources(v))}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(withSources(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -64,7 +64,10 @@ object SimHash {
   }
 
   /** Pairs within `maxHamming` via band-bucket join; guaranteed complete
-    * when `maxHamming < bands`.
+    * when `maxHamming < bands`. Output carries both fingerprints
+    * (`fa`, `fb`) next to the hamming distance so the claimed distance
+    * is recomputable downstream — the DuckDB oracle re-derives
+    * `bit_count(xor(fa, fb))` and re-applies the threshold.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             maxHamming: Int = 3, bands: Int = 4): DataFrame = {
@@ -83,7 +86,8 @@ object SimHash {
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        col("a.simhash").as("fa"), col("b.simhash").as("fb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .dropDuplicates("a", "b")
       .where(col("hamming") <= maxHamming)
   }

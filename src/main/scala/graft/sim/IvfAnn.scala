@@ -1,31 +1,88 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-style ANN (LLM-pipeline brief): partition the corpus into
-  * `numCells` Voronoi cells around centroid vectors, probe only the
-  * `nProbe` nearest cells per query, exact-rerank the candidates.
+  * `numCells` Voronoi cells around k-means-trained centroids, probe
+  * only the `nProbe` nearest cells per query, exact-rerank the
+  * candidates.
   *
-  * Scale shape: assignment is one broadcast join of the (tiny) centroid
-  * set against the corpus — |corpus| x numCells codegen'd dot products,
-  * one pass, no corpus shuffle beyond the cell grouping. Queries touch
-  * nProbe/numCells of the corpus. Centroids here are a deterministic
-  * sample (first `numCells` ids) standing in for a k-means pass — the
-  * operator shape (assign → probe → rerank) is identical with trained
-  * centroids.
+  * Centroids are trained with Lloyd's iterations expressed as
+  * DataFrame ops: assign each vector to its nearest centroid (a
+  * row-local argmax over a literal centroid array — a Generate-free
+  * map, no join operator), then re-center each cell as the
+  * element-wise mean (posexplode → per-(cell, dim) average — one
+  * |corpus|-keyed shuffle per iteration). Centroids are collected to
+  * the driver between iterations: numCells x dim doubles, which is
+  * exactly the "broadcast the tiny side" regime even at thousands of
+  * cells.
+  *
+  * Scale shape: assignment is |corpus| x numCells codegen'd dot
+  * products in one pass; queries touch nProbe/numCells of the corpus
+  * via an equi join on the cell id. Probing every cell degenerates to
+  * exact search (tested in AnnTextSpec).
   */
 object IvfAnn {
 
-  /** (id, vec) → (id, vec, cell). */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.as("c").join(broadcast(centroids.as("k")))
-      .select(col("c.id").as("id"), col("c.vec").as("vec"), col("k.cid").as("cid"),
-        Cosine.sim(col("c.vec"), col("k.cvec")).as("csim"))
-    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
+  private type Centroids = Array[(Int, Array[Double])]
+
+  /** Literal array of (cid, cvec, cn) structs. */
+  private def inlineCentroids(cs: Centroids): Column =
+    array(cs.map { case (cid, v) =>
+      var n = 0.0
+      v.foreach(x => n += x * x)
+      struct(lit(cid).as("cid"),
+        array(v.map(lit(_)): _*).as("cvec"),
+        lit(math.sqrt(n)).as("cn"))
+    }: _*)
+
+  /** Row-local nearest-cell id for `vec` against the literal centroid
+    * set: argmax of cosine over the centroid array via max-of-structs
+    * (ties to the lowest cid through the negated id — deterministic).
+    * The vector's own norm divides every score equally, so it is
+    * dropped from the argmax — one dot product per centroid.
+    */
+  private def nearestCell(vec: Column, cs: Centroids): Column = {
+    // aliases inside a transform() lambda are resolved away, so the
+    // struct fields keep Spark's positional names: col1 = score,
+    // col2 = negated cid
+    val scored = transform(inlineCentroids(cs), c =>
+      struct(
+        Cosine.dot(vec, c.getField("cvec")) / c.getField("cn"),
+        -c.getField("cid")))
+    -array_max(scored).getField("col2")
+  }
+
+  /** `iters` Lloyd's iterations from a deterministic seed (the
+    * numCells lowest-id vectors). iters = 0 reproduces pure seed
+    * sampling — kept for the trained-vs-sampled recall comparison in
+    * AnnTextSpec.
+    */
+  def train(corpus: DataFrame, numCells: Int, iters: Int = 3): Centroids = {
+    var centroids: Centroids = corpus.orderBy("id").limit(numCells).select("vec").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    var it = 0
+    while (it < iters) {
+      val means = corpus
+        .select(nearestCell(col("vec"), centroids).as("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val v = new Array[Double](old.length)
+            rows.foreach(r => v(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+            (cid, v)
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    centroids
   }
 
   def topK(
@@ -33,14 +90,18 @@ object IvfAnn {
       corpus: DataFrame,  // (id, vec)
       k: Int,
       numCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids = corpus.where(col("id") < numCells)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
-    val cells = assign(corpus, centroids)
+      nProbe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val centroids = train(corpus, numCells, iters)
+    val cells = corpus.select(col("id"), col("vec"), nearestCell(col("vec"), centroids).as("cell"))
 
-    val probeScores = queries.as("q").join(broadcast(centroids.as("k")))
-      .select(col("q.qid").as("qid"), col("q.qvec").as("qvec"), col("k.cid").as("cid"),
-        Cosine.sim(col("q.qvec"), col("k.cvec")).as("csim"))
+    // per-query top-nProbe cells: explode the literal centroid array
+    // (Generate, not a join) and rank-window the scores
+    val probeScores = queries
+      .select(col("qid"), col("qvec"), explode(inlineCentroids(centroids)).as("c"))
+      .select(col("qid"), col("qvec"), col("c.cid").as("cid"),
+        (Cosine.dot(col("qvec"), col("c.cvec")) /
+          (sqrt(Cosine.dot(col("qvec"), col("qvec"))) * col("c.cn"))).as("csim"))
     val pw = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
     val probes = probeScores.withColumn("rn", row_number().over(pw))
       .where(col("rn") <= nProbe).select(col("qid"), col("qvec"), col("cid").as("cell"))

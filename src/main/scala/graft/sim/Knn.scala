@@ -1,36 +1,57 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Brute-force cosine top-k — the exact baseline for ANN
   * (LLM-pipeline brief).
   *
-  * The query side is expected to be small (a batch of probe vectors)
-  * and is explicitly broadcast; the corpus side streams through a
-  * single pass, so cost is |queries| x |corpus| FLOPs with no corpus
-  * shuffle. Top-k per query uses a rank-window over the (small)
-  * per-query candidate sets.
+  * The probe batch's contract is "small" (it is the brute-force
+  * baseline: |queries| x |corpus| FLOPs), so it is collected and
+  * inlined as a literal struct array; each corpus row `explode`s over
+  * the batch — a Generate in the plan, NOT a join operator. That keeps
+  * the single corpus pass with zero shuffle before the top-k window
+  * and no BroadcastNestedLoopJoin anywhere (the blanket plan guard in
+  * SinkAndPlanSpec covers this query). For probe batches too large to
+  * inline, use LshAnn/IvfAnn — that size is exactly when brute force
+  * stops being the right operator anyway.
   */
 object Knn {
 
-  /** @param queries (qid, qvec array<double>) — small, broadcast
+  /** Literal struct array of (qid, qvec, qn) for the probe batch; the
+    * norm is folded left-to-right like [[Cosine.dot]] so driver and
+    * executor arithmetic agree bit-for-bit.
+    */
+  private def inlineQueries(queries: DataFrame): Column = {
+    val qRows: Array[Row] = queries.select("qid", "qvec").collect()
+    require(qRows.nonEmpty, "empty probe batch")
+    array(qRows.map { r =>
+      val qv = r.getSeq[Double](1)
+      var qn = 0.0
+      qv.foreach(x => qn += x * x)
+      struct(
+        lit(r.get(0)).as("qid"),
+        array(qv.map(lit(_)): _*).as("qvec"),
+        lit(math.sqrt(qn)).as("qn"))
+    }: _*)
+  }
+
+  /** @param queries (qid, qvec array<double>) — small, inlined
     * @param corpus  (id, vec array<double>)
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    // norms are per-vector, so compute them before the pair join — the
+    // norms are per-vector, so compute them before the pair stage — the
     // |queries| x |corpus| stage then costs one dot product per pair
-    val c = corpus.select(col("id"), col("vec"),
-      sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"))
-    val q = queries.select(col("qid"), col("qvec"),
-      sqrt(Cosine.dot(col("qvec"), col("qvec"))).as("qn"))
-    val scored = c.as("c")
-      .join(broadcast(q.as("q")), col("q.qid") =!= col("c.id"))
+    val scored = corpus
+      .select(col("id"), col("vec"),
+        sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"),
+        explode(inlineQueries(queries)).as("qq"))
+      .where(col("qq.qid") =!= col("id"))
       .select(
-        col("q.qid").as("q"),
-        col("c.id").as("neighbor"),
-        (Cosine.dot(col("q.qvec"), col("c.vec")) / (col("q.qn") * col("c.cn"))).as("sim"))
+        col("qq.qid").as("q"),
+        col("id").as("neighbor"),
+        (Cosine.dot(col("qq.qvec"), col("vec")) / (col("qq.qn") * col("cn"))).as("sim"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
     scored
       .withColumn("rank", row_number().over(w))

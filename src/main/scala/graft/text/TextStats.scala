@@ -60,18 +60,29 @@ object TextStats {
       when(ratio >= minRatio, lit("en")).otherwise(lit("und")).as("lang_pred"))
   }
 
-  private val FingerprintMod = 1000000007L // keeps acc*31+h < 2^63 (no ANSI overflow)
+  private val FingerprintMod = 1000000007L // keeps acc*31 + tokenHash < 2^63 (no ANSI overflow)
+
+  /** Per-token 60-bit hash: the top 15 hex digits of standard MD5.
+    * MD5 (unlike xxhash64's Spark-specific seeding) is bit-identical
+    * across engines, which makes the fingerprint exactly recomputable
+    * by the DuckDB oracle: `CAST('0x' || substring(md5(t),1,15) AS
+    * BIGINT)` yields this same value.
+    */
+  private def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Rolling polynomial hash over the token stream:
-    * `h = fold(tokens)(h * 31 + xxhash64(tok) mod M) mod M`.
+    * `h = fold(tokens)(h * 31 + tokenHash(tok)) mod M`.
     * Order-sensitive (unlike a bag-of-words hash) so re-ordered
-    * documents fingerprint differently.
+    * documents fingerprint differently. 60-bit token hashes keep the
+    * fold inside signed-64 range: acc < 1e9, so acc*31 + h < 2^60 +
+    * 3.1e10 < 2^63.
     */
   def fingerprint(text: Column): Column =
     aggregate(
       words(text),
       lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(FingerprintMod)), lit(FingerprintMod)))
+      (acc, t) => pmod(acc * 31 + tokenHash(t), lit(FingerprintMod)))
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))

@@ -50,6 +50,32 @@ class AnnTextSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("trained IVF centroids beat seed sampling on clustered embeddings") {
+    // Synthetic clustered set — the regime where first-N seed sampling
+    // fails (one cell swallows a whole cluster): 8 tight clusters whose
+    // first-N seeds all come from cluster 0.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rnd.nextGaussian())
+    val points = (0 until 800).map { i =>
+      val c = centers(i / 100) // ids 0..99 in cluster 0, etc.
+      (i.toLong, c.toIndexedSeq.map(x => x + 0.05 * rnd.nextGaussian()))
+    }
+    val corpus = points.toDF("id", "vec")
+    val queries = points.filter(_._1 % 100 < 2).map { case (i, v) => (i, v) }
+      .toDF("qid", "qvec")
+    val bf = Knn.topK(queries, corpus, 5).select("q", "neighbor").as[(Long, Long)].collect().toSet
+    def recallOf(iters: Int): Double = {
+      val got = graft.sim.IvfAnn.topK(queries, corpus, 5, numCells = 8, nProbe = 2, iters = iters)
+        .select("q", "neighbor").as[(Long, Long)].collect().toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val sampled = recallOf(0)
+    val trained = recallOf(3)
+    assert(trained >= sampled, s"training regressed recall: $trained < $sampled")
+    assert(trained >= 0.9, s"trained recall $trained too low on well-separated clusters")
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val one = emb.limit(1).select(round(Cosine.sim(col("v"), col("v")), 6).as("c")).as[Double].head()
     assert(one == 1.0)

@@ -40,8 +40,8 @@ class DedupSpec extends AnyFunSuite {
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six")).toDF("doc_id", "text")
     val out = SimHash.pairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
-      .as[(Long, Long, Int)].collect().toSeq
-    assert(out == Seq((1L, 2L, 0)))
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L)))
   }
 
   test("LSH-bucketed cosine dedup recovers the exact pair set without an all-pairs join") {

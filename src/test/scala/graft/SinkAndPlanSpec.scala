@@ -254,6 +254,18 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(viaHof == viaDot)
   }
 
+  test("no shipped query plans an all-pairs join (blanket BNLJ/cartesian guard)") {
+    // The brief bans O(n²) pair plans at 100 TB; this guards every
+    // registry entry, present and future, not just the dedup family.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.SfDirSmall).queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"all-pairs join shipped in: $offenders")
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString
