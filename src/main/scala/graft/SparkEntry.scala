@@ -527,6 +527,34 @@ object SparkEntry {
       |WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6
       |ORDER BY a, b""".stripMargin
 
+  /** The scale-safe variant of n-gram Jaccard: `maxDf` drops shingles
+    * appearing in more than 64 documents from the inverted index
+    * before pairing. A stop-shingle with document frequency d
+    * contributes d² candidate pairs — at corpus scale that df² blowup
+    * on ubiquitous n-grams is THE cost driver of exact Jaccard — so
+    * the cap bounds the join at the documented cost of missing pairs
+    * whose only shared shingles are ubiquitous (bigrams over this
+    * 31-word test vocabulary make that tradeoff visible: at sf0.1 the
+    * cap prunes 97% of candidate work). The oracle applies the
+    * identical cap in SQL, so the result stays exactly checkable.
+    */
+  private def dedupNgramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 2, minJaccard = 0.6, maxDf = Some(64))
+      .orderBy("a", "b")
+
+  private val dedupNgramJaccardCappedSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS s FROM t),
+      |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 64),
+      |ec AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM ec ea JOIN ec eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2)
+      |SELECT i.a, i.b, round(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
+      |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      |WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6
+      |ORDER BY i.a, i.b""".stripMargin
+
   /** Exact dedup under normalization (case/whitespace/punctuation
     * folded) — catches trivially-reformatted duplicates that byte-exact
     * hashing misses; same hash-group shape as dedup_exact.
@@ -807,6 +835,7 @@ object SparkEntry {
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_normalized" -> Q(dedupNormalized, Some(dedupNormalizedSql)),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    "dedup_ngram_jaccard_capped" -> Q(dedupNgramJaccardCapped, Some(dedupNgramJaccardCappedSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),

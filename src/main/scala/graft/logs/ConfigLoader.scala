@@ -1,0 +1,118 @@
+package graft.logs
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sinks.MergeTreeSink
+import graft.streaming.{TailManager, TailPipeline}
+
+/** Config-file-driven deployment — the reference is driven entirely by
+  * a config array (reference test.config.php:1-50, consumed in
+  * Worker.php:56-66): a `tails` list with per-source path / repo /
+  * pattern (`false` = raw mode) / per-tail sink override, plus a
+  * default sink. This loader reads the same shape as JSON so an
+  * operator can deploy graft without writing Scala:
+  *
+  * {{{
+  * {
+  *   "sink": {"path": "/data/warehouse", "ttl_days": 10},
+  *   "checkpoint_root": "/data/checkpoints",
+  *   "tails": [
+  *     {"name": "access", "repo": "api2", "host": "web1",
+  *      "path": "/logs/access-{date}.log",
+  *      "pattern": "\\[(.*)\\] (\\w+)\\.(\\w+): (.*) (.*) (.*)",
+  *      "timestamp_format": "yyyy-MM-dd HH:mm:ss",
+  *      "tail_from_end": true,
+  *      "dead_letter": "/data/dl/access",
+  *      "sink": {"path": "/data/access_wh", "ttl_days": 3}},
+  *     {"name": "raw", "repo": "api2", "path": "/logs/raw.log",
+  *      "pattern": false}
+  *   ]
+  * }
+  * }}}
+  *
+  * `pattern` omitted → the default monolog regex; a string → custom
+  * regex; JSON `false` → raw pass-through — byte-for-byte the
+  * reference's `'pattern' => false` contract (Worker.php:179-182).
+  * The per-line `callback` hook is code, not config, so it has no JSON
+  * form — attach it programmatically via `TailConfig.transform`.
+  *
+  * The file is read through the Hadoop FileSystem, so configs deploy
+  * from HDFS/S3 alongside the data.
+  */
+object ConfigLoader {
+
+  final case class TailEntry(
+      cfg: TailConfig,
+      inputPath: String,
+      sink: MergeTreeSink,
+      deadLetterPath: Option[String],
+      tailFromEnd: Boolean)
+
+  final case class EngineConfig(
+      defaultSink: MergeTreeSink,
+      checkpointRoot: String,
+      tails: Seq[TailEntry])
+
+  def load(spark: SparkSession, path: String): EngineConfig = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parse(json)
+  }
+
+  def parse(json: String): EngineConfig = {
+    val root = new ObjectMapper().readTree(json)
+    val sinkNode = require(root, "sink")
+    val defaultSink = sinkOf(sinkNode)
+    val checkpointRoot = require(root, "checkpoint_root").asText()
+    val tails = require(root, "tails").elements().asScala.map { t =>
+      val pattern = Option(t.get("pattern")) match {
+        case None                        => PatternMode.Default
+        case Some(n) if n.isBoolean && !n.asBoolean() => PatternMode.Raw
+        case Some(n) if n.isTextual     => PatternMode.Custom(n.asText())
+        case Some(n) => throw new IllegalArgumentException(s"bad pattern: $n")
+      }
+      val cfg = TailConfig(
+        name = require(t, "name").asText(),
+        repo = require(t, "repo").asText(),
+        host = Option(t.get("host")).map(_.asText()).getOrElse(TailConfig.defaultHost),
+        pattern = pattern,
+        timestampFormat = Option(t.get("timestamp_format")).map(_.asText())
+          .getOrElse(MonologParser.TimestampFormat))
+      TailEntry(
+        cfg = cfg,
+        inputPath = require(t, "path").asText(),
+        sink = Option(t.get("sink")).map(sinkOf).getOrElse(defaultSink),
+        deadLetterPath = Option(t.get("dead_letter")).map(_.asText()),
+        tailFromEnd = Option(t.get("tail_from_end")).exists(_.asBoolean()))
+    }.toSeq
+    EngineConfig(defaultSink, checkpointRoot, tails)
+  }
+
+  private def sinkOf(n: JsonNode): MergeTreeSink =
+    MergeTreeSink(
+      require(n, "path").asText(),
+      ttlDays = Option(n.get("ttl_days")).map(_.asInt()).getOrElse(10))
+
+  private def require(n: JsonNode, field: String): JsonNode =
+    Option(n.get(field)).getOrElse(
+      throw new IllegalArgumentException(s"config missing required field '$field'"))
+
+  /** Config → runnable pipelines under one manager. */
+  def manager(spark: SparkSession, conf: EngineConfig): TailManager =
+    new TailManager(conf.tails.map { t =>
+      TailPipeline(
+        spark, t.cfg, t.inputPath,
+        checkpointDir = s"${conf.checkpointRoot}/${t.cfg.name}",
+        sink = t.sink,
+        deadLetterPath = t.deadLetterPath,
+        tailFromEnd = t.tailFromEnd)
+    })
+}

@@ -52,4 +52,14 @@ final class TailManager(pipelines: Seq[TailPipeline]) {
     }
     queries.clear()
   }
+
+  /** Wire [[shutdown]] to JVM termination — the analog of the
+    * reference's SIGTERM/SIGINT handlers (ToolsTraits.php:48-54,
+    * installed from Worker.php:84): a `kill` on the driver drains and
+    * flushes every source instead of dropping the in-flight batch.
+    * Returns the hook so callers can `remove()` it after an orderly
+    * stop (StreamingSpec runs the hook body directly).
+    */
+  def registerShutdownHook(): scala.sys.ShutdownHookThread =
+    scala.sys.addShutdownHook(shutdown())
 }

@@ -47,7 +47,8 @@ final case class TailPipeline(
     sink: MergeTreeSink,
     deadLetterPath: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    triggerInterval: String = "1 second") {
+    triggerInterval: String = "1 second",
+    tailFromEnd: Boolean = false) {
 
   def resolvedInput(asOf: LocalDate): String = DatePath.resolve(inputPath, asOf)
 
@@ -59,11 +60,63 @@ final case class TailPipeline(
   private def resolvedCheckpoint(asOf: LocalDate): String =
     if (DatePath.isDaily(inputPath)) s"$checkpointDir/day=$asOf" else checkpointDir
 
+  /** Tail-from-end semantics for brand-new sources (reference
+    * Worker.php:171-177: a tail with no checkpoint starts at
+    * `PHP_INT_MAX`, i.e. the end of the file — adding a source must
+    * not re-ingest its 10 GB history). On the FIRST start against this
+    * checkpoint (base dir absent), snapshot the paths already present
+    * in the input dir to `<checkpointDir>/.graft_initial_files`; those
+    * files are excluded from the stream on this and every restart.
+    * Day-rollover starts find the base checkpoint present and change
+    * nothing — the new day's file is read from offset 0, exactly as
+    * the reference re-tails a rotated file from line 0.
+    *
+    * The excluded files are still listed (and their bytes read once,
+    * then dropped by the filter) by the source — the declarative
+    * analog of seeking to EOF; correctness-equivalent, with a one-time
+    * scan cost on first start.
+    */
+  private def preexistingPaths(asOf: LocalDate): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new Path(checkpointDir)
+    val fs = base.getFileSystem(conf)
+    val snap = new Path(base, ".graft_initial_files")
+    if (fs.exists(snap)) {
+      val in = fs.open(snap)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    } else if (fs.exists(base)) Seq.empty // established checkpoint: nothing to exclude
+    else {
+      val dir = new Path(resolvedInput(asOf))
+      val dfs = dir.getFileSystem(conf)
+      val names =
+        if (dfs.exists(dir))
+          dfs.listStatus(dir).filter(_.isFile).map(_.getPath.toUri.getPath).toSeq
+        else Seq.empty
+      fs.mkdirs(base)
+      val out = fs.create(snap, true)
+      try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+      names
+    }
+  }
+
   /** Start the streaming query for the given day's input path. */
   def start(asOf: LocalDate): StreamingQuery = {
     val reader0 = spark.readStream
     val reader = maxFilesPerTrigger.fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toLong))
-    val lines = reader.text(resolvedInput(asOf)).withColumnRenamed("value", "line")
+    val lines0 = reader.text(resolvedInput(asOf)).withColumnRenamed("value", "line")
+    val lines = if (!tailFromEnd) lines0 else {
+      val excluded = preexistingPaths(asOf)
+      if (excluded.isEmpty) lines0
+      else {
+        import org.apache.spark.sql.functions.{input_file_name, regexp_replace, not}
+        // input_file_name is a URI (file:///..., hdfs://host/...);
+        // strip scheme+authority to compare against the listing paths
+        val filePath = regexp_replace(input_file_name(), "^[a-z][a-z0-9+.-]*://[^/]*", "")
+        lines0.where(not(filePath.isin(excluded: _*)))
+      }
+    }
     lines.writeStream
       .queryName(cfg.name)
       .option("checkpointLocation", resolvedCheckpoint(asOf))

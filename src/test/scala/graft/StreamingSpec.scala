@@ -168,6 +168,88 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:01:00", "INFO", 1L)))
   }
 
+  test("tail-from-end skips pre-existing files on a fresh checkpoint, keeps them skipped on restart") {
+    val in = tmp("tfe_in"); val ck = tmp("tfe_ck").resolve("inner"); val out = tmp("tfe_out")
+    // historical file present BEFORE the source is first started
+    writeLog(in, "history.log", Seq(line(1, "old1"), line(2, "old2")))
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "tfe"), in.toString, ck.toString, sink,
+      tailFromEnd = true)
+    val day = LocalDate.of(2024, 1, 1)
+    val q1 = pipe.start(day)
+    q1.processAllAvailable()
+    // new file after start IS ingested
+    writeLog(in, "new.log", Seq(line(3, "fresh")))
+    q1.processAllAvailable()
+    pipe.stopGracefully(q1)
+    val msgs = sink.read(spark).select("message")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(msgs == Seq("fresh"), s"pre-existing file leaked into the sink: $msgs")
+
+    // restart: history stays excluded (snapshot persisted), new files flow
+    writeLog(in, "later.log", Seq(line(4, "later")))
+    val q2 = pipe.start(day)
+    q2.processAllAvailable()
+    pipe.stopGracefully(q2)
+    val msgs2 = sink.read(spark).select("message")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    assert(msgs2 == Seq("fresh", "later"), s"restart changed exclusions: $msgs2")
+  }
+
+  test("shutdown hook drains pending data into the sink (simulated kill)") {
+    val in = tmp("hook_in"); val ck = tmp("hook_ck"); val out = tmp("hook_out")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "hooked"), in.toString, ck.toString, sink)
+    val mgr = new TailManager(Seq(pipe))
+    val hook = mgr.registerShutdownHook()
+    try {
+      mgr.superviseOnce(LocalDate.of(2024, 1, 1))
+      // data arrives but nothing forces a drain before the "kill"
+      writeLog(in, "a.log", Seq(line(1, "pending1"), line(2, "pending2")))
+      hook.run() // what the JVM would run on SIGTERM
+      assert(mgr.activeQueries.isEmpty)
+      assert(spark.streams.active.isEmpty)
+      assert(sink.read(spark).count() == 2, "pending rows lost on shutdown")
+    } finally { hook.remove(); () }
+  }
+
+  test("config file drives a full deployment: patterns, overrides, raw mode, date macro") {
+    val base = tmp("cfgload")
+    val json =
+      s"""{
+         |  "sink": {"path": "${base.resolve("wh")}", "ttl_days": 7},
+         |  "checkpoint_root": "${base.resolve("ck")}",
+         |  "tails": [
+         |    {"name": "access", "repo": "api2", "host": "web1",
+         |     "path": "${base.resolve("logs")}/access-{date}.log",
+         |     "pattern": "\\\\[(.*)\\\\] (\\\\w+)\\\\.(\\\\w+): (.*) (.*) (.*)",
+         |     "timestamp_format": "yyyy-MM-dd HH:mm:ss",
+         |     "tail_from_end": true,
+         |     "dead_letter": "${base.resolve("dl")}",
+         |     "sink": {"path": "${base.resolve("access_wh")}", "ttl_days": 3}},
+         |    {"name": "raw_tail", "repo": "api2", "path": "${base.resolve("raw.log")}",
+         |     "pattern": false}
+         |  ]
+         |}""".stripMargin
+    val cfgPath = base.resolve("graft.json")
+    Files.write(cfgPath, json.getBytes)
+    val conf = graft.logs.ConfigLoader.load(spark, cfgPath.toString)
+    assert(conf.defaultSink.path == base.resolve("wh").toString && conf.defaultSink.ttlDays == 7)
+    assert(conf.tails.map(_.cfg.name) == Seq("access", "raw_tail"))
+    val access = conf.tails.head
+    assert(access.cfg.host == "web1" && access.tailFromEnd)
+    assert(access.sink.path == base.resolve("access_wh").toString && access.sink.ttlDays == 3)
+    assert(access.inputPath.endsWith("access-{date}.log") &&
+      graft.sources.DatePath.isDaily(access.inputPath))
+    assert(access.cfg.pattern.isInstanceOf[graft.logs.PatternMode.Custom])
+    val raw = conf.tails(1)
+    assert(raw.cfg.pattern == graft.logs.PatternMode.Raw, "pattern:false must mean raw mode")
+    assert(raw.sink.path == conf.defaultSink.path, "tail without override uses the default sink")
+    // the loaded config builds a runnable manager
+    val mgr = graft.logs.ConfigLoader.manager(spark, conf)
+    assert(mgr.activeQueries.isEmpty)
+  }
+
   test("manager supervises multiple sources and rolls daily-templated paths") {
     val base = tmp("mgr")
     val day1 = LocalDate.of(2024, 1, 1); val day2 = LocalDate.of(2024, 1, 2)
