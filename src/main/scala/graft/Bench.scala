@@ -9,8 +9,20 @@ import org.apache.spark.sql.SparkSession
   * pruning skip them). Failures are reported per-query under `errors`
   * and excluded from the total, so a broken query cannot fake a fast
   * bench.
+  *
+  * Per-query times are the MEDIAN of SPARK_GRAFT_BENCH_RUNS runs
+  * (default 3): single-run totals on a shared box swing ~1.6x on JIT
+  * and page-cache noise, which made round-over-round regressions
+  * unattributable. The total is the sum of medians.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,17 +39,26 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < nRuns && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          runs += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        i += 1
       }
+      if (!failed && runs.nonEmpty) timings(name) = median(runs.toSeq)
     }
 
     // Raw parse throughput (the reference's headline metric is ingest

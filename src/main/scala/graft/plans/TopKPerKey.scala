@@ -25,6 +25,14 @@ import org.apache.spark.sql.types.DoubleType
   * and the final pass merges. Memory is O(keys·k) regardless of group
   * size — the property the window route lacks at 100 TB.
   *
+  * The partial phase additionally bounds its key map at
+  * `maxPartialKeys`: once that many keys are tracked in a partition,
+  * rows of unseen keys pass through uncombined (the same graceful
+  * degradation hash-aggregate uses when its map fills) — extreme key
+  * cardinality costs shuffle volume, never executor memory. The
+  * global phase's map is the result itself (keys·k rows co-located by
+  * the exchange), so it has no cap to apply.
+  *
   * Tier (c) of the brief's preference order, used where it genuinely
   * wins; registered via [[graft.GraftExtensions]] or
   * `spark.experimental.extraStrategies`.
@@ -33,8 +41,10 @@ final case class TopKPerKey(
     keyExprs: Seq[Expression],
     scoreExpr: Expression,
     k: Int,
+    maxPartialKeys: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(maxPartialKeys > 0, "maxPartialKeys must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -42,9 +52,9 @@ final case class TopKPerKey(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, score, k, child) =>
-      val partial = TopKPerKeyExec(keys, score, k, global = false, planLater(child))
-      TopKPerKeyExec(keys, score, k, global = true, partial) :: Nil
+    case TopKPerKey(keys, score, k, maxPartialKeys, child) =>
+      val partial = TopKPerKeyExec(keys, score, k, maxPartialKeys, global = false, planLater(child))
+      TopKPerKeyExec(keys, score, k, maxPartialKeys, global = true, partial) :: Nil
     case _ => Nil
   }
 }
@@ -53,6 +63,7 @@ final case class TopKPerKeyExec(
     keyExprs: Seq[Expression],
     scoreExpr: Expression,
     k: Int,
+    maxPartialKeys: Int,
     global: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -71,34 +82,44 @@ final case class TopKPerKeyExec(
     val keyExprsLocal = keyExprs
     val scoreLocal = BindReferences.bindReference(scoreExpr, child.output)
     val childOutput = child.output
+    val capLocal = maxPartialKeys
+    val globalLocal = global
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprsLocal, childOutput)
       // min-heap on score: the head is the weakest of the current top-k
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
       implicit val ord: Ordering[(Double, UnsafeRow)] =
         Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
-      iter.foreach { row =>
+      // Lazily drains the input, emitting pass-through rows as they
+      // occur (partial phase over the key cap only); heap contents
+      // follow once the input is exhausted. The global phase never
+      // passes through — its key set is the co-located result.
+      val passedThrough = iter.flatMap { row =>
         val score = scoreLocal.eval(row) match {
           case null => Double.NegativeInfinity
           case d: java.lang.Double => d.doubleValue()
           case other => other.asInstanceOf[Double]
         }
         val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
-            heaps(key.copy()) = h
-            h
-        }
-        if (heap.size < k) {
-          heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
-        } else if (heap.head._1 < score) {
-          heap.dequeue()
-          heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+        heaps.get(key) match {
+          case None if !globalLocal && heaps.size >= capLocal =>
+            Some(row: InternalRow) // unseen key over the cap: uncombined
+          case maybe =>
+            val heap = maybe.getOrElse {
+              val h = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
+              heaps(key.copy()) = h
+              h
+            }
+            if (heap.size < k) {
+              heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+            } else if (heap.head._1 < score) {
+              heap.dequeue()
+              heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+            }
+            None
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._2: InternalRow))
+      passedThrough ++ heaps.valuesIterator.flatMap(_.iterator.map(_._2: InternalRow))
     }, preservesPartitioning = true)
   }
 
@@ -117,8 +138,12 @@ object TopK {
   /** Top `k` rows per `keyCols` group by `scoreCol` (descending).
     * `scoreCol` must be double-valued. Row order within the result is
     * unspecified; ties at the k-th place keep an arbitrary winner.
+    * `maxPartialKeys` bounds the map-side combine's memory at
+    * keys·(k+1) rows per task; beyond it, rows pass through to the
+    * exchange uncombined (correct, just less pre-aggregated).
     */
-  def perKey(df: DataFrame, keyCols: Seq[String], scoreCol: String, k: Int): DataFrame = {
+  def perKey(df: DataFrame, keyCols: Seq[String], scoreCol: String, k: Int,
+             maxPartialKeys: Int = 1 << 17): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed
@@ -128,6 +153,6 @@ object TopK {
     require(score.dataType == DoubleType, s"$scoreCol must be double, is ${score.dataType}")
     ColumnBridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      TopKPerKey(keyCols.map(attr), score, k, analyzed))
+      TopKPerKey(keyCols.map(attr), score, k, maxPartialKeys, analyzed))
   }
 }

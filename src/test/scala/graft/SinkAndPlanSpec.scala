@@ -182,6 +182,22 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(a == b, s"custom=${a.take(3)} window=${b.take(3)}")
   }
 
+  test("TopKPerKey partial-phase key cap degrades to pass-through without changing results") {
+    val li = Tables(spark, TestSpark.SfDirSmall, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+      .collect().map(_.toString).sorted.toSeq
+    val uncapped = canon(graft.plans.TopK.perKey(
+      li, Seq("l_returnflag", "l_linestatus"), "l_extendedprice", 3))
+    // cap of 1 tracked key per task: nearly every row passes through
+    // the partial phase uncombined — the global phase must still
+    // produce the identical top-k
+    val capped = canon(graft.plans.TopK.perKey(
+      li, Seq("l_returnflag", "l_linestatus"), "l_extendedprice", 3, maxPartialKeys = 1))
+    assert(capped == uncapped)
+  }
+
   test("bucketed range join matches the naive interval join, as an equi join") {
     val ev = Tables(spark, TestSpark.SfDir, "events").select("event_id", "value")
     val iv = Seq((0.0, 7.5, "lo"), (7.5, 30.0, "mid"), (30.0, 1000.0, "hi"))
