@@ -44,7 +44,7 @@ object JsonLogParser {
 
   def deadLetter(lines: DataFrame, cfg: TailConfig, lineCol: String = "line"): DataFrame =
     lines
-      .where(from_json(col(lineCol), Schema).isNull ||
-        from_json(col(lineCol), Schema).getField("created_at").isNull)
-      .select(col(lineCol).as("raw"))
+      .select(col(lineCol).as("raw"), from_json(col(lineCol), Schema).as("_j"))
+      .where(col("_j").isNull || col("_j.created_at").isNull)
+      .select("raw")
 }
