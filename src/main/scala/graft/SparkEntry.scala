@@ -787,6 +787,84 @@ object SparkEntry {
       |       substring(hex(encode(text)), 1, 8) AS magic
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // Training-data utilities: sampling / splitting / shuffling / filter //
+  // (SURVEY §2.B 32-35). All keyed on the MD5-derived cross-engine     //
+  // hash, so DuckDB recomputes every value exactly.                    //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB equivalent of graft.data.Sampling.keyHash(doc_id) % 100. */
+  private val bucketSql =
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  /** Deterministic ~10% sample: row-local hash-bucket predicate — zero
+    * shuffles, reproducible across engines and stable under appends
+    * (membership never changes when new documents arrive, unlike
+    * `df.sample`).
+    */
+  private def sampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.data.Sampling.bucketOf(col("doc_id")).as("bucket"))
+      .where(col("bucket") < 10)
+      .orderBy("doc_id")
+
+  private val sampleHashSql =
+    s"""WITH h AS (SELECT doc_id, $bucketSql AS bucket FROM documents)
+       |SELECT doc_id, bucket FROM h WHERE bucket < 10 ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test assignment (80/10/10) by hash bucket
+    * — per-document stable, append-stable, shuffle-free.
+    */
+  private def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.data.Sampling.assignSplits(
+      t(s, dir, "documents"), "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val splitAssignSql =
+    s"""WITH h AS (SELECT doc_id, $bucketSql AS b FROM documents)
+       |SELECT doc_id,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global shuffle: reproducible pseudo-random total
+    * order (hash, key) with materialized 1-based positions.
+    */
+  private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.data.Sampling.deterministicShuffle(t(s, dir, "documents"), "doc_id")
+      .select("pos", "doc_id")
+      .orderBy("pos")
+
+  private val corpusShuffleSql =
+    s"""SELECT row_number() OVER (ORDER BY
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |         doc_id) AS pos,
+       |       doc_id
+       |FROM documents ORDER BY pos""".stripMargin
+
+  /** The composed corpus-filter pipeline: language gate (stopword
+    * density) + punctuation + length bounds in one row-local pass —
+    * the shape of a real pretraining quality filter.
+    */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.quality(t(s, dir, "documents"), "doc_id", "text")
+      .where(col("stopword_ratio") >= 0.05 && col("punct_ratio") <= 0.2 &&
+        col("n_words").between(5, 1000))
+      .select(
+        col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("stopword_ratio"), col("punct_ratio"))
+      .orderBy("doc_id")
+
+  private val qualityFilterSql =
+    """WITH q AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      |         round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |         round(len(regexp_extract_all(text, '[^\w\s]')) / length(text), 4) AS punct_ratio
+      |  FROM documents)
+      |SELECT doc_id, n_words, stopword_ratio, punct_ratio FROM q
+      |WHERE stopword_ratio >= 0.05 AND punct_ratio <= 0.2 AND n_words BETWEEN 5 AND 1000
+      |ORDER BY doc_id""".stripMargin
+
   /** Exercises the custom TopKPerKey operator (logical node + strategy
     * + bounded-heap exec, SURVEY §2): sum of the top-5 extended prices
     * per (returnflag, linestatus). The sum is tie-invariant (tied
@@ -857,6 +935,10 @@ object SparkEntry {
     "text_lang_id" -> Q(textLangId, Some(textLangIdSql)),
     "text_fingerprint" -> Q(textFingerprint, Some(textFingerprintSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
+    "sample_hash" -> Q(sampleHash, Some(sampleHashSql)),
+    "split_assign" -> Q(splitAssign, Some(splitAssignSql)),
+    "corpus_shuffle" -> Q(corpusShuffle, Some(corpusShuffleSql)),
+    "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

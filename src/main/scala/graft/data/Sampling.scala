@@ -1,0 +1,68 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling / splitting / shuffling — the
+  * bread-and-butter utilities of a training-data pipeline at 100 TB
+  * (LLM-pipeline brief). All three are keyed on a content-independent
+  * hash of a stable id, so they are:
+  *
+  *  - **reproducible**: the same corpus always yields the same sample,
+  *    split, and order — across runs, partitionings, AND engines (the
+  *    hash is MD5-derived, so the DuckDB oracle recomputes it exactly;
+  *    `rand(seed)` is engine- and partitioning-dependent, which is why
+  *    it is not used);
+  *  - **stable under appends**: a document's sample membership / split
+  *    never changes when other documents arrive (a property
+  *    `df.sample` lacks);
+  *  - **cheap**: sampling and splitting are row-local maps — zero
+  *    shuffles at any scale; the global shuffle is one range-partition
+  *    sort, the canonical distributed total order.
+  */
+object Sampling {
+
+  /** 60-bit cross-engine key hash: top 15 hex digits of MD5 of the
+    * key's string form (same recipe as TextStats' token hash). DuckDB:
+    * `CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)`.
+    */
+  def keyHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The key's bucket in [0, buckets). */
+  def bucketOf(key: Column, buckets: Int = 100): Column =
+    pmod(keyHash(key), lit(buckets.toLong))
+
+  /** Keep rows whose key falls in the first `pct` of 100 hash buckets —
+    * a deterministic ~pct% sample.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.where(bucketOf(col(keyCol)) < pct)
+
+  /** Assign each row to a named split by cumulative percentage, e.g.
+    * `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. Weights must sum
+    * to 100; assignment is per-key deterministic and append-stable.
+    */
+  def assignSplits(df: DataFrame, keyCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val b = bucketOf(col(keyCol))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), upper), rest) => when(b < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic global shuffle: a total order by (keyHash, key) —
+    * i.e. a reproducible pseudo-random permutation of the corpus —
+    * with a 1-based `pos`. The sort range-partitions on the hash, so
+    * the "shuffle" parallelizes like any distributed sort; `pos` via a
+    * single-partition window is exact but serial, so at extreme scale
+    * prefer the hash order itself (ORDER BY in the consumer) over
+    * materialized positions.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(keyHash(col(keyCol)), col(keyCol))
+    df.withColumn("pos", row_number().over(w).cast("long"))
+  }
+}

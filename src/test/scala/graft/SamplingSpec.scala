@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables(spark, TestSpark.SfDir, "documents")
+
+  test("hash sample is deterministic, ~pct-sized, and append-stable") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleByHash(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same corpus must give the same sample")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.04 && a.size < n * 0.20, s"10% sample wildly off: ${a.size}/$n")
+    // append-stability: membership decided per key, so a sample of a
+    // subset is exactly the sample restricted to that subset
+    val half = docs.where(col("doc_id") < 250)
+    val sHalf = Sampling.sampleByHash(half, "doc_id", 10).select("doc_id").as[Long].collect().toSet
+    assert(sHalf == a.filter(_ < 250), "adding documents must not change prior membership")
+  }
+
+  test("split assignment partitions every row, roughly by weight, stable per key") {
+    val out = Sampling.assignSplits(docs, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.values.sum == n, "every row gets exactly one split")
+    assert(counts("train") > n * 0.6, s"train share off: $counts")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 50, "b" -> 10))
+    }
+    ()
+  }
+
+  test("deterministic shuffle is a reproducible permutation, not id order") {
+    val out = Sampling.deterministicShuffle(docs, "doc_id").select("pos", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = docs.count()
+    assert(out.map(_._1).toSeq == (1L to n).toSeq, "pos must be a dense 1..n sequence")
+    assert(out.map(_._2).toSet.size == n, "every doc appears exactly once")
+    assert(out.map(_._2).toSeq != out.map(_._2).sorted.toSeq, "order must not be id order")
+    val again = Sampling.deterministicShuffle(docs, "doc_id").select("pos", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "shuffle must be reproducible")
+  }
+}
