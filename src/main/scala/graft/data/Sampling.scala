@@ -55,14 +55,25 @@ object Sampling {
 
   /** Deterministic global shuffle: a total order by (keyHash, key) —
     * i.e. a reproducible pseudo-random permutation of the corpus —
-    * with a 1-based `pos`. The sort range-partitions on the hash, so
-    * the "shuffle" parallelizes like any distributed sort; `pos` via a
-    * single-partition window is exact but serial, so at extreme scale
-    * prefer the hash order itself (ORDER BY in the consumer) over
-    * materialized positions.
+    * with a dense 1-based `pos`.
+    *
+    * Positions are computed distributed, never through a
+    * single-partition window: a range-partitioned sort on the total
+    * order, then RDD `zipWithIndex` (one tiny per-partition count job
+    * + offset arithmetic — the canonical global-indexing recipe).
+    * zipWithIndex is used deliberately instead of a two-pass DataFrame
+    * count+offset join: range boundaries are re-SAMPLED per job, so
+    * two separate DataFrame actions can see different partitionings,
+    * while zipWithIndex's count and output jobs share one partitioner.
+    * The positions equal the global sort rank wherever the boundaries
+    * fall, so output is reproducible run to run.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(keyHash(col(keyCol)), col(keyCol))
-    df.withColumn("pos", row_number().over(w).cast("long"))
+    val sorted = df.orderBy(keyHash(col(keyCol)), col(keyCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
+    }
+    df.sparkSession.createDataFrame(indexed,
+      sorted.schema.add("pos", org.apache.spark.sql.types.LongType, nullable = false))
   }
 }
