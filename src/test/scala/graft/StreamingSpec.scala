@@ -144,6 +144,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map("u1" -> 2L, "u2" -> 1L))
   }
 
+  test("streaming dedup drops at-least-once duplicates within the watermark, bounded state") {
+    val ck = tmp("sdedup_ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val deduped = graft.streaming.StreamingDedup.withinWatermark(
+      input.toDF().toDF("id", "ts"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1: id 1 twice (in-batch dup) + id 2
+    input.addData((1L, t(0)), (1L, t(0)), (2L, t(1)))
+    q.processAllAvailable()
+    // batch 2: id 1 replayed within the horizon (cross-batch dup) + id 3
+    input.addData((1L, t(2)), (3L, t(3)))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("sdedup").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"duplicates leaked or rows lost: $counts")
+  }
+
   test("watermarked windowed counts aggregate the stream by event time") {
     val in = tmp("win_in"); val ck = tmp("win_ck")
     writeLog(in, "a.log", Seq(
