@@ -65,12 +65,19 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
   /** One output file per date per write by default; `filesPerDay > 1`
     * hash-buckets within the day for high-volume dates (SURVEY §5) —
     * the repartition keys on (date, bucket) so a hot date fans out
-    * over `filesPerDay` tasks instead of serializing through one.
+    * over up to `filesPerDay` tasks instead of serializing through
+    * one (hash collisions may merge some buckets; the bound is the
+    * point, not an exact file count).
     */
   private def partitionForWrite(df: DataFrame, filesPerDay: Int): DataFrame =
     if (filesPerDay <= 1) df.repartition(col("event_date"))
-    else df.repartition(col("event_date"),
-      pmod(xxhash64(col("created_at"), col("message")), lit(filesPerDay)))
+    else {
+      // explicit partition count: an AQE-coalesced keyed repartition
+      // would merge the buckets right back into one task
+      val n = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, filesPerDay)
+      df.repartition(n, col("event_date"),
+        pmod(xxhash64(col("created_at"), col("message")), lit(filesPerDay)))
+    }
 
   /** Write a parsed-log batch (schema per MonologParser.parse). */
   def write(batch: DataFrame, mode: SaveMode = SaveMode.Append, filesPerDay: Int = 1): Unit =

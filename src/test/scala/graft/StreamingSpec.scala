@@ -274,6 +274,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(mgr.activeQueries.isEmpty)
   }
 
+  test("config-loaded deployment ingests end to end") {
+    val base = tmp("cfge2e")
+    val in = base.resolve("logs"); Files.createDirectories(in)
+    val json =
+      s"""{
+         |  "sink": {"path": "${base.resolve("wh")}"},
+         |  "checkpoint_root": "${base.resolve("ck")}",
+         |  "tails": [{"name": "e2e", "repo": "api2", "path": "$in"}]
+         |}""".stripMargin
+    val cfgPath = base.resolve("graft.json")
+    Files.write(cfgPath, json.getBytes)
+    val conf = graft.logs.ConfigLoader.load(spark, cfgPath.toString)
+    val mgr = graft.logs.ConfigLoader.manager(spark, conf)
+    try {
+      assert(mgr.superviseOnce(LocalDate.of(2024, 1, 1)) == Seq("e2e"))
+      writeLog(in, "a.log", Seq(line(1, "from config"), line(2, "two")))
+      mgr.activeQueries("e2e").processAllAvailable()
+      assert(conf.defaultSink.read(spark).count() == 2)
+    } finally mgr.shutdown()
+  }
+
   test("manager supervises multiple sources and rolls daily-templated paths") {
     val base = tmp("mgr")
     val day1 = LocalDate.of(2024, 1, 1); val day2 = LocalDate.of(2024, 1, 2)
