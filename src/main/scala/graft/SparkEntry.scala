@@ -865,6 +865,38 @@ object SparkEntry {
       |WHERE stopword_ratio >= 0.05 AND punct_ratio <= 0.2 AND n_words BETWEEN 5 AND 1000
       |ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing (concat-and-chunk): documents laid end to end in
+    * the deterministic shuffle order and cut into 512-token context
+    * windows; each document maps to (global start offset, first/last
+    * chunk). The global offset is a distributed two-phase prefix sum
+    * (graft.data.Packing) — the oracle reproduces it with a window
+    * cumsum over the identical (hash, doc_id) order.
+    */
+  private def packChunks(s: SparkSession, dir: String): DataFrame =
+    graft.data.Packing.packChunks(
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", capacity = 512)
+      .select("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk")
+      .orderBy("doc_id")
+
+  private val packChunksSql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |       cum - n_tokens AS start_offset,
+      |       (cum - n_tokens) // 512 AS first_chunk,
+      |       CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+      |            ELSE (cum - n_tokens) // 512 END AS last_chunk
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Exercises the custom TopKPerKey operator (logical node + strategy
     * + bounded-heap exec, SURVEY §2): sum of the top-5 extended prices
     * per (returnflag, linestatus). The sum is tie-invariant (tied
@@ -938,6 +970,7 @@ object SparkEntry {
     "sample_hash" -> Q(sampleHash, Some(sampleHashSql)),
     "split_assign" -> Q(splitAssign, Some(splitAssignSql)),
     "corpus_shuffle" -> Q(corpusShuffle, Some(corpusShuffleSql)),
+    "pack_chunks" -> Q(packChunks, Some(packChunksSql)),
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
   )
 

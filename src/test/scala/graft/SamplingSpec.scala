@@ -38,6 +38,34 @@ class SamplingSpec extends AnyFunSuite {
     ()
   }
 
+  test("sequence packing lays token spans contiguously and chunks them correctly") {
+    val docs = Tables(spark, TestSpark.SfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = graft.data.Packing.packChunks(docs, "doc_id", "n_tokens", capacity = 100)
+      .select("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // spans are contiguous in the packing order: sorted by offset, each
+    // document starts exactly where the previous one ended
+    val byOffset = packed.sortBy(_._3)
+    byOffset.sliding(2).foreach {
+      case Array((_, n, s, _, _), (_, _, s2, _, _)) => assert(s2 == s + n, "gap or overlap in token stream")
+      case _ =>
+    }
+    // chunk indexes match the offsets
+    byOffset.foreach { case (_, n, s, first, last) =>
+      assert(first == s / 100)
+      assert(last == (if (n > 0) (s + n - 1) / 100 else s / 100))
+    }
+    // total stream length = sum of token counts
+    val total = packed.map(_._2).sum
+    val lastDoc = byOffset.last
+    assert(lastDoc._3 + lastDoc._2 == total)
+    // reproducible
+    val again = graft.data.Packing.packChunks(docs, "doc_id", "n_tokens", capacity = 100)
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    assert(packed.map(t => t._1 -> t._3).toMap == again)
+  }
+
   test("deterministic shuffle is a reproducible permutation, not id order") {
     val out = Sampling.deterministicShuffle(docs, "doc_id").select("pos", "doc_id")
       .as[(Long, Long)].collect().sortBy(_._1)
