@@ -481,8 +481,8 @@ object SparkEntry {
     */
   private def sinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val parsed = MonologParser.parse(LogLines.fromEvents(t(s, dir, "events")), access)
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_sink_roundtrip")
-    val sink = graft.sinks.MergeTreeSink(tmp.getAbsolutePath)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_sink_roundtrip")
+    val sink = graft.sinks.MergeTreeSink(tmp.toAbsolutePath.toString)
     sink.write(parsed, org.apache.spark.sql.SaveMode.Overwrite)
     sink.readRange(s, "2024-01-05", "2024-01-11")
       .groupBy(col("event_date").cast("date").as("event_date"))
