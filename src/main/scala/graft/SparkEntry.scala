@@ -774,6 +774,23 @@ object SparkEntry {
       |         (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.repetition(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private val textRepetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |             CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+      |             CAST(CASE WHEN len(toks) > 1
+      |                  THEN len(list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]))
+      |                  ELSE 0 END AS BIGINT) AS n_distinct_bigrams
+      |      FROM t)
+      |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+      |       CASE WHEN n_bigrams > 0
+      |            THEN round(1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE), 4)
+      |            ELSE 0.0 END AS rep_ratio
+      |FROM b ORDER BY doc_id""".stripMargin
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.asBinary(t(s, dir, "documents"), "doc_id", "text")
       .select(
@@ -966,6 +983,7 @@ object SparkEntry {
     "text_quality" -> Q(textQuality, Some(textQualitySql)),
     "text_lang_id" -> Q(textLangId, Some(textLangIdSql)),
     "text_fingerprint" -> Q(textFingerprint, Some(textFingerprintSql)),
+    "text_repetition" -> Q(textRepetition, Some(textRepetitionSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
     "sample_hash" -> Q(sampleHash, Some(sampleHashSql)),
     "split_assign" -> Q(splitAssign, Some(splitAssignSql)),

@@ -60,6 +60,24 @@ object TextStats {
       when(ratio >= minRatio, lit("en")).otherwise(lit("und")).as("lang_pred"))
   }
 
+  /** Within-document repetition (a Gopher-style quality rule): the
+    * fraction of word bigrams that are repeats of an earlier bigram,
+    * `1 - distinct/total`. High values flag boilerplate/spam/looped
+    * generations. Row-local like the rest of the family; documents
+    * with fewer than two tokens score 0.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = words(col(textCol))
+    val total = greatest(size(toks) - 1, lit(0))
+    val distinct = size(graft.dedup.Shingles.shingles(col(textCol), 2))
+    docs.select(
+      col(idCol),
+      total.cast("long").as("n_bigrams"),
+      distinct.cast("long").as("n_distinct_bigrams"),
+      when(total > 0, round(lit(1.0) - distinct / total.cast("double"), 4))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
   private val FingerprintMod = 1000000007L // keeps acc*31 + tokenHash < 2^63 (no ANSI overflow)
 
   /** Per-token 60-bit hash: the top 15 hex digits of standard MD5.

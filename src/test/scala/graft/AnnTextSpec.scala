@@ -97,6 +97,17 @@ class AnnTextSpec extends AnyFunSuite {
     assert(fps(1L) != fps(2L))
   }
 
+  test("repetition ratio flags repeated bigrams, zero for short or unique docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // bigrams: 3x "spam spam" -> 1 distinct of 3
+      (2L, "a b c d"),             // all bigrams unique -> 0
+      (3L, "one")                  // < 2 tokens -> 0
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L, 0.6667), (2L, 3L, 3L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
+
   test("bpe-ish token count splits punctuation runs from words") {
     val docs = Seq((1L, "hello, world!!")).toDF("doc_id", "text")
     val r = TextStats.tokenCounts(docs, "doc_id", "text").head()
