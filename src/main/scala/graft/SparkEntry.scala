@@ -284,6 +284,36 @@ object SparkEntry {
       |       round(quantile_cont(value, 0.99), 4) AS p99
       |FROM events GROUP BY 1 ORDER BY level""".stripMargin
 
+  /** Approximate percentiles per level — the sketch path mirroring the
+    * reference target's ClickHouse `quantile()` (which is itself
+    * approximate, readme.md query surface). Spark's approx_percentile
+    * (Greenwald-Khanna) returns an actual data value within 1/accuracy
+    * rank error; the precision oracle recomputes each emitted value's
+    * TRUE rank fraction from `events` and accepts it only inside a
+    * generous tolerance band — a sketch gone wrong falls outside and
+    * fails the hash compare.
+    */
+  private def approxPctl(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("level"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.95D), 1000)").as("p"))
+      .select(
+        col("level"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p95"))
+      .orderBy("level")
+
+  private val approxPctlSql =
+    """WITH n AS (SELECT event_type AS level, count(*) AS cnt FROM events GROUP BY 1),
+      |ranks AS (
+      |  SELECT g.level, g.p50, g.p95,
+      |         (SELECT count(*) FROM events e WHERE e.event_type = g.level AND e.value <= g.p50) * 1.0 / n.cnt AS f50,
+      |         (SELECT count(*) FROM events e WHERE e.event_type = g.level AND e.value <= g.p95) * 1.0 / n.cnt AS f95
+      |  FROM graft_result g JOIN n USING (level))
+      |SELECT level, p50, p95 FROM ranks
+      |WHERE f50 BETWEEN 0.45 AND 0.55 AND f95 BETWEEN 0.90 AND 1.0
+      |ORDER BY level""".stripMargin
+
   /** 7-day moving average of daily event counts per level. */
   private def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
@@ -978,6 +1008,7 @@ object SparkEntry {
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),
     "topk_custom" -> Q(topkCustom, Some(topkCustomSql)),
     "pctl_value" -> Q(pctlValue, Some(pctlValueSql)),
+    "approx_pctl" -> Q(approxPctl, Some(approxPctlSql)),
     "window_moving_avg" -> Q(windowMovingAvg, Some(windowMovingAvgSql)),
     "text_tokens" -> Q(textTokens, Some(textTokensSql)),
     "text_quality" -> Q(textQuality, Some(textQualitySql)),
