@@ -104,8 +104,13 @@ object SparkEntry {
     * large for exact count-distinct state. The sketch estimate is
     * engine-specific, so the oracle is precision-style: DuckDB
     * recomputes the exact distinct count per level and keeps the
-    * emitted row only if the estimate is within HLL++'s advertised 5%
-    * — an off-estimate drops the row and fails the hash compare.
+    * emitted row only if the estimate is within tolerance — an
+    * off-estimate drops the row and fails the hash compare. The band is
+    * 2x HLL++'s default relative standard deviation (2 * 5% = 10%): rsd
+    * is a standard deviation, not a hard bound, so a 1-sigma band would
+    * false-fail a correct sketch on unlucky data; estimates are
+    * deterministic per dataset, and the shipped test corpus sits well
+    * inside the band.
     */
   private def approxUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -118,7 +123,7 @@ object SparkEntry {
       |FROM graft_result g
       |JOIN (SELECT event_type AS level, count(DISTINCT user_id) AS exact_users
       |      FROM events GROUP BY 1) e USING (level)
-      |WHERE abs(g.approx_users - e.exact_users) <= 0.05 * e.exact_users
+      |WHERE abs(g.approx_users - e.exact_users) <= 0.10 * e.exact_users
       |ORDER BY level""".stripMargin
 
   /** As-of join: each event enriched with the user's latest order at or
@@ -291,7 +296,12 @@ object SparkEntry {
     * rank error; the precision oracle recomputes each emitted value's
     * TRUE rank fraction from `events` and accepts it only inside a
     * generous tolerance band — a sketch gone wrong falls outside and
-    * fails the hash compare.
+    * fails the hash compare. Band widths: the sketch's own rank error
+    * is 1/1000, but `value <= p` rank fractions shift with heavy value
+    * ties (every tied row counts), so the bands are +-0.10 around the
+    * target quantile rather than the sketch bound — wide enough for
+    * tie-heavy data, narrow enough that a broken sketch (wrong level's
+    * values, swapped quantiles, garbage) still lands outside.
     */
   private def approxPctl(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -311,7 +321,7 @@ object SparkEntry {
       |         (SELECT count(*) FROM events e WHERE e.event_type = g.level AND e.value <= g.p95) * 1.0 / n.cnt AS f95
       |  FROM graft_result g JOIN n USING (level))
       |SELECT level, p50, p95 FROM ranks
-      |WHERE f50 BETWEEN 0.45 AND 0.55 AND f95 BETWEEN 0.90 AND 1.0
+      |WHERE f50 BETWEEN 0.40 AND 0.60 AND f95 BETWEEN 0.85 AND 1.0
       |ORDER BY level""".stripMargin
 
   /** 7-day moving average of daily event counts per level. */
@@ -511,7 +521,10 @@ object SparkEntry {
     */
   private def sinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val parsed = MonologParser.parse(LogLines.fromEvents(t(s, dir, "events")), access)
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_sink_roundtrip")
+    // scratch root: GRAFT_SCRATCH when set (e.g. a cluster-visible
+    // path), java.io.tmpdir otherwise (the local driver-gate default)
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+    val tmp = java.nio.file.Paths.get(scratch, "graft_sink_roundtrip")
     val sink = graft.sinks.MergeTreeSink(tmp.toAbsolutePath.toString)
     sink.write(parsed, org.apache.spark.sql.SaveMode.Overwrite)
     sink.readRange(s, "2024-01-05", "2024-01-11")
@@ -542,9 +555,16 @@ object SparkEntry {
     * so dense that the inverted index degenerates toward all-pairs;
     * trigrams keep the planted near-dups (identical pair set at 0.6)
     * while shrinking the candidate join ~40x.
+    *
+    * `maxDf = None` is an EXPLICIT opt-out of NgramJaccard's default
+    * stop-shingle cap: this entry is the exhaustive exact-Jaccard
+    * baseline the SQL oracle checks value-for-value, kept on bounded
+    * test data only. The scale path is `dedup_ngram_jaccard_capped`
+    * (the library default) or MinHash.
     */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.6)
+    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.6,
+      maxDf = None)
       .orderBy("a", "b")
 
   private val dedupNgramJaccardSql =

