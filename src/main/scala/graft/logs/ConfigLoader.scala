@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-import graft.sinks.MergeTreeSink
+import graft.sinks.{ClickHouseJdbcSink, LogSink, MergeTreeSink}
 import graft.streaming.{TailManager, TailPipeline}
 
 /** Config-file-driven deployment — the reference is driven entirely by
@@ -40,6 +40,25 @@ import graft.streaming.{TailManager, TailPipeline}
   * The per-line `callback` hook is code, not config, so it has no JSON
   * form — attach it programmatically via `TailConfig.transform`.
   *
+  * A sink block is either the parquet warehouse above, or the
+  * reference's namesake direct-to-ClickHouse connection — the JSON
+  * form of the per-tail `clickhouse` param block (test.config.php
+  * `clickhouse` key, consumed at Worker.php:184-187
+  * `getClickhouseParam`):
+  *
+  * {{{
+  * "sink": {"type": "clickhouse",
+  *          "url": "jdbc:clickhouse://ch1:8123/logs",
+  *          "table": "logs.monolog",
+  *          "user": "default", "password": "",
+  *          "batch_size": 100000}
+  * }}}
+  *
+  * `type` omitted (or `"parquet"`/`"mergetree"`) selects the parquet
+  * sink; `batch_size` is the reference's `max_sent_count`. Both sink
+  * kinds sit behind [[graft.sinks.LogSink]], so a tail can override
+  * the default with either.
+  *
   * The file is read through the Hadoop FileSystem, so configs deploy
   * from HDFS/S3 alongside the data.
   */
@@ -48,12 +67,12 @@ object ConfigLoader {
   final case class TailEntry(
       cfg: TailConfig,
       inputPath: String,
-      sink: MergeTreeSink,
+      sink: LogSink,
       deadLetterPath: Option[String],
       tailFromEnd: Boolean)
 
   final case class EngineConfig(
-      defaultSink: MergeTreeSink,
+      defaultSink: LogSink,
       checkpointRoot: String,
       tails: Seq[TailEntry])
 
@@ -96,10 +115,23 @@ object ConfigLoader {
     EngineConfig(defaultSink, checkpointRoot, tails)
   }
 
-  private def sinkOf(n: JsonNode): MergeTreeSink =
-    MergeTreeSink(
-      require(n, "path").asText(),
-      ttlDays = Option(n.get("ttl_days")).map(_.asInt()).getOrElse(10))
+  private def sinkOf(n: JsonNode): LogSink =
+    Option(n.get("type")).map(_.asText()).getOrElse("parquet") match {
+      case "parquet" | "mergetree" =>
+        MergeTreeSink(
+          require(n, "path").asText(),
+          ttlDays = Option(n.get("ttl_days")).map(_.asInt()).getOrElse(10))
+      case "clickhouse" =>
+        ClickHouseJdbcSink(
+          url = require(n, "url").asText(),
+          table = require(n, "table").asText(),
+          user = Option(n.get("user")).map(_.asText()).getOrElse("default"),
+          password = Option(n.get("password")).map(_.asText()).getOrElse(""),
+          batchSize = Option(n.get("batch_size")).map(_.asInt()).getOrElse(100000),
+          numWriters = Option(n.get("num_writers")).map(_.asInt()).getOrElse(8))
+      case other =>
+        throw new IllegalArgumentException(s"unknown sink type '$other'")
+    }
 
   private def require(n: JsonNode, field: String): JsonNode =
     Option(n.get(field)).getOrElse(

@@ -2,19 +2,49 @@ package graft.sinks
 
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Direct ClickHouse writer over JDBC — the literal "2ck" of the
   * reference (Worker.php:71-80 initClickhouse, Worker.php:121
-  * `$this->db->insert`). Spark's JDBC datasource does the batched
-  * inserts the reference hand-rolls (`max_sent_count` maps to
-  * `batchsize`), parallel per partition.
+  * `$this->db->insert`; `max_sent_count` maps to [[batchSize]]).
+  *
+  * Two delivery modes:
+  *
+  *  - [[write]] — plain batch append through Spark's JDBC datasource
+  *    (parallel per partition). At-least-once: a retried task re-sends
+  *    its rows. Use for one-shot backfills where a retry is rerun
+  *    manually.
+  *  - [[writeBatch]] — the [[LogSink]] streaming path, **idempotent on
+  *    batch replay**. Every insert block carries a deterministic
+  *    `insert_deduplication_token` derived from (batchKey, partition,
+  *    chunk), so a replayed micro-batch re-sends byte-identical blocks
+  *    under the same tokens and ClickHouse drops them server-side —
+  *    the JDBC analog of MergeTreeSink's idempotent `ingest_batch=`
+  *    directories. Determinism is engineered, not assumed:
+  *      1. rows are repartitioned by a content hash with an explicit
+  *         partition count (row → partition is a pure function of the
+  *         row, never of input split order);
+  *      2. each partition is sorted by every column (row → chunk index
+  *         is then also content-deterministic);
+  *      3. chunk `c` of partition `p` inserts under token
+  *         `graft_<batchKey>_p<p>_c<c>` ([[ClickHouseJdbcSink.deduplicationToken]]).
+  *    A replay therefore regenerates the exact (token → block) mapping;
+  *    blocks whose token ClickHouse has seen are dropped, blocks the
+  *    crash lost are inserted — exactly-once per block. Requires the
+  *    server to keep a deduplication log for the target table:
+  *    Replicated*MergeTree has one by default; plain MergeTree needs
+  *    `non_replicated_deduplication_window > 0` (documented, not
+  *    assumed — SURVEY §5).
   *
   * The zero-egress build container carries no ClickHouse server or
-  * JDBC driver, so this class is compile-checked but exercised only via
-  * [[MergeTreeSink]], the storage-semantics stand-in; on a real cluster
-  * point `url` at `jdbc:clickhouse://host:8123/logs` with the official
-  * driver on the classpath and the reference's table DDL
+  * JDBC driver, so both write paths are compile-checked only and
+  * exercised via [[MergeTreeSink]], the storage-semantics stand-in;
+  * token derivation, block determinism, and the INSERT construction
+  * are unit-tested without a server (SinkAndPlanSpec). On a real
+  * cluster point `url` at `jdbc:clickhouse://host:8123/logs` with the
+  * official driver on the classpath and the reference's table DDL
   * (readme.md:108-124) applied.
   */
 final case class ClickHouseJdbcSink(
@@ -22,7 +52,8 @@ final case class ClickHouseJdbcSink(
     table: String,
     user: String = "default",
     password: String = "",
-    batchSize: Int = 100000) {
+    batchSize: Int = 100000,
+    numWriters: Int = 8) extends LogSink {
 
   private def props: Properties = {
     val p = new Properties()
@@ -34,6 +65,82 @@ final case class ClickHouseJdbcSink(
     p
   }
 
+  /** Plain batch append (at-least-once). */
   def write(batch: DataFrame): Unit =
     batch.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Idempotent streaming micro-batch write — see class doc for the
+    * exactly-once construction.
+    */
+  override def writeBatch(batch: DataFrame, batchKey: String): Unit = {
+    val routed = ClickHouseJdbcSink.routeDeterministic(batch, numWriters)
+    val sql = ClickHouseJdbcSink.insertSql(table, batch.schema)
+    val (u, usr, pwd, chunkRows) = (url, user, password, batchSize)
+    routed.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conn = java.sql.DriverManager.getConnection(u, usr, pwd)
+        try {
+          val stmt = conn.prepareStatement(sql)
+          var chunk = 0L
+          rows.grouped(chunkRows).foreach { block =>
+            // one token per insert block: the session setting applies
+            // to the next INSERT on this connection
+            val set = conn.createStatement()
+            try set.execute(
+              s"SET insert_deduplication_token = '${ClickHouseJdbcSink.deduplicationToken(batchKey, pid, chunk)}'")
+            finally set.close()
+            block.foreach { row =>
+              var i = 0
+              while (i < row.length) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+              stmt.addBatch()
+            }
+            stmt.executeBatch()
+            chunk += 1L
+          }
+          stmt.close()
+        } finally conn.close()
+      }
+    }
+  }
+}
+
+object ClickHouseJdbcSink {
+
+  /** Deterministic (row → partition → within-partition position)
+    * layout: repartition by a content hash with an EXPLICIT partition
+    * count (AQE must not coalesce — partition ids are part of the
+    * dedup token), then sort each partition by every column. Two
+    * evaluations of the same logical batch — the original attempt and
+    * its replay — produce identical per-partition row sequences, which
+    * is what makes chunk-level tokens exact.
+    */
+  def routeDeterministic(batch: DataFrame, numWriters: Int): DataFrame = {
+    val cols = batch.columns.toSeq.map(col)
+    batch
+      .repartition(numWriters, pmod(xxhash64(cols: _*), lit(numWriters)))
+      .sortWithinPartitions(cols: _*)
+  }
+
+  /** Deterministic per-insert-block deduplication token. Must be (a) a
+    * pure function of its inputs — replays regenerate it bit-identically
+    * — and (b) collision-free across blocks: batchKey is unique per
+    * micro-batch (TailPipeline contract), and (partition, chunk)
+    * uniquely address a block within the batch. Kept to `[A-Za-z0-9_-]`
+    * so it embeds safely in the SET statement.
+    */
+  def deduplicationToken(batchKey: String, partitionId: Int, chunk: Long): String = {
+    require(batchKey.matches("[A-Za-z0-9_-]+"), s"unsafe batch key: $batchKey")
+    s"graft_${batchKey}_p${partitionId}_c$chunk"
+  }
+
+  /** `INSERT INTO t (c1, c2, ...) VALUES (?, ?, ...)` for the batch
+    * schema — explicit column list so the write survives server-side
+    * columns the batch doesn't carry (DEFAULT/MATERIALIZED).
+    */
+  def insertSql(table: String, schema: StructType): String = {
+    val names = schema.fields.map(f => s"`${f.name}`").mkString(", ")
+    val marks = schema.fields.map(_ => "?").mkString(", ")
+    s"INSERT INTO $table ($names) VALUES ($marks)"
+  }
 }

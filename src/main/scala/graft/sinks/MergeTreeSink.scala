@@ -48,7 +48,7 @@ import org.apache.spark.sql.functions._
   * Hadoop `FileSystem` API resolved from the sink path, so they run
   * unchanged against HDFS/S3/local — no `java.io.File` anywhere.
   */
-final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
+final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink {
 
   /** Reserved ingest_batch key that [[compact]] rewrites streaming-
     * layout data into. Collision-safe because every streaming batch key
@@ -101,7 +101,10 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) {
     * whose per-day checkpoints restart batch ids at 0 — two different
     * days' batch 0 must not share a directory).
     */
-  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int = 1): Unit =
+  override def writeBatch(batch: DataFrame, batchKey: String): Unit =
+    writeBatch(batch, batchKey, filesPerDay = 1)
+
+  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int): Unit =
     partitionForWrite(withDate(batch), filesPerDay)
       .sortWithinPartitions("created_at", "repo", "host")
       .write

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.logs.{MonologParser, TailConfig}
-import graft.sinks.MergeTreeSink
+import graft.sinks.LogSink
 import graft.sources.DatePath
 
 /** One streaming ingest pipeline per log source — the Spark-native
@@ -44,7 +44,7 @@ final case class TailPipeline(
     cfg: TailConfig,
     inputPath: String, // may contain the {date} macro
     checkpointDir: String,
-    sink: MergeTreeSink,
+    sink: LogSink,
     deadLetterPath: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
     triggerInterval: String = "1 second",

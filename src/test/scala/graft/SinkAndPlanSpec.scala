@@ -299,6 +299,50 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(viaHof == viaDot)
   }
 
+  test("ClickHouse JDBC dedup tokens are replay-stable, block-unique, and SET-safe") {
+    import graft.sinks.ClickHouseJdbcSink
+    // pure function of (batchKey, partition, chunk): replays regenerate it
+    assert(ClickHouseJdbcSink.deduplicationToken("access_7", 3, 2L) ==
+      ClickHouseJdbcSink.deduplicationToken("access_7", 3, 2L))
+    assert(ClickHouseJdbcSink.deduplicationToken("access_7", 3, 2L) == "graft_access_7_p3_c2")
+    // unique across blocks: any coordinate change changes the token
+    val base = ClickHouseJdbcSink.deduplicationToken("access_7", 3, 2L)
+    assert(ClickHouseJdbcSink.deduplicationToken("access_8", 3, 2L) != base)
+    assert(ClickHouseJdbcSink.deduplicationToken("access_7", 4, 2L) != base)
+    assert(ClickHouseJdbcSink.deduplicationToken("access_7", 3, 3L) != base)
+    // daily-rotated batch keys (with the day infix) are accepted
+    assert(ClickHouseJdbcSink.deduplicationToken("access_2024-01-01_0", 0, 0L)
+      .matches("[A-Za-z0-9_-]+"))
+    // a key that could escape the SET statement is rejected outright
+    intercept[IllegalArgumentException] {
+      ClickHouseJdbcSink.deduplicationToken("x'; DROP TABLE logs", 0, 0L)
+    }
+    ()
+  }
+
+  test("ClickHouse JDBC insert uses an explicit column list matching the batch schema") {
+    val schema = parsedEvents.schema
+    val sql = graft.sinks.ClickHouseJdbcSink.insertSql("logs.monolog", schema)
+    assert(sql.startsWith("INSERT INTO logs.monolog (`created_at`"))
+    assert(sql.count(_ == '?') == schema.fields.length)
+    assert(schema.fields.forall(f => sql.contains(s"`${f.name}`")))
+  }
+
+  test("ClickHouse JDBC routing is content-deterministic across evaluations") {
+    // the exactly-once construction rests on a replay producing the
+    // identical (partition, position) for every row: evaluate the
+    // routing twice (separate jobs, like an attempt and its retry) and
+    // compare the full layout
+    val batch = parsedEvents.limit(500)
+    def layout() = graft.sinks.ClickHouseJdbcSink.routeDeterministic(batch, 4)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"), col("message"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val a = layout()
+    val b = layout()
+    assert(a == b, "replayed routing diverged — chunk tokens would mislabel blocks")
+    assert(a.map(_._1).distinct.size > 1, "expected fan-out across writer partitions")
+  }
+
   test("no shipped query plans an all-pairs join (blanket BNLJ/cartesian guard)") {
     // The brief bans O(n²) pair plans at 100 TB; this guards every
     // registry entry, present and future, not just the dedup family.

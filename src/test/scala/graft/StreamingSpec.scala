@@ -252,23 +252,35 @@ class StreamingSpec extends AnyFunSuite {
          |     "dead_letter": "${base.resolve("dl")}",
          |     "sink": {"path": "${base.resolve("access_wh")}", "ttl_days": 3}},
          |    {"name": "raw_tail", "repo": "api2", "path": "${base.resolve("raw.log")}",
-         |     "pattern": false}
+         |     "pattern": false},
+         |    {"name": "to_ch", "repo": "api2", "path": "${base.resolve("ch.log")}",
+         |     "sink": {"type": "clickhouse", "url": "jdbc:clickhouse://ch1:8123/logs",
+         |              "table": "logs.monolog", "user": "ingest", "password": "pw",
+         |              "batch_size": 5000}}
          |  ]
          |}""".stripMargin
     val cfgPath = base.resolve("graft.json")
     Files.write(cfgPath, json.getBytes)
     val conf = graft.logs.ConfigLoader.load(spark, cfgPath.toString)
-    assert(conf.defaultSink.path == base.resolve("wh").toString && conf.defaultSink.ttlDays == 7)
-    assert(conf.tails.map(_.cfg.name) == Seq("access", "raw_tail"))
+    val defaultSink = conf.defaultSink.asInstanceOf[MergeTreeSink]
+    assert(defaultSink.path == base.resolve("wh").toString && defaultSink.ttlDays == 7)
+    assert(conf.tails.map(_.cfg.name) == Seq("access", "raw_tail", "to_ch"))
     val access = conf.tails.head
     assert(access.cfg.host == "web1" && access.tailFromEnd)
-    assert(access.sink.path == base.resolve("access_wh").toString && access.sink.ttlDays == 3)
+    val accessSink = access.sink.asInstanceOf[MergeTreeSink]
+    assert(accessSink.path == base.resolve("access_wh").toString && accessSink.ttlDays == 3)
     assert(access.inputPath.endsWith("access-{date}.log") &&
       graft.sources.DatePath.isDaily(access.inputPath))
     assert(access.cfg.pattern.isInstanceOf[graft.logs.PatternMode.Custom])
     val raw = conf.tails(1)
     assert(raw.cfg.pattern == graft.logs.PatternMode.Raw, "pattern:false must mean raw mode")
-    assert(raw.sink.path == conf.defaultSink.path, "tail without override uses the default sink")
+    assert(raw.sink == conf.defaultSink, "tail without override uses the default sink")
+    // the reference's namesake per-tail override: a direct ClickHouse
+    // connection block (test.config.php 'clickhouse' key) in JSON form
+    val ch = conf.tails(2).sink.asInstanceOf[graft.sinks.ClickHouseJdbcSink]
+    assert(ch.url == "jdbc:clickhouse://ch1:8123/logs")
+    assert(ch.table == "logs.monolog" && ch.user == "ingest" && ch.password == "pw")
+    assert(ch.batchSize == 5000, "batch_size must map to the reference's max_sent_count")
     // the loaded config builds a runnable manager
     val mgr = graft.logs.ConfigLoader.manager(spark, conf)
     assert(mgr.activeQueries.isEmpty)
@@ -291,7 +303,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(mgr.superviseOnce(LocalDate.of(2024, 1, 1)) == Seq("e2e"))
       writeLog(in, "a.log", Seq(line(1, "from config"), line(2, "two")))
       mgr.activeQueries("e2e").processAllAvailable()
-      assert(conf.defaultSink.read(spark).count() == 2)
+      assert(conf.defaultSink.asInstanceOf[MergeTreeSink].read(spark).count() == 2)
     } finally mgr.shutdown()
   }
 
