@@ -4,6 +4,43 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Precision-style oracles read `graft_result` — the query's OWN
+    * dump — and only filter/recompute over its rows, so a regression
+    * that emits ZERO rows would leave both sides empty and the hash
+    * compare vacuously green. Guard: delete any empty precision dump
+    * whose referenced base tables are non-empty, so the driver's
+    * compare records an error instead of a silent pass. (A genuine
+    * all-clean corpus would be empty-on-empty-candidates too, but
+    * every shipped precision query plants positives in the generated
+    * test data — calibrated like the sketch tolerance bands.)
+    * Returns the failed query names.
+    */
+  def failEmptyPrecisionDumps(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      if (("\\bgraft_result\\b").r.findFirstIn(sql).isEmpty) None
+      else {
+        val dumped =
+          try spark.read.parquet(s"$outAbs/$name").count()
+          catch { case _: Throwable => -1L } // absent dump: already an error downstream
+        val baseNonEmpty = Tables.all
+          .filter(t => ("\\b" + t + "\\b").r.findFirstIn(sql).isDefined)
+          .exists { t =>
+            try spark.read.parquet(s"$sfDir/$t.parquet").head(1).nonEmpty
+            catch { case _: Throwable => false }
+          }
+        if (dumped == 0 && baseNonEmpty) {
+          System.err.println(
+            s"[verify] $name: precision-oracle dump is empty on non-empty inputs — deleting it so the compare fails")
+          val p = new org.apache.hadoop.fs.Path(s"$outAbs/$name")
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          Some(name)
+        } else None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,6 +63,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    failEmptyPrecisionDumps(spark, sfDir, outDir)
     // Make each oracle self-contained: prepend CTEs binding every
     // referenced table name to its parquet file, so the SQL runs in any
     // DuckDB session regardless of which views the driver registered

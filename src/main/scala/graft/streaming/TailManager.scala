@@ -57,9 +57,42 @@ final class TailManager(pipelines: Seq[TailPipeline]) {
     * reference's SIGTERM/SIGINT handlers (ToolsTraits.php:48-54,
     * installed from Worker.php:84): a `kill` on the driver drains and
     * flushes every source instead of dropping the in-flight batch.
+    *
+    * Registered through Hadoop's ShutdownHookManager (which Spark
+    * itself uses), NOT `scala.sys.addShutdownHook`: plain JVM hooks
+    * run concurrently with Spark's teardown, so the drain could race
+    * SparkContext.stop and lose the in-flight batch anyway. Hadoop
+    * runs hooks in descending priority order and Spark's entire hook
+    * set (context stop included) runs inside one Hadoop-registered
+    * hook at priority `FileSystem.SHUTDOWN_HOOK_PRIORITY + 30` = 40,
+    * so [[TailManager.ShutdownPriority]] = 60 guarantees the drain
+    * completes before the context starts tearing down.
+    *
     * Returns the hook so callers can `remove()` it after an orderly
     * stop (StreamingSpec runs the hook body directly).
     */
-  def registerShutdownHook(): scala.sys.ShutdownHookThread =
-    scala.sys.addShutdownHook(shutdown())
+  def registerShutdownHook(): TailManager.ShutdownHook = {
+    val hook = new TailManager.ShutdownHook(() => shutdown())
+    org.apache.hadoop.util.ShutdownHookManager.get()
+      .addShutdownHook(hook, TailManager.ShutdownPriority)
+    hook
+  }
+}
+
+object TailManager {
+
+  /** Above Spark's single Hadoop-registered hook (priority 40) so the
+    * drain strictly precedes context teardown on SIGTERM.
+    */
+  val ShutdownPriority = 60
+
+  /** Handle for a registered drain hook: `run()` is what the JVM
+    * executes on termination, `remove()` deregisters it after an
+    * orderly stop.
+    */
+  final class ShutdownHook(body: () => Unit) extends Runnable {
+    override def run(): Unit = body()
+    def remove(): Boolean =
+      org.apache.hadoop.util.ShutdownHookManager.get().removeShutdownHook(this)
+  }
 }

@@ -90,9 +90,14 @@ final case class TailPipeline(
     else {
       val dir = new Path(resolvedInput(asOf))
       val dfs = dir.getFileSystem(conf)
+      // getRawPath (URI-ENCODED form, space → %20), not getPath: the
+      // stream-side comparand is input_file_name(), which is a URI
+      // string and keeps its percent-escapes after scheme stripping —
+      // a decoded listing would never match an escaped file name and
+      // its history would leak into the stream.
       val names =
         if (dfs.exists(dir))
-          dfs.listStatus(dir).filter(_.isFile).map(_.getPath.toUri.getPath).toSeq
+          dfs.listStatus(dir).filter(_.isFile).map(_.getPath.toUri.getRawPath).toSeq
         else Seq.empty
       fs.mkdirs(base)
       val out = fs.create(snap, true)
@@ -112,7 +117,10 @@ final case class TailPipeline(
       else {
         import org.apache.spark.sql.functions.{input_file_name, regexp_replace, not}
         // input_file_name is a URI (file:///..., hdfs://host/...);
-        // strip scheme+authority to compare against the listing paths
+        // strip scheme+authority to compare against the listing paths.
+        // Both sides stay in the URI-encoded representation (the
+        // listing snapshots getRawPath), so escaped characters in file
+        // names match instead of silently leaking history.
         val filePath = regexp_replace(input_file_name(), "^[a-z][a-z0-9+.-]*://[^/]*", "")
         lines0.where(not(filePath.isin(excluded: _*)))
       }

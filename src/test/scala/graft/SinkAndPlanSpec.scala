@@ -355,6 +355,20 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"all-pairs join shipped in: $offenders")
   }
 
+  test("verify guard deletes empty precision-oracle dumps so the compare fails, keeps non-empty ones") {
+    val out = Files.createTempDirectory("verify_guard").toFile
+    // dedup_minhash's oracle reads graft_result over the non-empty
+    // documents table: an empty dump is the vacuous-green regression
+    // the guard exists for (ADVICE r4) and must be flagged + deleted
+    Seq.empty[(Long, Long)].toDF("a", "b").write.parquet(s"$out/dedup_minhash")
+    // a non-empty precision dump must survive untouched
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$out/ann_lsh")
+    val failed = Verify.failEmptyPrecisionDumps(spark, TestSpark.SfDirSmall, out.getAbsolutePath)
+    assert(failed == Seq("dedup_minhash"), s"guard flagged: $failed")
+    assert(!new java.io.File(out, "dedup_minhash").exists(), "empty dump not deleted")
+    assert(new java.io.File(out, "ann_lsh").exists(), "non-empty dump must survive")
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString

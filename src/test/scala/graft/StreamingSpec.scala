@@ -194,8 +194,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("tail-from-end skips pre-existing files on a fresh checkpoint, keeps them skipped on restart") {
     val in = tmp("tfe_in"); val ck = tmp("tfe_ck").resolve("inner"); val out = tmp("tfe_out")
-    // historical file present BEFORE the source is first started
+    // historical files present BEFORE the source is first started —
+    // one with a URI-escaping name (space → %20 in input_file_name):
+    // the exclusion must compare both sides in the encoded form or
+    // this file's history leaks into the stream
     writeLog(in, "history.log", Seq(line(1, "old1"), line(2, "old2")))
+    writeLog(in, "old history.log", Seq(line(9, "old3")))
     val sink = MergeTreeSink(out.toString)
     val pipe = TailPipeline(spark, cfg.copy(name = "tfe"), in.toString, ck.toString, sink,
       tailFromEnd = true)
