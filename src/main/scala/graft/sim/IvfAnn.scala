@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  private type Centroids = Array[(Int, Array[Double])]
+  /** Trained centroid handle: [[train]] once, probe many times with
+    * [[topKWith]] — the production shape. The self-contained [[topK]]
+    * retrains per call, which is correct but pays the Lloyd's passes
+    * every time; anything serving more than one query batch should
+    * hold one of these instead.
+    */
+  final case class Centroids(cells: Array[(Int, Array[Double])])
 
   /** Literal array of (cid, cvec, cn) structs. */
   private def inlineCentroids(cs: Centroids): Column =
-    array(cs.map { case (cid, v) =>
+    array(cs.cells.map { case (cid, v) =>
       var n = 0.0
       v.foreach(x => n += x * x)
       struct(lit(cid).as("cid"),
@@ -61,8 +67,9 @@ object IvfAnn {
     * AnnTextSpec.
     */
   def train(corpus: DataFrame, numCells: Int, iters: Int = 3): Centroids = {
-    var centroids: Centroids = corpus.orderBy("id").limit(numCells).select("vec").collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    var centroids: Centroids = Centroids(
+      corpus.orderBy("id").limit(numCells).select("vec").collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) })
     var it = 0
     while (it < iters) {
       val means = corpus
@@ -71,7 +78,7 @@ object IvfAnn {
         .agg(avg(col("col")).as("m"))
         .collect()
       val byCell = means.groupBy(_.getAs[Int]("cell"))
-      centroids = centroids.map { case (cid, old) =>
+      centroids = Centroids(centroids.cells.map { case (cid, old) =>
         byCell.get(cid) match {
           case Some(rows) =>
             val v = new Array[Double](old.length)
@@ -79,20 +86,34 @@ object IvfAnn {
             (cid, v)
           case None => (cid, old) // empty cell keeps its centroid
         }
-      }
+      })
       it += 1
     }
     centroids
   }
 
+  /** Self-contained train-and-probe (trains centroids per call — fine
+    * for one-shot queries; batch consumers should [[train]] once and
+    * call [[topKWith]]).
+    */
   def topK(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame,  // (id, vec)
       k: Int,
       numCells: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val centroids = train(corpus, numCells, iters)
+      iters: Int = 3): DataFrame =
+    topKWith(queries, corpus, train(corpus, numCells, iters), k, nProbe)
+
+  /** Probe a pre-trained centroid set: top-k cosine neighbors per
+    * query, touching only the `nProbe` nearest cells.
+    */
+  def topKWith(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      centroids: Centroids,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
     val cells = corpus.select(col("id"), col("vec"), nearestCell(col("vec"), centroids).as("cell"))
 
     // per-query top-nProbe cells: explode the literal centroid array

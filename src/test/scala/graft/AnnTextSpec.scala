@@ -50,6 +50,25 @@ class AnnTextSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("one trained IVF centroid set serves multiple query batches (train/probe split)") {
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val batch1 = emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val batch2 = emb.where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    // train ONCE, probe twice — the production shape; each batch must
+    // match what a per-batch retrain (same deterministic seed + iters)
+    // would produce
+    val centroids = graft.sim.IvfAnn.train(corpus, numCells = 16, iters = 3)
+    def viaHandle(q: org.apache.spark.sql.DataFrame) =
+      graft.sim.IvfAnn.topKWith(q, corpus, centroids, 5, nProbe = 8)
+        .select("q", "neighbor").as[(Long, Long)].collect().toSet
+    def viaRetrain(q: org.apache.spark.sql.DataFrame) =
+      graft.sim.IvfAnn.topK(q, corpus, 5, numCells = 16, nProbe = 8)
+        .select("q", "neighbor").as[(Long, Long)].collect().toSet
+    assert(viaHandle(batch1) == viaRetrain(batch1))
+    assert(viaHandle(batch2) == viaRetrain(batch2))
+  }
+
   test("trained IVF centroids beat seed sampling on clustered embeddings") {
     // Synthetic clustered set — the regime where first-N seed sampling
     // fails (one cell swallows a whole cluster): 8 tight clusters whose
