@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -22,16 +22,23 @@ import org.apache.spark.sql.types.DoubleType
   * in two phases: a partial pass before the shuffle caps every
   * partition's contribution at k rows per key (a map-side combine for
   * top-k), then the exchange moves at most k·partitions rows per key,
-  * and the final pass merges. Memory is O(keys·k) regardless of group
-  * size — the property the window route lacks at 100 TB.
+  * and the final pass merges. Operator memory is O(maxPartialKeys·k)
+  * rows in the partial phase and O(k) in the global merge regardless
+  * of group size or key cardinality — the property the window route
+  * lacks at 100 TB.
   *
   * The partial phase additionally bounds its key map at
   * `maxPartialKeys`: once that many keys are tracked in a partition,
   * rows of unseen keys pass through uncombined (the same graceful
   * degradation hash-aggregate uses when its map fills) — extreme key
   * cardinality costs shuffle volume, never executor memory. The
-  * global phase's map is the result itself (keys·k rows co-located by
-  * the exchange), so it has no cap to apply.
+  * global phase demands key-SORTED input (`requiredChildOrdering`),
+  * so EnsureRequirements plants a Sort after the exchange and the
+  * merge streams one consecutive key group at a time through a single
+  * reused k-heap: O(k) live rows regardless of how many keys land in
+  * the partition. Memory pressure at extreme cardinality lands on the
+  * planted Sort, which spills through Spark's external sorter — the
+  * operator itself never holds more than one group's top-k.
   *
   * Tier (c) of the brief's preference order, used where it genuinely
   * wins; registered via [[graft.GraftExtensions]] or
@@ -75,52 +82,110 @@ final case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (global) ClusteredDistribution(keyExprs) :: Nil else UnspecifiedDistribution :: Nil
 
+  /** The global phase additionally demands key-sorted input, so its
+    * merge can stream one consecutive key group at a time with a
+    * single reused k-heap. The planted Sort is Spark's external
+    * (spilling) sorter — that is where unbounded key cardinality goes,
+    * instead of an unbounded per-key hash map here.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (global) Seq(keyExprs.map(SortOrder(_, Ascending))) else Seq(Nil)
+
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
+
+  private def scoreOf(bound: Expression, row: InternalRow): Double =
+    bound.eval(row) match {
+      case null => Double.NegativeInfinity
+      case d: java.lang.Double => d.doubleValue()
+      case other => other.asInstanceOf[Double]
+    }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprsLocal = keyExprs
     val scoreLocal = BindReferences.bindReference(scoreExpr, child.output)
     val childOutput = child.output
     val capLocal = maxPartialKeys
-    val globalLocal = global
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprsLocal, childOutput)
-      // min-heap on score: the head is the weakest of the current top-k
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
-      implicit val ord: Ordering[(Double, UnsafeRow)] =
-        Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
-      // Lazily drains the input, emitting pass-through rows as they
-      // occur (partial phase over the key cap only); heap contents
-      // follow once the input is exhausted. The global phase never
-      // passes through — its key set is the co-located result.
-      val passedThrough = iter.flatMap { row =>
-        val score = scoreLocal.eval(row) match {
-          case null => Double.NegativeInfinity
-          case d: java.lang.Double => d.doubleValue()
-          case other => other.asInstanceOf[Double]
-        }
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case None if !globalLocal && heaps.size >= capLocal =>
-            Some(row: InternalRow) // unseen key over the cap: uncombined
-          case maybe =>
-            val heap = maybe.getOrElse {
-              val h = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
-              heaps(key.copy()) = h
-              h
+    if (global) {
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprsLocal, childOutput)
+        // min-heap on score: the head is the weakest of the current top-k
+        implicit val ord: Ordering[(Double, UnsafeRow)] =
+          Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
+        val heap = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
+        def push(row: InternalRow, s: Double): Unit =
+          if (heap.size < k) {
+            heap.enqueue((s, row.copy().asInstanceOf[UnsafeRow]))
+          } else if (heap.head._1 < s) {
+            heap.dequeue()
+            heap.enqueue((s, row.copy().asInstanceOf[UnsafeRow]))
+          }
+        new Iterator[InternalRow] {
+          // first row of the not-yet-consumed group (copied: the
+          // source iterator reuses its row buffer)
+          private var pending: InternalRow = if (iter.hasNext) iter.next().copy() else null
+          private var pendingKey: UnsafeRow =
+            if (pending != null) keyProj(pending).copy() else null
+          private var emit: Iterator[InternalRow] = Iterator.empty
+
+          private def advanceGroup(): Unit = {
+            heap.clear()
+            val groupKey = pendingKey
+            push(pending, scoreOf(scoreLocal, pending))
+            pending = null; pendingKey = null
+            var done = false
+            while (!done && iter.hasNext) {
+              val r = iter.next()
+              val rk = keyProj(r) // reused buffer: compare, copy only on group change
+              if (rk == groupKey) push(r, scoreOf(scoreLocal, r))
+              else { pending = r.copy(); pendingKey = rk.copy(); done = true }
             }
-            if (heap.size < k) {
-              heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
-            } else if (heap.head._1 < score) {
-              heap.dequeue()
-              heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
-            }
-            None
+            emit = heap.toList.map(_._2: InternalRow).iterator
+          }
+
+          override def hasNext: Boolean = {
+            if (!emit.hasNext && pending != null) advanceGroup()
+            emit.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty partition")
+            emit.next()
+          }
         }
-      }
-      passedThrough ++ heaps.valuesIterator.flatMap(_.iterator.map(_._2: InternalRow))
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprsLocal, childOutput)
+        val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
+        implicit val ord: Ordering[(Double, UnsafeRow)] =
+          Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
+        // Lazily drains the input, emitting pass-through rows as they
+        // occur (unseen keys over the cap, uncombined); heap contents
+        // follow once the input is exhausted.
+        val passedThrough = iter.flatMap { row =>
+          val score = scoreOf(scoreLocal, row)
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case None if heaps.size >= capLocal =>
+              Some(row: InternalRow) // unseen key over the cap: uncombined
+            case maybe =>
+              val heap = maybe.getOrElse {
+                val h = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
+                heaps(key.copy()) = h
+                h
+              }
+              if (heap.size < k) {
+                heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+              } else if (heap.head._1 < score) {
+                heap.dequeue()
+                heap.enqueue((score, row.copy().asInstanceOf[UnsafeRow]))
+              }
+              None
+          }
+        }
+        passedThrough ++ heaps.valuesIterator.flatMap(_.iterator.map(_._2: InternalRow))
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =

@@ -227,6 +227,25 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("TopKPerKey global phase streams key-sorted groups: O(k) merge at high cardinality") {
+    import org.apache.spark.sql.expressions.Window
+    // key cardinality (~thousands of orderkeys) far past the partial
+    // cap of 10: nearly everything reaches the global phase uncombined,
+    // which must still merge with a single reused k-heap over SORTED
+    // input — the plan proves the Sort is planted, the window route
+    // proves the answer
+    val li = Tables(spark, TestSpark.SfDirSmall, "lineitem").select("l_orderkey", "l_extendedprice")
+    val custom = graft.plans.TopK.perKey(li, Seq("l_orderkey"), "l_extendedprice", 2,
+      maxPartialKeys = 10)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort "), s"global phase must demand key-sorted (spillable) input:\n$plan")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_orderkey", "l_extendedprice").collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
+    val viaWindow = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 2).drop("rn")
+    assert(canon(custom) == canon(viaWindow))
+  }
+
   test("bucketed range join matches the naive interval join, as an equi join") {
     val ev = Tables(spark, TestSpark.SfDir, "events").select("event_id", "value")
     val iv = Seq((0.0, 7.5, "lo"), (7.5, 30.0, "mid"), (30.0, 1000.0, "hi"))
