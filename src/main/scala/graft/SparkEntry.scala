@@ -854,6 +854,38 @@ object SparkEntry {
       |       substring(hex(encode(text)), 1, 8) AS magic
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real narrow decode (SURVEY §2 row 27a): synthesized valid PNG /
+    * JPEG headers round-trip through the byte-walking parser. The
+    * oracle is precision-style with teeth: every emitted field is
+    * re-derived in DuckDB from the emitted payload's hex with the same
+    * byte math (PNG: fixed IHDR offsets; JPEG: the emitted SOF offset
+    * must actually hold an FFC0-FFC3 marker and the dims must sit at
+    * its +5/+7), and any wrong field drops the row → hash mismatch.
+    */
+  private def multimodalHeaders(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.mm.Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id")
+    graft.mm.Multimodal.decodeHeaders(media, "doc_id", withPayloadHex = true)
+      .orderBy("doc_id")
+  }
+
+  private val multimodalHeadersSql =
+    """SELECT doc_id, kind, w, h, hdr_off, payload_hex
+      |FROM graft_result
+      |WHERE doc_id IN (SELECT doc_id FROM documents)
+      |  AND ((kind = 'png'
+      |        AND substring(payload_hex, 1, 16) = '89504E470D0A1A0A'
+      |        AND substring(payload_hex, 25, 8) = '49484452'
+      |        AND hdr_off = 16
+      |        AND w = CAST('0x' || substring(payload_hex, 33, 8) AS BIGINT)
+      |        AND h = CAST('0x' || substring(payload_hex, 41, 8) AS BIGINT))
+      |    OR (kind = 'jpeg'
+      |        AND substring(payload_hex, 1, 4) = 'FFD8'
+      |        AND substring(payload_hex, CAST(hdr_off * 2 + 1 AS INT), 2) = 'FF'
+      |        AND substring(payload_hex, CAST(hdr_off * 2 + 3 AS INT), 2) IN ('C0', 'C1', 'C2', 'C3')
+      |        AND h = CAST('0x' || substring(payload_hex, CAST(hdr_off * 2 + 11 AS INT), 4) AS BIGINT)
+      |        AND w = CAST('0x' || substring(payload_hex, CAST(hdr_off * 2 + 15 AS INT), 4) AS BIGINT)))
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Training-data utilities: sampling / splitting / shuffling / filter //
   // (SURVEY §2.B 32-35). All keyed on the MD5-derived cross-engine     //
@@ -1036,6 +1068,7 @@ object SparkEntry {
     "text_fingerprint" -> Q(textFingerprint, Some(textFingerprintSql)),
     "text_repetition" -> Q(textRepetition, Some(textRepetitionSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
+    "multimodal_headers" -> Q(multimodalHeaders, Some(multimodalHeadersSql)),
     "sample_hash" -> Q(sampleHash, Some(sampleHashSql)),
     "split_assign" -> Q(splitAssign, Some(splitAssignSql)),
     "corpus_shuffle" -> Q(corpusShuffle, Some(corpusShuffleSql)),

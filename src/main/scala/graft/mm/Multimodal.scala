@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,6 +40,116 @@ object Multimodal {
     * exact call shape a vectorized decode (e.g. Pandas-UDF-style) slots
     * into.
     */
+  // ------------------------------------------------------------------ //
+  // Real narrow decode: PNG IHDR / JPEG SOF0 header fields.             //
+  // No codec library involved — container-format headers are plain      //
+  // big-endian byte layouts, so width/height/depth are parseable with   //
+  // pure byte ops. This replaces the stub for the metadata slice of     //
+  // decode; pixel decode stays behind the stub plug point.              //
+  // ------------------------------------------------------------------ //
+
+  /** Synthesize a valid media header per document — PNG for even ids,
+    * JPEG for odd — with dimensions derived from the id. Built from
+    * Spark expressions (unhex/concat) so synthesis itself is a
+    * codegen'd row-local map. The JPEG variant carries a COM segment
+    * of id-varying length before SOF0, so decoding it requires a real
+    * marker walk, not a fixed offset.
+    */
+  def synthesizeMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def be(v: Column, nBytes: Int): Column = unhex(lpad(hex(v), nBytes * 2, "0"))
+    val w = id % 1024 + 1
+    val h = (id * 7) % 1024 + 1
+    // PNG: signature + IHDR(len=13) + w(4) + h(4) + depth(1) +
+    // colorType(1) + comp/filter/interlace(3) + CRC(4; zeroed — the
+    // header parse doesn't checksum)
+    val colorType = element_at(array(lit("00"), lit("02"), lit("06")), (id % 3 + 1).cast("int"))
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be(w, 4), be(h, 4),
+      unhex(lit("08")), unhex(colorType), unhex(lit("000000")), unhex(lit("00000000")))
+    // JPEG: SOI + 16-byte JFIF APP0 + COM with (id%8)+1 padding bytes
+    // + SOF0 (8-bit precision, 3 components)
+    val jw = id % 500 + 16
+    val jh = (id * 3) % 500 + 16
+    val pad = (id % 8 + 1).cast("int")
+    val jpeg = concat(
+      unhex(lit("FFD8")),
+      unhex(lit("FFE00010" + "4A46494600" + "0101" + "00" + "0048" + "0048" + "0000")),
+      unhex(lit("FFFE")), be(pad + 2, 2), unhex(lit("41" * 8).substr(lit(1), pad * 2)),
+      unhex(lit("FFC00011" + "08")), be(jh, 2), be(jw, 2),
+      unhex(lit("03" + "012200" + "021101" + "031101")))
+    docs.select(id, when(id % 2 === 0, png).otherwise(jpeg).as("payload"))
+  }
+
+  private val headerSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("w", LongType),
+    StructField("h", LongType),
+    StructField("hdr_off", LongType),
+    StructField("payload_hex", StringType)))
+
+  private def beAt(bytes: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse (kind, width, height, headerOffset) from the leading bytes:
+    * PNG reads the IHDR fixed layout (w/h big-endian at bytes 16/20);
+    * JPEG walks the marker stream — skipping each segment by its
+    * declared length — until an SOF0-SOF3 frame header, then reads
+    * height/width at +5/+7. Returns None for anything unparseable
+    * (truncated, wrong signature, marker desync).
+    */
+  def parseHeader(bytes: Array[Byte]): Option[(String, Long, Long, Long)] =
+    if (bytes.length >= 26 && bytes.take(8).sameElements(PngSig) &&
+        new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
+      Some(("png", beAt(bytes, 16, 4), beAt(bytes, 20, 4), 16L))
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var off = 2
+      var res: Option[(String, Long, Long, Long)] = None
+      var ok = true
+      while (ok && res.isEmpty && off + 9 <= bytes.length) {
+        if ((bytes(off) & 0xff) != 0xff) ok = false // marker desync
+        else {
+          val marker = bytes(off + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xc3) {
+            res = Some(("jpeg", beAt(bytes, off + 7, 2), beAt(bytes, off + 5, 2), off.toLong))
+          } else off += 2 + beAt(bytes, off + 2, 2).toInt
+        }
+      }
+      res
+    } else None
+
+  /** Decode header metadata for a (id, payload) media table via the
+    * same batched `mapPartitions` shape as [[stubDecode]] — this is
+    * the honest version for the fields a header carries. Unparseable
+    * payloads are dropped (a production pipeline would dead-letter
+    * them; filter semantics keep this query SQL-checkable).
+    * `withPayloadHex` additionally emits the payload as a hex string,
+    * which is what lets the DuckDB oracle re-derive every field with
+    * plain string math.
+    */
+  def decodeHeaders(media: DataFrame, idCol: String, withPayloadHex: Boolean = false): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(headerSchema)
+    val decoded = media.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          parseHeader(bytes).map { case (kind, w, h, off) =>
+            Row(id, kind, w, h, off, bytes.map(b => f"$b%02X").mkString)
+          }
+        }
+      }(enc).toDF("doc_id", "kind", "w", "h", "hdr_off", "payload_hex")
+    if (withPayloadHex) decoded else decoded.drop("payload_hex")
+  }
+
   def stubDecode(binaryDocs: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     binaryDocs.select(col(idCol).cast("long"), col("payload"))

@@ -147,6 +147,24 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(math.abs(feats.head - 'h'.toInt / 255f) < 1e-6)
   }
 
+  test("PNG/JPEG header decode round-trips synthesized dims, walking variable JPEG segments") {
+    val docs = Seq(2L, 3L, 10L, 777L).toDF("doc_id")
+    val media = Multimodal.synthesizeMedia(docs, "doc_id")
+    val out = Multimodal.decodeHeaders(media, "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // even ids → PNG: w=(id%1024)+1, h=(id*7%1024)+1, IHDR data at byte 16
+    // odd ids → JPEG: SOF0 sits past an id-varying COM segment, at 24+(id%8)+1
+    assert(out == Seq(
+      (2L, "png", 3L, 15L, 16L),
+      (3L, "jpeg", 19L, 25L, 28L),
+      (10L, "png", 11L, 71L, 16L),
+      (777L, "jpeg", 293L, 347L, 26L)))
+    // unparseable payloads: wrong signature and truncated marker walks → None
+    assert(graft.mm.Multimodal.parseHeader("not a png".getBytes).isEmpty)
+    assert(graft.mm.Multimodal.parseHeader(Array(0xFF, 0xD8, 0x00, 0x01).map(_.toByte)).isEmpty)
+  }
+
   test("filesPerDay > 1 hash-buckets a hot date across multiple files, rows unchanged") {
     val root = Files.createTempDirectory("mt_fpd").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)
@@ -186,6 +204,24 @@ class SinkAndPlanSpec extends AnyFunSuite {
         |  '\\[(.*)\\] (\\w+)\\.(\\w+): (.*[^ ]+) ([^ ]+) ([^ ]+)') AS g""".stripMargin)
       .selectExpr("g[2]").as[String].head()
     assert(groups == "INFO")
+  }
+
+  test("DistinctBigrams matches the interpreted shingle count corpus-wide and on edge cases") {
+    GraftExtensions.register(spark)
+    // corpus-wide equivalence drives the CODEGEN path; SQL literals
+    // below fold through the interpreted eval path
+    val docs = Tables(spark, TestSpark.SfDirSmall, "documents")
+    val mismatch = docs.select(
+        graft.functions.DistinctBigrams(split(col("text"), " ")).as("fast"),
+        size(graft.dedup.Shingles.shingles(col("text"), 2)).as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(mismatch == 0, "codegen'd count diverged from the shingle pipeline")
+    def one(expr: String): Any = spark.sql(s"SELECT $expr AS v").collect().head.get(0)
+    assert(one("distinct_bigrams(array('a','b','a','b'))") == 2) // {"a b", "b a"}
+    assert(one("distinct_bigrams(array('x'))") == 0)
+    assert(one("distinct_bigrams(CAST(NULL AS array<string>))") == null)
+    // null elements follow concat_ws skip semantics, like the shingles
+    assert(one("distinct_bigrams(array('a', CAST(NULL AS STRING), 'a'))") == 1)
   }
 
   test("custom TopKPerKey operator matches the window route; plan shows two-phase exec") {
