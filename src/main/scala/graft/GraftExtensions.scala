@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, RegexpExtractGroups}
+import graft.functions.{ArrayDot, DistinctBigrams, RegexpExtractGroups}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -34,7 +34,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
     ("regexp_groups",
       new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_groups"),
-      (args: Seq[Expression]) => RegexpExtractGroups(args(0), args(1))))
+      (args: Seq[Expression]) => RegexpExtractGroups(args(0), args(1))),
+    ("distinct_bigrams",
+      new ExpressionInfo(classOf[DistinctBigrams].getName, "distinct_bigrams"),
+      (args: Seq[Expression]) => DistinctBigrams(args(0))))
 
   /** Register on an existing session (functions + the HOF-dot-product
     * rewrite rule).

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Native Catalyst count of DISTINCT adjacent token pairs in an
+  * `array<string>` — the hot kernel of repetition scoring
+  * (TextStats.repetition, a Gopher-style quality rule).
+  *
+  * The built-in route is the shingle pipeline:
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(toks, i, 2))))` then `size` — four nested higher-order
+  * functions evaluated interpreted, materializing an index array, a
+  * bigram-string array, and a dedup array per row. This expression is
+  * one generated loop with a hash set: no intermediate ArrayData, and
+  * it keeps the whole stage codegen'd.
+  *
+  * Equivalence to the shingle count: tokens come from `split(text,
+  * ' ')`, so they cannot contain the separator space, and the
+  * space-joined pair string is injective on pairs — distinct joined
+  * strings == distinct pairs. Null ELEMENTS (absent from split output
+  * but allowed by the type) follow `concat_ws` skip semantics so the
+  * two routes agree on any input. Fewer than two tokens → 0, matching
+  * the shingle guard.
+  */
+case class DistinctBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) 0
+    else {
+      val set = new java.util.HashSet[String]()
+      def at(i: Int): String =
+        if (elementsNullable && arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      var prev = at(0)
+      var i = 1
+      while (i < n) {
+        val cur = at(i)
+        // concat_ws semantics: nulls are skipped, not rendered
+        val pair =
+          if (prev == null) { if (cur == null) "" else cur }
+          else if (cur == null) prev
+          else prev + " " + cur
+        set.add(pair)
+        prev = cur
+        i += 1
+      }
+      set.size()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val prev = ctx.freshName("prev")
+      val cur = ctx.freshName("cur")
+      val pair = ctx.freshName("pair")
+      // only pay the null ternaries when the child type admits nulls
+      def elem(idx: String): String =
+        if (elementsNullable) s"($a.isNullAt($idx) ? null : $a.getUTF8String($idx).toString())"
+        else s"$a.getUTF8String($idx).toString()"
+      val pairExpr =
+        if (elementsNullable)
+          s"""($prev == null ? ($cur == null ? "" : $cur) : ($cur == null ? $prev : $prev + " " + $cur))"""
+        else s"""$prev + " " + $cur"""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n < 2) {
+         |  ${ev.value} = 0;
+         |} else {
+         |  java.util.HashSet $set = new java.util.HashSet();
+         |  String $prev = ${elem("0")};
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    String $cur = ${elem(i)};
+         |    String $pair = $pairExpr;
+         |    $set.add($pair);
+         |    $prev = $cur;
+         |  }
+         |  ${ev.value} = $set.size();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctBigrams =
+    copy(child = newChild)
+}
+
+object DistinctBigrams {
+  /** Column-API entry point over a token array. */
+  def apply(tokens: Column): Column =
+    ColumnBridge.column(DistinctBigrams(ColumnBridge.expression(tokens)))
+}
