@@ -410,6 +410,33 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"all-pairs join shipped in: $offenders")
   }
 
+  test("plan-regression guard: headline queries keep their shuffle-exchange budgets") {
+    // Every shuffle is a full-data network pass at 100 TB; a plan that
+    // silently acquires one (lost broadcast, dropped partial agg, an
+    // extra repartition) should fail the build, not wait for the
+    // bench. Budgets are the measured counts of the plans as designed
+    // — raise one only with a reason, never to make the light green.
+    val budgets = Seq(
+      "parse_monolog" -> 1,   // final ORDER BY range exchange only
+      "q1_agg" -> 2,          // partial→final agg + sort
+      "q3_join" -> 1,         // dims broadcast; one order/lineitem-side shuffle
+      "q5_join" -> 2,         // dims broadcast; fact-side agg shuffles
+      "dedup_minhash" -> 3,   // signature agg + band bucket join + output sort
+      "topk_custom" -> 2,     // inter-phase key exchange + final agg/sort
+      "text_repetition" -> 1, // row-local map; ORDER BY only
+      "dedup_exact" -> 2,
+      "sample_hash" -> 1)
+    val over = budgets.flatMap { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, TestSpark.SfDirSmall)
+        .queryExecution.executedPlan.toString
+      // count shuffle exchanges only — broadcasts are the cheap kind
+      // we WANT plans to keep
+      val got = """(?<!Broadcast)Exchange """.r.findAllIn(plan).size
+      if (got > budget) Some(s"$name: $got shuffles, budget $budget") else None
+    }
+    assert(over.isEmpty, s"plans acquired extra shuffles: $over")
+  }
+
   test("verify guard deletes empty precision-oracle dumps so the compare fails, keeps non-empty ones") {
     val out = Files.createTempDirectory("verify_guard").toFile
     // dedup_minhash's oracle reads graft_result over the non-empty
