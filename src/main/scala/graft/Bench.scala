@@ -74,6 +74,35 @@ object Bench {
     graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
     val parseRowsPerSec = nRows / ((System.nanoTime() - tp0) / 1e9)
 
+    // Streaming ingest throughput — the reference's actual job shape:
+    // file tail → parse → sink. Renders the events corpus to text
+    // files (setup, untimed), then measures the full micro-batch path
+    // end to end: file-source read + parse + idempotent batch-dir
+    // parquet write + checkpoint commit, via TailPipeline into a
+    // MergeTreeSink on scratch disk.
+    val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH", System.getProperty("java.io.tmpdir"))
+    val scratch = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(scratchRoot), "bench_stream")
+    val streamRowsPerSec =
+      try {
+        lines.write.text(s"$scratch/in")
+        val sink = graft.sinks.MergeTreeSink(s"$scratch/wh")
+        val pipe = graft.streaming.TailPipeline(
+          spark, graft.logs.TailConfig(name = "bench_stream", repo = "bench"),
+          s"$scratch/in", s"$scratch/ck", sink)
+        val ts0 = System.nanoTime()
+        val q = pipe.start(java.time.LocalDate.of(2024, 1, 1))
+        pipe.stopGracefully(q) // drains everything visible, then stops
+        val secs = (System.nanoTime() - ts0) / 1e9
+        val streamed = sink.read(spark).count()
+        require(streamed == nRows, s"streamed $streamed of $nRows rows")
+        streamed / secs
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(scratch.toString)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -84,7 +113,7 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
