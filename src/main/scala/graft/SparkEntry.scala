@@ -605,6 +605,68 @@ object SparkEntry {
       |WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6
       |ORDER BY i.a, i.b""".stripMargin
 
+  /** Duplicate-cluster canonicalization (SURVEY §2 B37): connected
+    * components over the exact n-gram Jaccard pair set, labeling each
+    * clustered document with its component-minimum id and flagging the
+    * canonical keeper. Full value oracle: the pair set is exactly
+    * recomputable in SQL and DuckDB's recursive CTE computes the
+    * identical transitive closure.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, minJaccard = 0.6, maxDf = None)
+    graft.dedup.DupClusters.resolve(pairs, "a", "b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2),
+      |p AS (SELECT i.a, i.b FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      |      WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6),
+      |ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM ed),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, ed.dst FROM reach JOIN ed ON ed.src = reach.r)
+      |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** PII redaction (SURVEY §2 B38) over deterministically planted PII
+    * (the synthetic corpus is clean, so each doc gets an id-derived
+    * email, IPv4, and long digit run appended): emails / IPs / digit
+    * runs become typed tags, counts taken on the raw text. Full value
+    * oracle — the injection and the RE2-compatible regex chain are
+    * reproduced byte-identically in DuckDB.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.2."),
+        col("doc_id") % 200, lit("."), col("doc_id") % 250,
+        lit(" ref 4111111111111111")).as("text"))
+    graft.text.Redact(injected, "doc_id", "text").orderBy("doc_id")
+  }
+
+  private val piiRedactSql =
+    """WITH d AS (SELECT doc_id,
+      |  text || ' contact user' || doc_id || '@example.com from 10.2.' || (doc_id % 200) || '.' || (doc_id % 250) || ' ref 4111111111111111' AS text
+      |FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+      |  len(regexp_extract_all(text, '\d{6,}')) AS n_num,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      |    '\d{6,}', '[NUM]', 'g') AS redacted
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** Exact dedup under normalization (case/whitespace/punctuation
     * folded) — catches trivially-reformatted duplicates that byte-exact
     * hashing misses; same hash-group shape as dedup_exact.
@@ -1045,6 +1107,8 @@ object SparkEntry {
     "dedup_normalized" -> Q(dedupNormalized, Some(dedupNormalizedSql)),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "dedup_ngram_jaccard_capped" -> Q(dedupNgramJaccardCapped, Some(dedupNgramJaccardCappedSql)),
+    "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
+    "pii_redact" -> Q(piiRedact, Some(piiRedactSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),

@@ -85,7 +85,12 @@ object Verify {
       if (ctes.isEmpty) sql
       else {
         val trimmed = sql.trim
-        if (trimmed.take(5).equalsIgnoreCase("WITH ")) s"WITH $ctes, ${trimmed.drop(5)}"
+        // RECURSIVE must stay attached to WITH; prepending plain CTEs
+        // under WITH RECURSIVE is valid (the keyword licenses, not
+        // forces, recursion per CTE)
+        if (trimmed.take(15).equalsIgnoreCase("WITH RECURSIVE "))
+          s"WITH RECURSIVE $ctes, ${trimmed.drop(15)}"
+        else if (trimmed.take(5).equalsIgnoreCase("WITH ")) s"WITH $ctes, ${trimmed.drop(5)}"
         else s"WITH $ctes $trimmed"
       }
     }

@@ -2,11 +2,32 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{DupClusters, ExactDedup, MinHashLSH, NgramJaccard, SimHash}
 
 class DedupSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
+
+  test("duplicate clusters: transitive chains collapse to the min id, singletons stay out") {
+    // 1-2-3 is a CHAIN (1~3 never claimed): all three must land in
+    // cluster 1 — pairwise keep-one would mislabel this; 7~8 separate;
+    // 9 appears in no pair and must be absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = DupClusters.resolve(pairs, "a", "b")
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+  }
+
+  test("duplicate clusters: a long path needs diameter rounds and still converges") {
+    // path graph 0-1-2-...-12: min label must walk the full diameter
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = DupClusters.resolve(pairs, "a", "b")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._2 == 0L), s"all nodes reach cluster 0: ${out.toSeq}")
+    assert(out.count(_._3) == 1)
+  }
 
   test("exact dedup collapses identical texts, keeps min id") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z w")).toDF("doc_id", "text")
