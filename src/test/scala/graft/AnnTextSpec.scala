@@ -100,6 +100,16 @@ class AnnTextSpec extends AnyFunSuite {
     assert(one == 1.0)
   }
 
+  test("PII redaction tags emails, IPv4s, and long digit runs in order") {
+    val docs = Seq((1L, "mail a.b+c@ex-1.org or 10.0.0.255 acct 12345678 end"),
+      (2L, "clean text 123 here")).toDF("doc_id", "text")
+    val out = graft.text.Redact(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 1L, "mail [EMAIL] or [IP] acct [NUM] end"),
+      (2L, 0L, 0L, 0L, "clean text 123 here")))
+  }
+
   test("quality ratios on a known sentence") {
     val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
     val r = TextStats.quality(docs, "doc_id", "text").head()
