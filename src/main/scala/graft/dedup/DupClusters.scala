@@ -43,7 +43,11 @@ object DupClusters {
     */
   def resolve(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // materialize the (typically expensive) upstream pair computation
+    // ONCE — every propagation round joins against edges, and without
+    // this the candidate-pair join would re-execute per round
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint(true)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
