@@ -667,6 +667,47 @@ object SparkEntry {
       |    '\d{6,}', '[NUM]', 'g') AS redacted
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Eval-set decontamination (SURVEY §2 B39): training docs sharing
+    * any 5-gram with the held-out slice (doc_id % 97 == 0 stands in
+    * for a benchmark suite). Eval grams broadcast; full value oracle —
+    * the identical shingle + join + count runs in DuckDB.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.data.Decontaminate.overlap(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] FOR i IN range(1, len(toks) - 3)])) AS s FROM t),
+      |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, count(*) AS n_overlap
+      |FROM g JOIN ev USING (s)
+      |WHERE g.doc_id % 97 <> 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Stratified quota sampling (SURVEY §2 B40): 20 events per
+    * event_type, ranked by the cross-engine key hash — the per-source
+    * quota shape of a pretraining data mix. Full value oracle.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.data.Sampling.stratifiedSample(
+      t(s, dir, "events").select("event_id", "event_type"),
+      "event_type", "event_id", quota = 20)
+      .orderBy("event_type", "strat_rank")
+
+  private val sampleStratifiedSql =
+    """WITH h AS (SELECT event_id, event_type,
+      |  CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS kh FROM events),
+      |r AS (SELECT event_id, event_type,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY kh, event_id) AS strat_rank FROM h)
+      |SELECT event_id, event_type, strat_rank FROM r
+      |WHERE strat_rank <= 20 ORDER BY event_type, strat_rank""".stripMargin
+
   /** Exact dedup under normalization (case/whitespace/punctuation
     * folded) — catches trivially-reformatted duplicates that byte-exact
     * hashing misses; same hash-group shape as dedup_exact.
@@ -1109,6 +1150,8 @@ object SparkEntry {
     "dedup_ngram_jaccard_capped" -> Q(dedupNgramJaccardCapped, Some(dedupNgramJaccardCappedSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "pii_redact" -> Q(piiRedact, Some(piiRedactSql)),
+    "decontaminate" -> Q(decontaminate, Some(decontaminateSql)),
+    "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),

@@ -1,0 +1,45 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Shingles
+
+/** Eval-set decontamination (LLM-pipeline brief): flag training
+  * documents that share any word n-gram with a benchmark / eval
+  * corpus — the standard pretraining hygiene step that keeps test-set
+  * passages out of the training mix (overlap inflates downstream eval
+  * scores without improving the model).
+  *
+  * Spark-first shape: the eval side's distinct n-grams are tiny
+  * relative to a TB-scale train side (an eval suite is KBs-to-MBs),
+  * so the check is a BROADCAST equi join keyed on the gram — one pass
+  * over the training shingles with no fact-side shuffle before the
+  * per-document count. Shingling itself is the row-local
+  * [[Shingles]] map shared with the dedup family.
+  */
+object Decontaminate {
+
+  /** Per-training-document count of DISTINCT n-grams shared with the
+    * eval set; documents with zero overlap are absent (the common
+    * case — emitting them would dominate output for no signal).
+    * Returns `(idCol, n_overlap)`.
+    */
+  def overlap(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s"))
+    val evalGrams = grams(evalDocs).select("s").distinct()
+    grams(train)
+      .join(broadcast(evalGrams), "s")
+      // grams() emits DISTINCT shingles per doc, so count(*) counts
+      // distinct shared grams
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("id").as(idCol), col("n_overlap"))
+  }
+}

@@ -53,6 +53,30 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic per-stratum quota sampling: rank rows within each
+    * stratum by (keyHash, key) and keep the first `quota` — the
+    * stratified-sampling shape (per-domain / per-language / per-source
+    * quotas) of a pretraining data mix. Reproducible across runs,
+    * partitionings, and engines like the rest of the family; NOT
+    * append-stable (inherent to fixed-SIZE quotas: a new row with a
+    * smaller hash displaces the quota boundary — use the fixed-RATE
+    * [[sampleByHash]] when append stability matters more than exact
+    * counts).
+    *
+    * Scale: one shuffle on the stratum key; the rank is a window sort
+    * per stratum. With FEW, HUGE strata the full per-stratum sort is
+    * the [[graft.plans.TopK]] regime (k = quota, bounded heaps) — that
+    * operator trades this helper's deterministic (hash, key) tie order
+    * for bounded memory; this one keeps determinism, which the
+    * cross-engine oracle requires.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String, quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(keyHash(col(keyCol)), col(keyCol))
+    df.withColumn("strat_rank", row_number().over(w).cast("long"))
+      .where(col("strat_rank") <= quota)
+  }
+
   /** Deterministic global shuffle: a total order by (keyHash, key) —
     * i.e. a reproducible pseudo-random permutation of the corpus —
     * with a dense 1-based `pos`.

@@ -11,6 +11,33 @@ class SamplingSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, TestSpark.SfDir, "documents")
 
+  test("stratified sample fills each stratum's quota deterministically") {
+    val ev = Tables(spark, TestSpark.SfDir, "events").select("event_id", "event_type")
+    val out = Sampling.stratifiedSample(ev, "event_type", "event_id", quota = 20)
+    val byStratum = out.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val full = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    // every stratum present, capped at the quota (smaller strata keep all)
+    assert(byStratum.keySet == full.keySet)
+    byStratum.foreach { case (k, n) => assert(n == math.min(20L, full(k)), s"$k: $n") }
+    // deterministic: same corpus, same picks
+    val again = Sampling.stratifiedSample(ev, "event_type", "event_id", quota = 20)
+      .select("event_id").as[Long].collect().toSet
+    assert(again == out.select("event_id").as[Long].collect().toSet)
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog"), // shares "the quick brown fox jumps"
+      (2L, "completely different words here now ok")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps far away")).toDF("doc_id", "text")
+    val out = graft.data.Decontaminate.overlap(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toSeq
+    // doc 1 shares 5-grams "the quick brown fox jumps" only (the next
+    // train 5-gram "quick brown fox jumps over" diverges); doc 2 clean
+    assert(out == Seq((1L, 1L)), s"got $out")
+  }
+
   test("hash sample is deterministic, ~pct-sized, and append-stable") {
     val a = Sampling.sampleByHash(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
     val b = Sampling.sampleByHash(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
