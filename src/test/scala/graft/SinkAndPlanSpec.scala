@@ -451,6 +451,12 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(new java.io.File(out, "ann_lsh").exists(), "non-empty dump must survive")
   }
 
+  test("decontaminate broadcasts the eval-gram side (no fact-side shuffle before the count)") {
+    val plan = SparkEntry.queries("decontaminate")(spark, TestSpark.SfDirSmall)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString
