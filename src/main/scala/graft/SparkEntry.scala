@@ -989,6 +989,34 @@ object SparkEntry {
       |        AND w = CAST('0x' || substring(payload_hex, CAST(hdr_off * 2 + 15 AS INT), 4) AS BIGINT)))
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio sibling of multimodal_headers (SURVEY §2 row 27b): WAV/RIFF
+    * chunk walk with LITTLE-endian fields — the oracle re-derives
+    * channels/rate/bits from the emitted hex with byte-swapped string
+    * math, and verifies the found `fmt ` offset actually holds the
+    * 4cc.
+    */
+  private def multimodalWav(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decodeWavHeaders(
+      graft.mm.Multimodal.synthesizeWav(t(s, dir, "documents"), "doc_id"), "doc_id")
+      .orderBy("doc_id")
+
+  private val multimodalWavSql =
+    """SELECT doc_id, channels, sample_rate, bits, fmt_off, payload_hex
+      |FROM graft_result
+      |WHERE doc_id IN (SELECT doc_id FROM documents)
+      |  AND substring(payload_hex, 1, 8) = '52494646'
+      |  AND substring(payload_hex, 17, 8) = '57415645'
+      |  AND substring(payload_hex, CAST(fmt_off * 2 + 1 AS INT), 8) = '666D7420'
+      |  AND channels = CAST('0x' || substring(payload_hex, CAST((fmt_off + 11) * 2 + 1 AS INT), 2)
+      |                             || substring(payload_hex, CAST((fmt_off + 10) * 2 + 1 AS INT), 2) AS BIGINT)
+      |  AND sample_rate = CAST('0x' || substring(payload_hex, CAST((fmt_off + 15) * 2 + 1 AS INT), 2)
+      |                                || substring(payload_hex, CAST((fmt_off + 14) * 2 + 1 AS INT), 2)
+      |                                || substring(payload_hex, CAST((fmt_off + 13) * 2 + 1 AS INT), 2)
+      |                                || substring(payload_hex, CAST((fmt_off + 12) * 2 + 1 AS INT), 2) AS BIGINT)
+      |  AND bits = CAST('0x' || substring(payload_hex, CAST((fmt_off + 23) * 2 + 1 AS INT), 2)
+      |                        || substring(payload_hex, CAST((fmt_off + 22) * 2 + 1 AS INT), 2) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Training-data utilities: sampling / splitting / shuffling / filter //
   // (SURVEY §2.B 32-35). All keyed on the MD5-derived cross-engine     //
@@ -1176,6 +1204,7 @@ object SparkEntry {
     "text_repetition" -> Q(textRepetition, Some(textRepetitionSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
     "multimodal_headers" -> Q(multimodalHeaders, Some(multimodalHeadersSql)),
+    "multimodal_wav" -> Q(multimodalWav, Some(multimodalWavSql)),
     "sample_hash" -> Q(sampleHash, Some(sampleHashSql)),
     "split_assign" -> Q(splitAssign, Some(splitAssignSql)),
     "corpus_shuffle" -> Q(corpusShuffle, Some(corpusShuffleSql)),

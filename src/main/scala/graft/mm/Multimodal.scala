@@ -82,6 +82,84 @@ object Multimodal {
     docs.select(id, when(id % 2 === 0, png).otherwise(jpeg).as("payload"))
   }
 
+  /** Synthesize a valid WAV (RIFF) header per document — the audio
+    * analog of [[synthesizeMedia]], LITTLE-endian where PNG/JPEG are
+    * big-endian. An id-varying even-sized JUNK chunk (a standard RIFF
+    * filler) sits before `fmt `, so decoding requires a real chunk
+    * walk. channels/rate derive from the id.
+    */
+  def synthesizeWav(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map { i =>
+      unhex(lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
+    }: _*)
+    val channels = (id % 2 + 1).cast("int")
+    val rate = (lit(8000) + (id % 8).cast("int") * 4000).cast("int")
+    val bits = lit(16)
+    val pad = ((id % 4) * 2 + 2).cast("int") // even: RIFF chunks are word-aligned
+    val riffSize = pad + 36 // "WAVE" + JUNK hdr + pad + fmt hdr + 16
+    val payload = concat(
+      unhex(lit("52494646")), le(riffSize, 4), unhex(lit("57415645")), // RIFF <size> WAVE
+      unhex(lit("4A554E4B")), le(pad, 4), unhex(lit("00" * 8).substr(lit(1), pad * 2)), // JUNK
+      unhex(lit("666D7420")), le(lit(16), 4), // "fmt " 16
+      le(lit(1), 2), le(channels, 2), le(rate, 4),
+      le(rate * channels * bits / 8, 4), le(channels * bits / 8, 2), le(bits, 2))
+    docs.select(id, payload.as("payload"))
+  }
+
+  private val wavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("bits", LongType),
+    StructField("fmt_off", LongType),
+    StructField("payload_hex", StringType)))
+
+  private def leAt(bytes: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (bytes(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Parse (channels, sampleRate, bits, fmtOffset) from a RIFF/WAVE
+    * header by walking chunks (4cc + little-endian u32 size, sizes
+    * padded to even) until `fmt `. None for anything unparseable.
+    */
+  def parseWavHeader(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def fourCC(off: Int): String = new String(bytes.slice(off, off + 4), "US-ASCII")
+    if (bytes.length < 12 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE") None
+    else {
+      var off = 12
+      var res: Option[(Long, Long, Long, Long)] = None
+      while (res.isEmpty && off + 8 <= bytes.length) {
+        val size = leAt(bytes, off + 4, 4)
+        if (fourCC(off) == "fmt " && off + 8 + 16 <= bytes.length) {
+          res = Some((leAt(bytes, off + 10, 2), leAt(bytes, off + 12, 4),
+            leAt(bytes, off + 22, 2), off.toLong))
+        } else off += 8 + size.toInt + (size.toInt & 1) // odd sizes carry a pad byte
+      }
+      res
+    }
+  }
+
+  /** [[decodeHeaders]]' audio sibling over the same mapPartitions
+    * shape; unparseable payloads are dropped.
+    */
+  def decodeWavHeaders(media: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wavSchema)
+    media.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          parseWavHeader(bytes).map { case (ch, rate, bits, off) =>
+            Row(id, ch, rate, bits, off, bytes.map(b => f"$b%02X").mkString)
+          }
+        }
+      }(enc).toDF("doc_id", "channels", "sample_rate", "bits", "fmt_off", "payload_hex")
+  }
+
   private val headerSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", StringType),

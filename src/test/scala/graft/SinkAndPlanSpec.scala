@@ -165,6 +165,24 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(graft.mm.Multimodal.parseHeader(Array(0xFF, 0xD8, 0x00, 0x01).map(_.toByte)).isEmpty)
   }
 
+  test("WAV header decode walks RIFF chunks and round-trips little-endian fields") {
+    val docs = Seq(0L, 1L, 2L, 7L).toDF("doc_id")
+    val media = Multimodal.synthesizeWav(docs, "doc_id")
+    val out = Multimodal.decodeWavHeaders(media, "doc_id").orderBy("doc_id")
+      .select("doc_id", "channels", "sample_rate", "bits", "fmt_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // channels = id%2+1, rate = 8000+(id%8)*4000, bits = 16,
+    // fmt_off = 20 + JUNK pad of (id%4)*2+2 bytes
+    assert(out == Seq(
+      (0L, 1L, 8000L, 16L, 22L),
+      (1L, 2L, 12000L, 16L, 24L),
+      (2L, 1L, 16000L, 16L, 26L),
+      (7L, 2L, 36000L, 16L, 28L)))
+    assert(Multimodal.parseWavHeader("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.parseWavHeader(Array[Byte]()).isEmpty)
+  }
+
   test("filesPerDay > 1 hash-buckets a hot date across multiple files, rows unchanged") {
     val root = Files.createTempDirectory("mt_fpd").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)
