@@ -1017,6 +1017,25 @@ object SparkEntry {
       |                        || substring(payload_hex, CAST((fmt_off + 22) * 2 + 1 AS INT), 2) AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
+  /** Video sibling (SURVEY §2 row 27c): ISO BMFF box walk — nested
+    * (top-level to `moov`, then its children to `mvhd`), big-endian
+    * sizes, id-varying `free` filler so offsets aren't constant.
+    */
+  private def multimodalMp4(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decodeMp4Headers(
+      graft.mm.Multimodal.synthesizeMp4(t(s, dir, "documents"), "doc_id"), "doc_id")
+      .orderBy("doc_id")
+
+  private val multimodalMp4Sql =
+    """SELECT doc_id, timescale, duration, mvhd_off, payload_hex
+      |FROM graft_result
+      |WHERE doc_id IN (SELECT doc_id FROM documents)
+      |  AND substring(payload_hex, 9, 8) = '66747970'
+      |  AND substring(payload_hex, CAST((mvhd_off + 4) * 2 + 1 AS INT), 8) = '6D766864'
+      |  AND timescale = CAST('0x' || substring(payload_hex, CAST((mvhd_off + 20) * 2 + 1 AS INT), 8) AS BIGINT)
+      |  AND duration = CAST('0x' || substring(payload_hex, CAST((mvhd_off + 24) * 2 + 1 AS INT), 8) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Training-data utilities: sampling / splitting / shuffling / filter //
   // (SURVEY §2.B 32-35). All keyed on the MD5-derived cross-engine     //
@@ -1205,6 +1224,7 @@ object SparkEntry {
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
     "multimodal_headers" -> Q(multimodalHeaders, Some(multimodalHeadersSql)),
     "multimodal_wav" -> Q(multimodalWav, Some(multimodalWavSql)),
+    "multimodal_mp4" -> Q(multimodalMp4, Some(multimodalMp4Sql)),
     "sample_hash" -> Q(sampleHash, Some(sampleHashSql)),
     "split_assign" -> Q(splitAssign, Some(splitAssignSql)),
     "corpus_shuffle" -> Q(corpusShuffle, Some(corpusShuffleSql)),

@@ -160,6 +160,80 @@ object Multimodal {
       }(enc).toDF("doc_id", "channels", "sample_rate", "bits", "fmt_off", "payload_hex")
   }
 
+  /** Synthesize a valid MP4 (ISO BMFF) header per document — the video
+    * analog: `ftyp` + an id-varying `free` filler box + `moov`
+    * containing a version-0 `mvhd` with id-derived timescale/duration.
+    * Box sizes are big-endian u32; finding `mvhd` requires a NESTED
+    * walk (top-level boxes, then moov's children).
+    */
+  def synthesizeMp4(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def be(v: Column, nBytes: Int): Column = unhex(lpad(hex(v.cast("long")), nBytes * 2, "0"))
+    val pad = (id % 6 + 1).cast("int")
+    val timescale = (lit(1000) + (id % 10).cast("int") * 100).cast("int")
+    val duration = ((id * 997) % 100000).cast("int")
+    // mvhd v0: 8-byte box header + 100 content bytes (v+flags, ctime,
+    // mtime, timescale, duration, rate..next_track — tail zeroed)
+    val mvhd = concat(
+      be(lit(108), 4), unhex(lit("6D766864")), unhex(lit("00" * 12)),
+      be(timescale, 4), be(duration, 4), unhex(lit("00" * 80)))
+    val payload = concat(
+      be(lit(16), 4), unhex(lit("66747970")), unhex(lit("69736F6D")), be(lit(0), 4), // ftyp isom
+      be(pad + 8, 4), unhex(lit("66726565")), unhex(lit("00" * 6).substr(lit(1), pad * 2)), // free
+      be(lit(116), 4), unhex(lit("6D6F6F76")), mvhd) // moov = 8 + 108
+    docs.select(id, payload.as("payload"))
+  }
+
+  private val mp4Schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("mvhd_off", LongType),
+    StructField("payload_hex", StringType)))
+
+  /** Parse (timescale, duration, absolute mvhd offset) from an ISO
+    * BMFF stream: verify `ftyp`, walk top-level boxes by their
+    * big-endian sizes, then walk `moov`'s children to `mvhd` (v0:
+    * timescale at +20, duration at +24). None if unparseable.
+    */
+  def parseMp4Header(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def fourCC(off: Int): String = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+    def walk(from: Int, until: Int, target: String): Option[Int] = {
+      var off = from
+      var res: Option[Int] = None
+      while (res.isEmpty && off + 8 <= until) {
+        val size = beAt(bytes, off, 4).toInt
+        if (size < 8) return None // malformed box cannot advance
+        if (fourCC(off) == target) res = Some(off) else off += size
+      }
+      res
+    }
+    if (bytes.length < 16 || fourCC(0) != "ftyp") None
+    else
+      walk(0, bytes.length, "moov").flatMap { moov =>
+        val moovEnd = math.min(moov + beAt(bytes, moov, 4).toInt, bytes.length)
+        walk(moov + 8, moovEnd, "mvhd").collect {
+          case m if m + 28 <= bytes.length =>
+            (beAt(bytes, m + 20, 4), beAt(bytes, m + 24, 4), m.toLong)
+        }
+      }
+  }
+
+  /** Video sibling of [[decodeHeaders]]/[[decodeWavHeaders]]. */
+  def decodeMp4Headers(media: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mp4Schema)
+    media.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          parseMp4Header(bytes).map { case (ts, dur, off) =>
+            Row(id, ts, dur, off, bytes.map(b => f"$b%02X").mkString)
+          }
+        }
+      }(enc).toDF("doc_id", "timescale", "duration", "mvhd_off", "payload_hex")
+  }
+
   private val headerSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", StringType),

@@ -183,6 +183,26 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(Multimodal.parseWavHeader(Array[Byte]()).isEmpty)
   }
 
+  test("MP4 header decode walks nested boxes to mvhd and round-trips big-endian fields") {
+    val docs = Seq(0L, 1L, 5L).toDF("doc_id")
+    val media = Multimodal.synthesizeMp4(docs, "doc_id")
+    val out = Multimodal.decodeMp4Headers(media, "doc_id").orderBy("doc_id")
+      .select("doc_id", "timescale", "duration", "mvhd_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // timescale = 1000+(id%10)*100, duration = id*997 % 100000,
+    // mvhd_off = 16 (ftyp) + 8+pad (free, pad=(id%6)+1) + 8 (moov hdr)
+    assert(out == Seq(
+      (0L, 1000L, 0L, 33L),
+      (1L, 1100L, 997L, 34L),
+      (5L, 1500L, 4985L, 38L)))
+    assert(Multimodal.parseMp4Header("not an mp4 file!".getBytes).isEmpty)
+    // a box declaring size < 8 cannot advance the walk: must bail, not loop
+    val bad = Multimodal.synthesizeMp4(Seq(0L).toDF("doc_id"), "doc_id")
+      .select("payload").head().getAs[Array[Byte]](0).clone()
+    bad(19) = 2 // free box size -> 2
+    assert(Multimodal.parseMp4Header(bad).isEmpty)
+  }
+
   test("filesPerDay > 1 hash-buckets a hot date across multiple files, rows unchanged") {
     val root = Files.createTempDirectory("mt_fpd").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)
