@@ -28,16 +28,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity check at analysis time — a builder indexing into `args`
+    * directly would throw IndexOutOfBounds from inside the analyzer;
+    * type validation happens in each expression's checkInputDataTypes.
+    */
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+
   private def registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("array_dot",
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+      (args: Seq[Expression]) => { arity("array_dot", 2, args); ArrayDot(args(0), args(1)) }),
     ("regexp_groups",
       new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_groups"),
-      (args: Seq[Expression]) => RegexpExtractGroups(args(0), args(1))),
+      (args: Seq[Expression]) => { arity("regexp_groups", 2, args); RegexpExtractGroups(args(0), args(1)) }),
     ("distinct_bigrams",
       new ExpressionInfo(classOf[DistinctBigrams].getName, "distinct_bigrams"),
-      (args: Seq[Expression]) => DistinctBigrams(args(0))))
+      (args: Seq[Expression]) => { arity("distinct_bigrams", 1, args); DistinctBigrams(args(0)) }))
 
   /** Register on an existing session (functions + the HOF-dot-product
     * rewrite rule).

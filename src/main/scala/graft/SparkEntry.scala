@@ -563,8 +563,7 @@ object SparkEntry {
     * (the library default) or MinHash.
     */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.6,
-      maxDf = None)
+    graft.dedup.NgramJaccard.pairsExhaustive(t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.6)
       .orderBy("a", "b")
 
   private val dedupNgramJaccardSql =
@@ -613,8 +612,8 @@ object SparkEntry {
     * identical transitive closure.
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, minJaccard = 0.6, maxDf = None)
+    val pairs = graft.dedup.NgramJaccard.pairsExhaustive(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, minJaccard = 0.6)
     graft.dedup.DupClusters.resolve(pairs, "a", "b")
       .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
       .orderBy("doc_id")

@@ -29,6 +29,23 @@ object NgramJaccard {
     */
   val DefaultMaxDf: Int = 64
 
+  /** Exhaustive exact Jaccard — NO stop-shingle cap. Distinctly named
+    * so opting out of the scale guard is visible at the call site: a
+    * shingle with document frequency d contributes d² candidate pairs,
+    * so this form has a known blowup on hot shingles and is intended
+    * for bounded data (oracle baselines, ground-truth evaluation), not
+    * production corpora. Note: before round 5, [[pairs]] defaulted to
+    * this behavior (`maxDf = None`); callers who relied on that default
+    * and need exhaustive results should migrate here.
+    */
+  def pairsExhaustive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      minJaccard: Double = 0.6): DataFrame =
+    pairs(docs, idCol, textCol, n, minJaccard, maxDf = None)
+
   def pairs(
       docs: DataFrame,
       idCol: String,

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -20,6 +21,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Analysis-time type validation (ExpectsInputTypes is private[sql]
+  // in Spark 4, so the check is manual): the eval body calls getDouble,
+  // so both children must be array<double>.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires two array<double> arguments, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   // Observationally equivalent to the zip_with/aggregate HOF idiom (a
   // requirement for DotProductRewrite to be semantics-preserving):

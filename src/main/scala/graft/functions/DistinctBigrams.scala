@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 
 /** Native Catalyst count of DISTINCT adjacent token pairs in an
   * `array<string>` — the hot kernel of repetition scoring
@@ -30,6 +31,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 case class DistinctBigrams(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  // Fail at analysis time, not with a ClassCastException from the
+  // generated loop: the eval body calls getUTF8String, so anything but
+  // array<string> is a type error. (ExpectsInputTypes is private[sql]
+  // in Spark 4, hence the manual check — same pattern as ArrayDot.)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"distinct_bigrams requires array<string>, got ${other.catalogString}")
+  }
 
   private def elementsNullable: Boolean = child.dataType match {
     case ArrayType(_, containsNull) => containsNull

@@ -3,6 +3,7 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,6 +32,19 @@ case class RegexpExtractGroups(subject: Expression, regexp: Expression) extends 
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
+
+  // Analysis-time validation (ExpectsInputTypes is private[sql] in
+  // Spark 4): both sides must be strings and the pattern must be a
+  // literal — patternStr is evaluated once per operator, not per row.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (subject.dataType, regexp.dataType) match {
+      case (StringType, StringType) if regexp.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
+        "regexp_groups requires a foldable (literal) pattern")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"regexp_groups requires (string, string), got ${l.catalogString} and ${r.catalogString}")
+    }
 
   @transient private lazy val patternStr: String =
     regexp.eval().asInstanceOf[UTF8String].toString

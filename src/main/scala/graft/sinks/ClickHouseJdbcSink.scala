@@ -32,7 +32,11 @@ import org.apache.spark.sql.types.StructType
   *         `graft_<batchKey>_p<p>_c<c>` ([[ClickHouseJdbcSink.deduplicationToken]]).
   *    A replay therefore regenerates the exact (token → block) mapping;
   *    blocks whose token ClickHouse has seen are dropped, blocks the
-  *    crash lost are inserted — exactly-once per block. Requires the
+  *    crash lost are inserted — exactly-once per block. The scheme
+  *    additionally requires one chunk == one server block: the sink
+  *    sets `max_insert_block_size = batchSize` on each connection so
+  *    the server never splits a chunk into token-sharing sub-blocks
+  *    (which would be silently dropped as duplicates). Requires the
   *    server to keep a deduplication log for the target table:
   *    Replicated*MergeTree has one by default; plain MergeTree needs
   *    `non_replicated_deduplication_window > 0` (documented, not
@@ -81,6 +85,21 @@ final case class ClickHouseJdbcSink(
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val conn = java.sql.DriverManager.getConnection(u, usr, pwd)
         try {
+          // The token scheme is sound ONLY if one chunk == one server-side
+          // insert block. Two ways that breaks: (a) the server splits an
+          // INSERT larger than max_insert_block_size into several blocks —
+          // all sharing the chunk's token, so ClickHouse silently DROPS
+          // every block after the first as a "duplicate" (data loss on the
+          // happy path, not just on replay); (b) a JDBC driver that splits
+          // one addBatch/executeBatch group into several INSERT statements.
+          // (a) is closed here by raising max_insert_block_size to the
+          // chunk size on this session before any INSERT; (b) is a driver
+          // contract — the official clickhouse-jdbc sends one batch as one
+          // INSERT; a pooling/rewriting proxy (e.g. rewriteBatchedStatements
+          // semantics) must not sit between this sink and the server.
+          val session = conn.createStatement()
+          try session.execute(s"SET max_insert_block_size = $chunkRows")
+          finally session.close()
           val stmt = conn.prepareStatement(sql)
           var chunk = 0L
           rows.grouped(chunkRows).foreach { block =>

@@ -68,13 +68,25 @@ final class TailManager(pipelines: Seq[TailPipeline]) {
     * so [[TailManager.ShutdownPriority]] = 60 guarantees the drain
     * completes before the context starts tearing down.
     *
+    * Registered with an explicit per-hook timeout
+    * ([[TailManager.ShutdownTimeout]]): the 2-arg overload applies
+    * `hadoop.service.shutdown.timeout` (30 s default, 10 s on older
+    * Hadoop), and a drain over a backed-up source — `stopGracefully`
+    * calls `processAllAvailable` per query — can legitimately exceed
+    * that, in which case the hook thread is interrupted mid-flush and
+    * the in-flight batch is lost, the exact failure this hook exists
+    * to prevent. 10 minutes bounds a wedged drain (the JVM must still
+    * die eventually under orchestration kill policies) while covering
+    * any realistic final flush.
+    *
     * Returns the hook so callers can `remove()` it after an orderly
     * stop (StreamingSpec runs the hook body directly).
     */
   def registerShutdownHook(): TailManager.ShutdownHook = {
     val hook = new TailManager.ShutdownHook(() => shutdown())
     org.apache.hadoop.util.ShutdownHookManager.get()
-      .addShutdownHook(hook, TailManager.ShutdownPriority)
+      .addShutdownHook(hook, TailManager.ShutdownPriority,
+        TailManager.ShutdownTimeout, java.util.concurrent.TimeUnit.SECONDS)
     hook
   }
 }
@@ -85,6 +97,12 @@ object TailManager {
     * drain strictly precedes context teardown on SIGTERM.
     */
   val ShutdownPriority = 60
+
+  /** Explicit drain budget in seconds (see [[TailManager#registerShutdownHook]]):
+    * generous enough for a full `processAllAvailable` over a backed-up
+    * source, finite so a wedged query cannot block JVM death forever.
+    */
+  val ShutdownTimeout = 600L
 
   /** Handle for a registered drain hook: `run()` is what the JVM
     * executes on termination, `remove()` deregisters it after an
