@@ -35,13 +35,19 @@ case class RegexpExtractGroups(subject: Expression, regexp: Expression) extends 
 
   // Analysis-time validation (ExpectsInputTypes is private[sql] in
   // Spark 4): both sides must be strings and the pattern must be a
-  // literal — patternStr is evaluated once per operator, not per row.
+  // non-null literal — patternStr is evaluated once per operator, not
+  // per row, and doGenCode forces it eagerly, so a foldable NULL
+  // pattern (e.g. CAST(NULL AS STRING)) must fail analysis rather than
+  // NPE at codegen time.
   override def checkInputDataTypes(): TypeCheckResult =
     (subject.dataType, regexp.dataType) match {
-      case (StringType, StringType) if regexp.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
-        "regexp_groups requires a foldable (literal) pattern")
+      case (StringType, StringType) if !regexp.foldable =>
+        TypeCheckResult.TypeCheckFailure(
+          "regexp_groups requires a foldable (literal) pattern")
+      case (StringType, StringType) if regexp.eval() == null =>
+        TypeCheckResult.TypeCheckFailure(
+          "regexp_groups requires a non-null pattern")
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"regexp_groups requires (string, string), got ${l.catalogString} and ${r.catalogString}")
     }

@@ -34,9 +34,15 @@ import org.apache.spark.sql.types.StructType
   *    blocks whose token ClickHouse has seen are dropped, blocks the
   *    crash lost are inserted — exactly-once per block. The scheme
   *    additionally requires one chunk == one server block: the sink
-  *    sets `max_insert_block_size = batchSize` on each connection so
-  *    the server never splits a chunk into token-sharing sub-blocks
-  *    (which would be silently dropped as duplicates). Requires the
+  *    pins `max_insert_block_size` to the chunk size (chunks never
+  *    exceed it, so each chunk parses into exactly one block and the
+  *    server never splits a chunk into token-sharing sub-blocks, which
+  *    would be silently dropped as duplicates). Both settings travel as
+  *    connection-URL query parameters, not `SET` statements — over
+  *    ClickHouse's HTTP interface a standalone SET only sticks when the
+  *    driver maintains a server session, so per-request URL settings
+  *    are the only transport that works on every interface
+  *    ([[ClickHouseJdbcSink.urlWithSettings]]). Requires the
   *    server to keep a deduplication log for the target table:
   *    Replicated*MergeTree has one by default; plain MergeTree needs
   *    `non_replicated_deduplication_window > 0` (documented, not
@@ -83,42 +89,48 @@ final case class ClickHouseJdbcSink(
     routed.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val conn = java.sql.DriverManager.getConnection(u, usr, pwd)
-        try {
-          // The token scheme is sound ONLY if one chunk == one server-side
-          // insert block. Two ways that breaks: (a) the server splits an
-          // INSERT larger than max_insert_block_size into several blocks —
-          // all sharing the chunk's token, so ClickHouse silently DROPS
-          // every block after the first as a "duplicate" (data loss on the
-          // happy path, not just on replay); (b) a JDBC driver that splits
-          // one addBatch/executeBatch group into several INSERT statements.
-          // (a) is closed here by raising max_insert_block_size to the
-          // chunk size on this session before any INSERT; (b) is a driver
-          // contract — the official clickhouse-jdbc sends one batch as one
-          // INSERT; a pooling/rewriting proxy (e.g. rewriteBatchedStatements
-          // semantics) must not sit between this sink and the server.
-          val session = conn.createStatement()
-          try session.execute(s"SET max_insert_block_size = $chunkRows")
-          finally session.close()
-          val stmt = conn.prepareStatement(sql)
-          var chunk = 0L
-          rows.grouped(chunkRows).foreach { block =>
-            // one token per insert block: the session setting applies
-            // to the next INSERT on this connection
-            val set = conn.createStatement()
-            try set.execute(
-              s"SET insert_deduplication_token = '${ClickHouseJdbcSink.deduplicationToken(batchKey, pid, chunk)}'")
-            finally set.close()
-            block.foreach { row =>
-              var i = 0
-              while (i < row.length) { stmt.setObject(i + 1, row.get(i)); i += 1 }
-              stmt.addBatch()
-            }
-            stmt.executeBatch()
-            chunk += 1L
-          }
-          stmt.close()
-        } finally conn.close()
+        // The token scheme is sound ONLY if one chunk == one server-side
+        // insert block. Two ways that breaks: (a) the server splits an
+        // INSERT larger than max_insert_block_size into several blocks —
+        // all sharing the chunk's token, so ClickHouse silently DROPS
+        // every block after the first as a "duplicate" (data loss on the
+        // happy path, not just on replay); (b) a JDBC driver that splits
+        // one addBatch/executeBatch group into several INSERT statements.
+        // (a) is closed by pinning max_insert_block_size to the chunk
+        // size (chunks never exceed chunkRows, so each chunk parses into
+        // exactly one block); (b) is a driver contract — the official
+        // clickhouse-jdbc sends one batch as one INSERT; a
+        // pooling/rewriting proxy (rewriteBatchedStatements semantics)
+        // must not sit between this sink and the server.
+        //
+        // Both settings ride the connection URL, NOT `SET` statements:
+        // over the HTTP interface a standalone SET only affects later
+        // queries if the driver holds a server session, so SET-based
+        // delivery silently degrades to at-least-once on session-less
+        // drivers. URL query parameters attach to every request the
+        // connection issues, on every interface. The token differs per
+        // chunk, so each chunk opens its own connection — amortized
+        // over `batchSize` (default 100k) rows, negligible.
+        var chunk = 0L
+        rows.grouped(chunkRows).foreach { block =>
+          val chunkUrl = ClickHouseJdbcSink.urlWithSettings(u, Seq(
+            "max_insert_block_size" -> chunkRows.toString,
+            "insert_deduplication_token" ->
+              ClickHouseJdbcSink.deduplicationToken(batchKey, pid, chunk)))
+          val conn = java.sql.DriverManager.getConnection(chunkUrl, usr, pwd)
+          try {
+            val stmt = conn.prepareStatement(sql)
+            try {
+              block.foreach { row =>
+                var i = 0
+                while (i < row.length) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+                stmt.addBatch()
+              }
+              stmt.executeBatch()
+            } finally stmt.close()
+          } finally conn.close()
+          chunk += 1L
+        }
       }
     }
   }
@@ -139,6 +151,25 @@ object ClickHouseJdbcSink {
     batch
       .repartition(numWriters, pmod(xxhash64(cols: _*), lit(numWriters)))
       .sortWithinPartitions(cols: _*)
+  }
+
+  /** Append ClickHouse settings to a JDBC URL as query parameters —
+    * the per-request transport that works on every interface (the
+    * alternative, standalone `SET` statements, only sticks over HTTP
+    * when the driver maintains a server session). Values are restricted
+    * to URL-safe characters (settings names and [[deduplicationToken]]
+    * output both are) so no encoder is needed.
+    */
+  def urlWithSettings(url: String, settings: Seq[(String, String)]): String = {
+    settings.foreach { case (k, v) =>
+      require(k.matches("[A-Za-z0-9_]+") && v.matches("[A-Za-z0-9_-]*"),
+        s"non-URL-safe ClickHouse setting: $k=$v")
+    }
+    if (settings.isEmpty) url
+    else {
+      val sep = if (url.contains("?")) "&" else "?"
+      url + sep + settings.map { case (k, v) => s"$k=$v" }.mkString("&")
+    }
   }
 
   /** Deterministic per-insert-block deduplication token. Must be (a) a

@@ -232,6 +232,42 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(one("aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d), (x, y) -> x * y), 0d, (a, v) -> a + v)") == null)
   }
 
+  test("custom expressions fail at analysis time on bad inputs, not at runtime") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.AnalysisException
+    def fails(sql: String, fragment: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(s"SELECT $sql").collect())
+      assert(e.getMessage.toLowerCase.contains(fragment.toLowerCase),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+    // array_dot is strict array<double> — no implicit coercion, so a
+    // numeric array that builtins would cast is an analysis error here
+    // (previously it produced garbage via getDouble)
+    fails("array_dot(array(1, 2), array(3, 4))", "array<double>")
+    fails("array_dot(array('a'), array('b'))", "array<double>")
+    // regexp_groups: non-string inputs
+    fails("regexp_groups(1, 'x')", "string")
+    // regexp_groups: pattern must be a literal (it compiles once per
+    // operator, not per row)
+    val nonFoldable = intercept[AnalysisException] {
+      spark.sql("SELECT regexp_groups(t.c, t.c) FROM VALUES ('a') AS t(c)").collect()
+    }
+    assert(nonFoldable.getMessage.toLowerCase.contains("foldable"))
+    // regexp_groups: a foldable NULL pattern fails analysis cleanly
+    // instead of NPE-ing inside codegen when patternStr is forced
+    fails("regexp_groups('a', CAST(NULL AS STRING))", "non-null pattern")
+    // distinct_bigrams: element type must be string
+    fails("distinct_bigrams(array(1, 2))", "array<string>")
+    // wrong arity is rejected at function resolution (builder throws
+    // IllegalArgumentException; the analyzer may surface it wrapped)
+    val arity = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))").collect())
+    val chain = Iterator.iterate[Throwable](arity)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("array_dot expects 2 argument(s)"),
+      s"unexpected arity error: $chain")
+    ()
+  }
+
   test("custom expressions are SQL-callable after registration") {
     GraftExtensions.register(spark)
     val dot = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
@@ -406,9 +442,34 @@ class SinkAndPlanSpec extends AnyFunSuite {
     // daily-rotated batch keys (with the day infix) are accepted
     assert(ClickHouseJdbcSink.deduplicationToken("access_2024-01-01_0", 0, 0L)
       .matches("[A-Za-z0-9_-]+"))
-    // a key that could escape the SET statement is rejected outright
+    // a key that could escape its URL-parameter transport is rejected outright
     intercept[IllegalArgumentException] {
       ClickHouseJdbcSink.deduplicationToken("x'; DROP TABLE logs", 0, 0L)
+    }
+    ()
+  }
+
+  test("ClickHouse settings ride the connection URL, not session SET statements") {
+    import graft.sinks.ClickHouseJdbcSink
+    // settings attach as query parameters so they apply per-request on
+    // every interface (HTTP included) — no server session required
+    val plain = ClickHouseJdbcSink.urlWithSettings(
+      "jdbc:clickhouse://ch:8123/logs",
+      Seq("max_insert_block_size" -> "100000",
+          "insert_deduplication_token" -> "graft_access_7_p3_c2"))
+    assert(plain == "jdbc:clickhouse://ch:8123/logs" +
+      "?max_insert_block_size=100000&insert_deduplication_token=graft_access_7_p3_c2")
+    // a URL that already carries parameters gets '&', not a second '?'
+    val appended = ClickHouseJdbcSink.urlWithSettings(
+      "jdbc:clickhouse://ch:8123/logs?compress=0", Seq("a_b" -> "1"))
+    assert(appended == "jdbc:clickhouse://ch:8123/logs?compress=0&a_b=1")
+    // no settings → URL unchanged
+    assert(ClickHouseJdbcSink.urlWithSettings("jdbc:clickhouse://ch", Nil) ==
+      "jdbc:clickhouse://ch")
+    // values that would escape the URL are rejected, not smuggled
+    intercept[IllegalArgumentException] {
+      ClickHouseJdbcSink.urlWithSettings("jdbc:clickhouse://ch",
+        Seq("insert_deduplication_token" -> "x&readonly=0"))
     }
     ()
   }
