@@ -707,6 +707,57 @@ object SparkEntry {
       |SELECT event_id, event_type, strat_rank FROM r
       |WHERE strat_rank <= 20 ORDER BY event_type, strat_rank""".stripMargin
 
+  /** Weighted sampling without replacement (SURVEY §2 B41): the 100
+    * documents drawn by length-weighted A-RES — longer docs
+    * proportionally likelier, selection deterministic (MD5-derived
+    * uniforms, Efraimidis–Spirakis scores, TakeOrderedAndProject plan:
+    * bounded k-row heaps, no global sort). Full value oracle: DuckDB
+    * recomputes the identical scores and top-k; the output carries only
+    * exact integer columns, so sub-ulp `pow` differences between
+    * engines cannot surface in the compare (they could only flip the
+    * k-boundary if two scores were within 1 ulp, and the 60-bit hash
+    * spacing makes that vanishingly rare).
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.data.Sampling.weightedSample(t(s, dir, "documents"), "doc_id", col("n_chars"), k = 100)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  private val sampleWeightedSql =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |         pow(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |               / 1152921504606846976.0,
+      |             1.0 / n_chars) AS score
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      |  ORDER BY score DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Paragraph-level dedup (SURVEY §2 B42): corpus-wide removal of
+    * repeated 10-token windows, first occurrence kept, documents
+    * stitched back in order (C4/CCNet boilerplate removal — the
+    * granularity below whole-document dedup). Full value oracle: the
+    * window split, global first-occurrence rule, and ordered
+    * reassembly are exactly reproducible in SQL.
+    */
+  private def dedupParagraphs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.ParagraphDedup.dedup(t(s, dir, "documents"), "doc_id", "text", paraTokens = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val dedupParagraphsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p0 AS (SELECT doc_id, unnest([{'pos': j, 'para': array_to_string(toks[j*10+1 : j*10+10], ' ')}
+      |                              FOR j IN range(0, CAST(ceil(len(toks)/10.0) AS INT))]) AS u FROM t),
+      |p AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM p0),
+      |k AS (SELECT doc_id, pos, para,
+      |             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p),
+      |r AS (SELECT doc_id, count(*) AS n_kept, string_agg(para, ' ' ORDER BY pos) AS text_dedup
+      |      FROM k WHERE rn = 1 GROUP BY 1)
+      |SELECT t.doc_id, CAST(ceil(len(t.toks)/10.0) AS BIGINT) AS n_paras,
+      |       coalesce(r.n_kept, 0) AS n_kept, coalesce(r.text_dedup, '') AS text_dedup
+      |FROM t LEFT JOIN r ON t.doc_id = r.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Exact dedup under normalization (case/whitespace/punctuation
     * folded) — catches trivially-reformatted duplicates that byte-exact
     * hashing misses; same hash-group shape as dedup_exact.
@@ -1198,6 +1249,8 @@ object SparkEntry {
     "pii_redact" -> Q(piiRedact, Some(piiRedactSql)),
     "decontaminate" -> Q(decontaminate, Some(decontaminateSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
+    "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
+    "dedup_paragraphs" -> Q(dedupParagraphs, Some(dedupParagraphsSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),

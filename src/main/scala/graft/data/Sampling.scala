@@ -77,6 +77,32 @@ object Sampling {
       .where(col("strat_rank") <= quota)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-RES): each row draws a deterministic uniform
+    * `u = keyHash(key) / 2^60 ∈ [0, 1)` and scores `u^(1/w)`; the k
+    * highest scores are the sample. Higher weight ⇒ score closer to 1 ⇒
+    * more likely sampled, with exactly the weighted-without-replacement
+    * distribution — the standard shape for quality- or length-weighted
+    * corpus subsetting in a pretraining mix.
+    *
+    * Reproducible like the rest of the family (the uniform is
+    * MD5-derived, never `rand()`), and scale-correct: `orderBy(score)
+    * .limit(k)` plans as TakeOrderedAndProject — a bounded k-row heap
+    * per partition plus a k-row driver merge, NO global sort shuffle.
+    * Ties (same score) break by key for a deterministic result.
+    *
+    * Weights must be strictly positive; rows with null/non-positive
+    * weight are excluded (a zero-weight row can never be sampled).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column, k: Int): DataFrame = {
+    val u = keyHash(col(keyCol)).cast("double") / lit(1152921504606846976.0) // 2^60
+    val score = pow(u, lit(1.0) / weightCol.cast("double"))
+    df.where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("sample_score", score)
+      .orderBy(col("sample_score").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic global shuffle: a total order by (keyHash, key) —
     * i.e. a reproducible pseudo-random permutation of the corpus —
     * with a dense 1-based `pos`.

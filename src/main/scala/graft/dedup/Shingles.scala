@@ -20,4 +20,18 @@ object Shingles {
     val grams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
+
+  /** NON-overlapping windows of `paraTokens` tokens, in document order
+    * (the last window may be shorter) — the "paragraph" unit of
+    * [[ParagraphDedup]] on single-line corpora. Unlike [[shingles]],
+    * positions matter and duplicates within a document are preserved:
+    * the caller decides which occurrences to keep.
+    */
+  def paragraphs(text: Column, paraTokens: Int): Column = {
+    val toks = tokens(text)
+    val nParas = ceil(size(toks).cast("double") / paraTokens).cast("int")
+    transform(
+      sequence(lit(0), nParas - 1),
+      j => concat_ws(" ", slice(toks, j * paraTokens + 1, lit(paraTokens))))
+  }
 }

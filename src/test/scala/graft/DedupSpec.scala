@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.{DupClusters, ExactDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{DupClusters, ExactDedup, MinHashLSH, NgramJaccard, ParagraphDedup, SimHash}
 
 class DedupSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -27,6 +27,43 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect()
     assert(out.forall(_._2 == 0L), s"all nodes reach cluster 0: ${out.toSeq}")
     assert(out.count(_._3) == 1)
+  }
+
+  test("paragraph dedup keeps first occurrences, stitches survivors in order") {
+    def win(prefix: String): String = (1 to 10).map(i => s"$prefix$i").mkString(" ")
+    val (a, b, c, d, e) = (win("a"), win("b"), win("c"), win("d"), win("e"))
+    val docs = Seq(
+      (1L, s"$a $b"),       // first occurrence of both windows: intact
+      (2L, s"$a $c"),       // a seen in doc 1 -> only c survives
+      (3L, a),              // entirely duplicated -> collapses to empty
+      (4L, "x1 x2 x3"),     // short unique partial window: intact
+      (5L, s"$d $d"),       // within-doc repeat: second copy dropped
+      (6L, s"$e $a $b")     // middle+tail dropped, e kept, order preserved
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 2L, s"$a $b")))
+    assert(out(2L) == ((2L, 1L, c)))
+    assert(out(3L) == ((1L, 0L, "")))       // doc survives as a row, text empties
+    assert(out(4L) == ((1L, 1L, "x1 x2 x3")))
+    assert(out(5L) == ((2L, 1L, d)))
+    assert(out(6L) == ((3L, 1L, e)))
+    // corpus-wide invariant on real data: no document row is lost, and
+    // every surviving window count is bounded by the original count
+    val real = Tables(spark, TestSpark.SfDirSmall, "documents")
+    val full = ParagraphDedup.dedup(real, "doc_id", "text")
+    assert(full.count() == real.count())
+    assert(full.where(org.apache.spark.sql.functions.col("n_kept") >
+      org.apache.spark.sql.functions.col("n_paras")).isEmpty)
+    // kept windows across the corpus are globally unique
+    val totalKept = full.agg(org.apache.spark.sql.functions.sum("n_kept")).as[Long].head()
+    val distinctParas = real.select(
+      org.apache.spark.sql.functions.explode(
+        graft.dedup.Shingles.paragraphs(org.apache.spark.sql.functions.col("text"), 10)).as("p"))
+      .distinct().count()
+    assert(totalKept == distinctParas,
+      s"kept $totalKept windows but corpus has $distinctParas distinct windows")
   }
 
   test("exact dedup collapses identical texts, keeps min id") {

@@ -26,6 +26,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == out.select("event_id").as[Long].collect().toSet)
   }
 
+  test("weighted sample matches a local A-RES recompute and plans as a bounded top-k") {
+    val d = docs.select("doc_id", "n_chars")
+    val out = Sampling.weightedSample(d, "doc_id", col("n_chars"), k = 50)
+    // local brute-force of the identical score formula (same JVM math)
+    val local = d.as[(Long, Long)].collect().toSeq
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(md5.take(15), 16).toDouble / math.pow(2, 60)
+        (id, math.pow(u, 1.0 / w))
+      }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(50).map(_._1).toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == local)
+    // deterministic across evaluations
+    assert(out.select("doc_id").as[Long].collect().toSet == local)
+    // scale shape: global sort + limit must plan as TakeOrderedAndProject
+    // (bounded per-partition heaps), never a full sort exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k plan:\n$plan")
+    // null / non-positive weights can never be sampled
+    val weighted = Sampling.weightedSample(
+      Seq((1L, 5L), (2L, 0L), (3L, -1L)).toDF("id", "w"), "id", col("w"), k = 10)
+    assert(weighted.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the dog"), // shares "the quick brown fox jumps"
