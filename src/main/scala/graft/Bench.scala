@@ -43,9 +43,14 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // comma-separated query-name filter for local iteration on a subset
+    // (unset = the full surface, the driver's configuration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
@@ -66,13 +71,16 @@ object Bench {
 
     // Raw parse throughput (the reference's headline metric is ingest
     // rate): monolog lines -> typed columns, no ORDER BY gate artifact.
+    // Skipped (0) when iterating on a query subset via BENCH_ONLY.
     val events = Tables(spark, sfDir, "events")
     val nRows = events.count()
     val lines = graft.logs.LogLines.fromEvents(events)
     val cfg = graft.logs.TailConfig(name = "bench", repo = "bench")
-    val tp0 = System.nanoTime()
-    graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
-    val parseRowsPerSec = nRows / ((System.nanoTime() - tp0) / 1e9)
+    val parseRowsPerSec = if (only.nonEmpty) 0.0 else {
+      val tp0 = System.nanoTime()
+      graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
+      nRows / ((System.nanoTime() - tp0) / 1e9)
+    }
 
     // Streaming ingest throughput — the reference's actual job shape:
     // file tail → parse → sink. Renders the events corpus to text
@@ -81,9 +89,9 @@ object Bench {
     // parquet write + checkpoint commit, via TailPipeline into a
     // MergeTreeSink on scratch disk.
     val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH", System.getProperty("java.io.tmpdir"))
-    val scratch = java.nio.file.Files
+    lazy val scratch = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(scratchRoot), "bench_stream")
-    val streamRowsPerSec =
+    val streamRowsPerSec = if (only.nonEmpty) 0.0 else
       try {
         lines.write.text(s"$scratch/in")
         val sink = graft.sinks.MergeTreeSink(s"$scratch/wh")

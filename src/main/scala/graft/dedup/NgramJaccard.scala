@@ -53,8 +53,19 @@ object NgramJaccard {
       n: Int = 2,
       minJaccard: Double = 0.6,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    // The shingle key is carried as its 64-bit hash, not the string:
+    // every downstream shuffle (df count, the self-join, both join
+    // probes) then moves and compares 8-byte longs instead of ~n-word
+    // UTF8 strings — less shuffle volume and cheaper key compares in
+    // exactly the stages that dominate this operator. Shingles are
+    // distinct-per-doc BEFORE hashing, so per-doc sizes are exact; a
+    // cross-doc xxhash64 collision could overcount one intersection,
+    // with probability ~|distinct shingles|²/2^64 corpus-wide —
+    // accepted and documented (the MD5-family cross-engine trick is
+    // not needed because hashes never leave the plan).
     val sh = docs
-      .select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s"))
+      .select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s_str"))
+      .select(col("id"), xxhash64(col("s_str")).as("s"))
     val index = maxDf match {
       case Some(cap) =>
         val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
