@@ -801,6 +801,42 @@ object SparkEntry {
       |WHERE g.est_jaccard >= 0.6 AND i.i / (sa.n + sb.n - i.i) >= 0.45
       |ORDER BY g.a, g.b""".stripMargin
 
+  /** Incremental batch-vs-corpus dedup (SURVEY §2 B43): new documents
+    * (doc_id % 10 == 0 stands in for the arriving batch) screened
+    * against the existing corpus via a bipartite MinHash band join —
+    * the continuous-ingestion shape. Precision oracle like
+    * dedup_minhash: every emitted (id, dup_of) must claim
+    * est_jaccard ≥ 0.6, sit on the right sides of the split, and have
+    * TRUE trigram Jaccard ≥ 0.45 recomputed from `documents`.
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.dedup.IncrementalDedup.newVsCorpus(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 3)
+      .orderBy("id", "dup_of")
+  }
+
+  private val dedupIncrementalSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT g.id, g.dup_of, count(*) i
+      |          FROM graft_result g
+      |          JOIN e ea ON ea.doc_id = g.id
+      |          JOIN e eb ON eb.doc_id = g.dup_of AND eb.s = ea.s
+      |          GROUP BY 1, 2)
+      |SELECT g.id, g.dup_of, g.est_jaccard
+      |FROM graft_result g
+      |JOIN inter i ON g.id = i.id AND g.dup_of = i.dup_of
+      |JOIN sizes sa ON g.id = sa.doc_id
+      |JOIN sizes sb ON g.dup_of = sb.doc_id
+      |WHERE g.est_jaccard >= 0.6
+      |  AND g.id % 10 = 0 AND g.dup_of % 10 <> 0
+      |  AND i.i / (sa.n + sb.n - i.i) >= 0.45
+      |ORDER BY g.id, g.dup_of""".stripMargin
+
   /** SimHash pairs carry both fingerprints, so the oracle recomputes
     * the hamming distance (`bit_count(xor(fa, fb))`) and re-applies
     * the <=3 threshold on the emitted rows — a wrong distance or an
@@ -993,6 +1029,26 @@ object SparkEntry {
       |            THEN round(1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE), 4)
       |            ELSE 0.0 END AS rep_ratio
       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Unigram LM scoring (SURVEY §2 B44): per-document mean negative
+    * log-likelihood against corpus token frequencies — the
+    * perplexity-filter shape (unigram model so the math is exactly
+    * SQL-reproducible; the distributed machinery is the same for a
+    * real LM). Full value oracle at 4 decimals.
+    */
+  private def textUnigramNll(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.score(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val textUnigramNllSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM f),
+      |d AS (SELECT t.doc_id, count(*) AS n_tokens, avg(ln(f.cnt)) AS avg_ln_cnt
+      |      FROM tok t JOIN f USING (tok) GROUP BY 1)
+      |SELECT d.doc_id, d.n_tokens, round(ln(tot.total) - d.avg_ln_cnt, 4) AS nll
+      |FROM d, tot ORDER BY d.doc_id""".stripMargin
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.asBinary(t(s, dir, "documents"), "doc_id", "text")
@@ -1252,6 +1308,8 @@ object SparkEntry {
     "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
     "dedup_paragraphs" -> Q(dedupParagraphs, Some(dedupParagraphsSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
+    "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
+    "text_unigram_nll" -> Q(textUnigramNll, Some(textUnigramNllSql)),
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
     "dedup_cosine_lsh" -> Q(dedupCosineLsh, Some(dedupCosineLshSql)),

@@ -52,6 +52,17 @@ object MinHashLSH {
 
   /** Candidate pairs from band-bucket collisions with estimated Jaccard
     * (fraction of agreeing minhash slots) at or above `minEstJaccard`.
+    *
+    * Ids-only candidate discipline (same as [[CosineDedup]]): the band
+    * explode and bucket self-join move `(id, band, bucket)` — 24 bytes
+    * — never the `numHashes`-slot signature array (~0.5 KB, ×bands
+    * copies, through both join sides: ~40x the shuffle volume at any
+    * scale). Signatures are materialized ONCE (eager localCheckpoint,
+    * |docs|-sized — the "signature store" of a production incremental
+    * pipeline; a long-lived job would use an FS-backed table) and
+    * joined back onto the deduplicated pair list for the slot-agreement
+    * estimate — without the materialization the signature AGGREGATION
+    * subtree would re-execute for each of its three plan occurrences.
     */
   def candidatePairs(
       sigs: DataFrame,
@@ -61,16 +72,20 @@ object MinHashLSH {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) for even band slicing")
     val r = numHashes / bands
-    val bandRows = sigs.select(
+    val sigStore = sigs.localCheckpoint(true)
+    val bandRows = sigStore.select(
       col("id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket", xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+      .select("id", "band", "bucket")
     val cands = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"), col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
       .dropDuplicates("a", "b")
     cands
+      .join(sigStore.select(col("id"), col("sig").as("sa")), col("a") === col("id")).drop("id")
+      .join(sigStore.select(col("id"), col("sig").as("sb")), col("b") === col("id")).drop("id")
       .select(
         col("a"), col("b"),
         round(

@@ -100,6 +100,22 @@ class AnnTextSpec extends AnyFunSuite {
     assert(one == 1.0)
   }
 
+  test("unigram LM scoring matches hand-computed NLL, ranks rare-token docs higher") {
+    // corpus: "a" x3, "b" x2, "c" x1 -> total 6
+    val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "c")).toDF("doc_id", "text")
+    val out = graft.text.UnigramLm.score(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def nll(cnts: Seq[Int]): Double = {
+      val v = math.log(6.0) - cnts.map(c => math.log(c.toDouble)).sum / cnts.size
+      math.rint(v * 1e4) / 1e4
+    }
+    assert(out(1L) == ((3L, nll(Seq(3, 3, 3)))))  // -ln(3/6) = ln 2
+    assert(out(2L) == ((2L, nll(Seq(2, 2)))))     // -ln(2/6) = ln 3
+    assert(out(3L) == ((1L, nll(Seq(1)))))        // -ln(1/6) = ln 6
+    // the all-rare doc is the least typical: strictly highest NLL
+    assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
+  }
+
   test("PII redaction tags emails, IPv4s, and long digit runs in order") {
     val docs = Seq((1L, "mail a.b+c@ex-1.org or 10.0.0.255 acct 12345678 end"),
       (2L, "clean text 123 here")).toDF("doc_id", "text")

@@ -66,6 +66,28 @@ class DedupSpec extends AnyFunSuite {
       s"kept $totalKept windows but corpus has $distinctParas distinct windows")
   }
 
+  test("incremental dedup screens the batch against the corpus, never corpus-vs-corpus") {
+    import graft.dedup.IncrementalDedup
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val base = (1 to 30).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, mk(base)),                       // will be near-duplicated by batch doc 100
+      (2L, mk(base.map(_.toUpperCase))),    // distinct content
+      (3L, mk(base))                        // corpus-internal dup of 1: must NOT be emitted
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, mk(base.updated(0, "CHANGED"))),       // near-dup of corpus 1 and 3
+      (101L, mk((1 to 30).map(i => s"z$i")))        // unique: no match
+    ).toDF("doc_id", "text")
+    val out = IncrementalDedup.newVsCorpus(corpus, batch, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect()
+    // the near-dup batch doc matches its corpus twins and nothing else
+    assert(out.map(r => (r._1, r._2)).toSet == Set((100L, 1L), (100L, 3L)), out.toSeq.toString)
+    assert(out.forall(_._3 >= 0.6))
+    // ids come exclusively from the batch side (bipartite, not corpus²)
+    assert(out.forall(_._1 >= 100L))
+  }
+
   test("exact dedup collapses identical texts, keeps min id") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z w")).toDF("doc_id", "text")
     val out = ExactDedup.dedup(docs, "doc_id", "text")
