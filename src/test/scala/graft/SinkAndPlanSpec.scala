@@ -520,11 +520,15 @@ class SinkAndPlanSpec extends AnyFunSuite {
       "q1_agg" -> 2,          // partial→final agg + sort
       "q3_join" -> 1,         // dims broadcast; one order/lineitem-side shuffle
       "q5_join" -> 2,         // dims broadcast; fact-side agg shuffles
-      "dedup_minhash" -> 3,   // signature agg + band bucket join + output sort
+      "dedup_minhash" -> 2,   // ids-only band bucket join + output sort (sig agg runs at the checkpoint, not in-plan)
       "topk_custom" -> 2,     // inter-phase key exchange + final agg/sort
       "text_repetition" -> 1, // row-local map; ORDER BY only
       "dedup_exact" -> 2,
-      "sample_hash" -> 1)
+      "sample_hash" -> 1,
+      "sample_weighted" -> 0,   // TakeOrderedAndProject leaves a single partition; even the gate sort needs no exchange
+      "dedup_paragraphs" -> 3,  // content-keyed window + reassembly agg + gate sort
+      "dedup_incremental" -> 2, // bipartite band join + output sort (both sig stores checkpointed)
+      "text_unigram_nll" -> 5)  // freq agg + token-keyed scoring join + per-doc agg + gate sort
     val over = budgets.flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, TestSpark.SfDirSmall)
         .queryExecution.executedPlan.toString
