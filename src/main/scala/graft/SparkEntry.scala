@@ -1030,6 +1030,33 @@ object SparkEntry {
       |            ELSE 0.0 END AS rep_ratio
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Corpus profile / data card (SURVEY §2 B45): per-source corpus
+    * statistics — doc and token volume, length moments, exact-dup and
+    * short-doc rates — the reporting query behind a dataset release
+    * card and the input to mix planning. One grouped pass; the
+    * distinct-text count rides the same shuffle via Spark's two-phase
+    * distinct-aggregate expansion. Full value oracle.
+    */
+  private def corpusProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+        sum(when(size(split(col("text"), " ")) < 30, 1L).otherwise(0L)).as("n_short"))
+      .orderBy("source")
+
+  private val corpusProfileSql =
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       round(avg(n_chars), 2) AS avg_chars,
+      |       count(*) - count(DISTINCT text) AS n_exact_dups,
+      |       CAST(sum(CASE WHEN len(string_split(text, ' ')) < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Unigram LM scoring (SURVEY §2 B44): per-document mean negative
     * log-likelihood against corpus token frequencies — the
     * perplexity-filter shape (unigram model so the math is exactly
@@ -1310,6 +1337,7 @@ object SparkEntry {
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
     "text_unigram_nll" -> Q(textUnigramNll, Some(textUnigramNllSql)),
+    "corpus_profile" -> Q(corpusProfile, Some(corpusProfileSql)),
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
     "dedup_cosine_lsh" -> Q(dedupCosineLsh, Some(dedupCosineLshSql)),
