@@ -48,6 +48,16 @@ object TextStats {
       round(size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))) / nChars, 4).as("punct_ratio"))
   }
 
+  /** Row-local quality-gate PREDICATE over a text column — the filter
+    * form of [[quality]] for ingest-time gating (compose into
+    * `TailConfig.transform` or any `where`): minimum word count and
+    * maximum punctuation density. Stays a shuffle-free map, so gating
+    * at ingest costs one pass over each microbatch.
+    */
+  def qualityPredicate(text: Column, minWords: Int = 3, maxPunctRatio: Double = 0.2): Column =
+    size(words(text)) >= minWords &&
+      (size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))) / length(text)) <= maxPunctRatio
+
   /** N-gram-heuristic language ID: stopword density against the English
     * list; below the floor → undetermined.
     */

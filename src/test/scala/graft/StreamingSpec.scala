@@ -83,6 +83,32 @@ class StreamingSpec extends AnyFunSuite {
       "replayed dead-letter batch must not duplicate either")
   }
 
+  test("ingest-time quality gate: a text-stats transform filters the stream before the sink") {
+    // the LLM-pipeline filters compose into the ingest path through the
+    // same TailConfig.transform hook as the reference's per-line
+    // callback — the quality predicate is row-local, so the gate stays
+    // a shuffle-free map inside each microbatch
+    import org.apache.spark.sql.functions._
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      df.where(graft.text.TextStats.qualityPredicate(col("message"), minWords = 3))
+    val in = tmp("gate_in"); val ck = tmp("gate_ck"); val out = tmp("gate_out")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "gate", transform = Some(gate)),
+      in.toString, ck.toString, sink)
+    writeLog(in, "a.log", Seq(
+      line(1, "short"),                       // 1 word: gated out
+      line(2, "this passes the gate"),        // 4 words: kept
+      line(3, "ok then"),                     // 2 words: gated out
+      line(4, "another long enough message")  // kept
+    ))
+    val q = pipe.start(LocalDate.of(2024, 1, 1))
+    q.processAllAvailable()
+    pipe.stopGracefully(q)
+    val msgs = sink.read(spark).select("message")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    assert(msgs == Seq("another long enough message", "this passes the gate"))
+  }
+
   test("maxFilesPerTrigger bounds each flush like the reference's max_sent_count") {
     val in = tmp("mft_in"); val ck = tmp("mft_ck"); val out = tmp("mft_out")
     val sink = MergeTreeSink(out.toString)
