@@ -528,7 +528,7 @@ class SinkAndPlanSpec extends AnyFunSuite {
       "sample_weighted" -> 0,   // TakeOrderedAndProject leaves a single partition; even the gate sort needs no exchange
       "dedup_paragraphs" -> 3,  // content-keyed window + reassembly agg + gate sort
       "dedup_incremental" -> 2, // bipartite band join + output sort (both sig stores checkpointed)
-      "text_unigram_nll" -> 5)  // freq agg + token-keyed scoring join + per-doc agg + gate sort
+      "text_unigram_nll" -> 3)  // freq agg + per-doc agg + gate sort (freq side broadcasts; the total is a collected literal)
     val over = budgets.flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, TestSpark.SfDirSmall)
         .queryExecution.executedPlan.toString
