@@ -689,6 +689,84 @@ object SparkEntry {
       |WHERE g.doc_id % 97 <> 0
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination (SURVEY §2 B39a): the scale
+    * path of `decontaminate` — eval grams folded into a Bloom bitmap
+    * (~1.25 bytes/gram vs tens for a broadcast gram string), train
+    * shingles prefiltered by a codegen'd row-local bit test, survivors
+    * exact-verified. Result is IDENTICAL to the exact query, so the
+    * full value oracle is shared verbatim.
+    */
+  private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.data.Decontaminate.overlapBloom(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-vocabulary building (SURVEY §2 B47): global token
+    * frequencies in one partial-agg shuffle, top-500 via TakeOrdered
+    * bounded heaps (no global sort), then rank + cumulative
+    * corpus-coverage share computed over the 500 survivors only. The
+    * corpus token total is one collected scalar (the unigram-LM
+    * regime). Full value oracle.
+    */
+  private def vocabTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("tok"))
+    toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(500)
+      .withColumn("tok_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_share", round(sum(col("cnt")).over(w) / lit(total.toDouble), 4))
+      .orderBy("tok_rank")
+  }
+
+  private val vocabTopkSql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      |r AS (SELECT tok, cnt,
+      |        CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS tok_rank,
+      |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok) AS DOUBLE) AS cum FROM f)
+      |SELECT tok, cnt, tok_rank,
+      |       round(cum / (SELECT count(*) FROM toks), 4) AS cum_share
+      |FROM r WHERE tok_rank <= 500 ORDER BY tok_rank""".stripMargin
+
+  /** Length-bucket batching stats (SURVEY §2 B48): docs assigned to a
+    * fixed pow-2 token-length ladder (row-local CASE, cross-engine
+    * exact — no float log2 at bucket boundaries); per bucket the doc
+    * count, token sum, and padding-waste fraction if batches pad to
+    * the bucket cap — the planner input for length-bucketed dynamic
+    * batching. One grouped agg. Full value oracle.
+    */
+  private def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val n = size(split(col("text"), " "))
+    val bucket = caps.foldRight(lit(8192)) { (c, e) => when(n <= c, lit(c)).otherwise(e) }
+    t(s, dir, "documents")
+      .select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      .withColumn("pad_waste",
+        round(lit(1.0) - col("tok_sum") / (col("n_docs") * col("bucket")), 4))
+      .orderBy("bucket")
+  }
+
+  private val lengthBucketsSql =
+    """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |b AS (SELECT n_tokens,
+      |        CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |             WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |             WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+      |             WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+      |             WHEN n_tokens <= 4096 THEN 4096 ELSE 8192 END AS bucket FROM d),
+      |g AS (SELECT bucket, count(*) AS n_docs,
+      |        CAST(sum(n_tokens) AS BIGINT) AS tok_sum FROM b GROUP BY 1)
+      |SELECT bucket, n_docs, tok_sum,
+      |       round(1.0 - CAST(tok_sum AS DOUBLE) / (n_docs * bucket), 4) AS pad_waste
+      |FROM g ORDER BY bucket""".stripMargin
+
   /** Stratified quota sampling (SURVEY §2 B40): 20 events per
     * event_type, ranked by the cross-engine key hash — the per-source
     * quota shape of a pretraining data mix. Full value oracle.
@@ -1331,6 +1409,9 @@ object SparkEntry {
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "pii_redact" -> Q(piiRedact, Some(piiRedactSql)),
     "decontaminate" -> Q(decontaminate, Some(decontaminateSql)),
+    "decontaminate_bloom" -> Q(decontaminateBloom, Some(decontaminateSql)),
+    "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
+    "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
     "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
     "dedup_paragraphs" -> Q(dedupParagraphs, Some(dedupParagraphsSql)),

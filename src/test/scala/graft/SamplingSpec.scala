@@ -66,6 +66,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L)), s"got $out")
   }
 
+  test("bloom filter has no false negatives and a sane false-positive rate") {
+    val keys = (0 until 2000).map(i => s"key_$i")
+    val bloom = graft.data.Bloom.build(keys.toDF("k"), col("k"))
+    // no false negatives, ever
+    val members = keys.toDF("k").where(bloom.mightContain(col("k"))).count()
+    assert(members == 2000L, s"bloom dropped ${2000 - members} inserted keys")
+    // false positives bounded: 10 bits/key, k=5 gives ~0.1%; allow 1%
+    val fresh = (0 until 10000).map(i => s"other_$i")
+    val fp = fresh.toDF("k").where(bloom.mightContain(col("k"))).count()
+    assert(fp < 100, s"false-positive rate too high: $fp / 10000")
+  }
+
+  test("bloom-prefiltered decontamination equals the exact overlap") {
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val eval_ = docs.where(col("doc_id") % 97 === 0)
+    val exact = graft.data.Decontaminate.overlap(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = graft.data.Decontaminate.overlapBloom(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomed == exact, "bloom path must be exact after the verify join")
+    assert(exact.nonEmpty, "fixture must actually overlap or the test is vacuous")
+  }
+
   test("hash sample is deterministic, ~pct-sized, and append-stable") {
     val a = Sampling.sampleByHash(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet
     val b = Sampling.sampleByHash(docs, "doc_id", 10).select("doc_id").as[Long].collect().toSet

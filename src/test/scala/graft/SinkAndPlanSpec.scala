@@ -528,7 +528,10 @@ class SinkAndPlanSpec extends AnyFunSuite {
       "sample_weighted" -> 0,   // TakeOrderedAndProject leaves a single partition; even the gate sort needs no exchange
       "dedup_paragraphs" -> 3,  // content-keyed window + reassembly agg + gate sort
       "dedup_incremental" -> 2, // bipartite band join + output sort (both sig stores checkpointed)
-      "text_unigram_nll" -> 3)  // freq agg + per-doc agg + gate sort (freq side broadcasts; the total is a collected literal)
+      "text_unigram_nll" -> 3,  // freq agg + per-doc agg + gate sort (freq side broadcasts; the total is a collected literal)
+      "decontaminate_bloom" -> 2, // bloom prefilter is a row-local Filter; verify join broadcasts; per-doc agg + gate sort
+      "vocab_topk" -> 3,          // freq agg + single-partition window over the top-k + gate sort
+      "length_buckets" -> 2)      // bucket agg + gate sort
     val over = budgets.flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, TestSpark.SfDirSmall)
         .queryExecution.executedPlan.toString
@@ -558,6 +561,17 @@ class SinkAndPlanSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("decontaminate")(spark, TestSpark.SfDirSmall)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+  }
+
+  test("bloom decontamination prefilters with a row-local Filter, not an extra join") {
+    val plan = SparkEntry.queries("decontaminate_bloom")(spark, TestSpark.SfDirSmall)
+      .queryExecution.executedPlan.toString
+    // exactly one join in the whole plan: the exact verify of survivors
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins == 1, s"expected the single verify join, got $joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"verify join should broadcast here:\n$plan")
+    // the bit-probe prefilter runs as a plain Filter over the shingles
+    assert(plan.contains("Filter"), s"bloom prefilter missing:\n$plan")
   }
 
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
