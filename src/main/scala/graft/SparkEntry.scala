@@ -363,6 +363,36 @@ object SparkEntry {
       |       upper(event_type) AS level, count(*) AS cnt
       |FROM events GROUP BY 1, 2 ORDER BY window_start, level""".stripMargin
 
+  /** Request↔response correlation (SURVEY §2 A19n) — the batch
+    * validation of the StreamCorrelate stream-stream interval join
+    * (identical operator code; batch drops the watermark nodes, the
+    * streaming path with state eviction is covered in StreamingSpec).
+    * Responses are synthesized at `ts + (event_id % 120) s`, so only
+    * the ~half within the 60 s window pair up. Full value oracle.
+    */
+  private def correlateReqResp(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val reqs = ev.select(col("event_id"), col("user_id"), col("ts").as("req_ts"))
+    val resps = ev.select(
+      col("event_id"),
+      expr("timestampadd(SECOND, event_id % 120, ts)").as("resp_ts"))
+    graft.streaming.StreamCorrelate
+      .interval(reqs, resps, "event_id", "req_ts", "resp_ts",
+        delay = "10 minutes", within = "60 seconds")
+      .withColumn("latency_s",
+        (unix_timestamp(col("resp_ts")) - unix_timestamp(col("req_ts"))).cast("long"))
+      .orderBy("event_id")
+  }
+
+  private val correlateReqRespSql =
+    """WITH req AS (SELECT event_id, user_id, ts AS req_ts FROM events),
+      |resp AS (SELECT event_id, ts + INTERVAL (event_id % 120) SECOND AS resp_ts FROM events)
+      |SELECT r.event_id, r.user_id, r.req_ts, p.resp_ts,
+      |       date_diff('second', r.req_ts, p.resp_ts) AS latency_s
+      |FROM req r JOIN resp p ON r.event_id = p.event_id
+      |WHERE p.resp_ts >= r.req_ts AND p.resp_ts <= r.req_ts + INTERVAL 60 SECOND
+      |ORDER BY r.event_id""".stripMargin
+
   private def aggDistinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type").as("level"))
@@ -1428,6 +1458,7 @@ object SparkEntry {
     "sessionize" -> Q(sessionize, Some(sessionizeSql)),
     "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
     "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
+    "correlate_req_resp" -> Q(correlateReqResp, Some(correlateReqRespSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

@@ -194,6 +194,42 @@ class StreamingSpec extends AnyFunSuite {
       s"duplicates leaked or rows lost: $counts")
   }
 
+  test("stream-stream interval join pairs in-window events, drops out-of-window, evicts state") {
+    val ck = tmp("corr_ck")
+    val reqs = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val resps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val joined = graft.streaming.StreamCorrelate.interval(
+      reqs.toDF().toDF("id", "req_ts"), resps.toDF().toDF("id", "resp_ts"),
+      "id", "req_ts", "resp_ts", delay = "2 minutes", within = "60 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("corr").outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def t(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    // req 1 pairs (resp 30 s later), req 2's resp is 90 s late (outside
+    // the window), req 3's resp arrives in a LATER microbatch (state
+    // must hold it across batches)
+    reqs.addData((1L, t(0, 0)), (2L, t(0, 0)), (3L, t(0, 10)))
+    resps.addData((1L, t(0, 30)), (2L, t(1, 30)))
+    q.processAllAvailable()
+    resps.addData((3L, t(0, 40)))
+    q.processAllAvailable()
+    // advance both watermarks past the horizon so earlier state is evictable
+    reqs.addData((90L, t(20, 0)))
+    resps.addData((91L, t(20, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corr").select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"expected in-window pairs only, got $got")
+    // the interval predicate + both-sided watermark is what makes join
+    // state evictable: the plan must carry a state-cleanup condition
+    val lastProgress = q.lastProgress
+    assert(lastProgress != null && lastProgress.stateOperators.nonEmpty,
+      "join should run as a stateful operator")
+  }
+
   test("watermarked windowed counts aggregate the stream by event time") {
     val in = tmp("win_in"); val ck = tmp("win_ck")
     writeLog(in, "a.log", Seq(
