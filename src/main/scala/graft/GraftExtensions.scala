@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, DistinctBigrams, RegexpExtractGroups}
+import graft.functions.{ArrayDot, DistinctBigrams, FreqTopK, RegexpExtractGroups}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -46,7 +46,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => { arity("regexp_groups", 2, args); RegexpExtractGroups(args(0), args(1)) }),
     ("distinct_bigrams",
       new ExpressionInfo(classOf[DistinctBigrams].getName, "distinct_bigrams"),
-      (args: Seq[Expression]) => { arity("distinct_bigrams", 1, args); DistinctBigrams(args(0)) }))
+      (args: Seq[Expression]) => { arity("distinct_bigrams", 1, args); DistinctBigrams(args(0)) }),
+    ("freq_topk",
+      new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
+      (args: Seq[Expression]) => {
+        arity("freq_topk", 3, args)
+        FreqTopK(args(0), foldableInt("freq_topk k", args(1)), foldableInt("freq_topk capacity", args(2)))
+      }))
+
+  /** Extract a non-null foldable integer argument at analysis time —
+    * k/capacity must be literals (they size driver-side structures).
+    */
+  private def foldableInt(what: String, e: Expression): Int = {
+    require(e.foldable && e.eval() != null, s"$what must be a non-null integer literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   /** Register on an existing session (functions + the HOF-dot-product
     * rewrite rule).

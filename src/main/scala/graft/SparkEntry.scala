@@ -363,6 +363,35 @@ object SparkEntry {
       |       upper(event_type) AS level, count(*) AS cnt
       |FROM events GROUP BY 1, 2 ORDER BY window_start, level""".stripMargin
 
+  /** Approximate heavy hitters (SURVEY §2 A17a): ClickHouse's `topK()`
+    * analog — per-level top-5 users from a capacity-32 Misra–Gries
+    * summary (150 distinct users at sf0.01, so the summary genuinely
+    * churns; see graft.functions.FreqTopK for the scale argument vs an
+    * exact item-keyed groupBy). Precision oracle: MG guarantees
+    * `est <= true` and `true - est <= n_group/(capacity+1)`; the
+    * oracle recomputes each emitted item's exact in-group count and
+    * re-applies both bounds, so an inflated or out-of-bound claim
+    * drops the row and fails the hash compare.
+    */
+  private def approxTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("level"))
+      .agg(graft.functions.FreqTopK.topK(col("user_id").cast("string"), 5, 32).as("tk"))
+      .select(col("level"), explode(col("tk")).as("e"))
+      .select(col("level"), col("e.item").as("item"), col("e.est").as("est"))
+      .orderBy(col("level"), col("est").desc, col("item"))
+
+  private val approxTopkSql =
+    """WITH exact AS (SELECT event_type AS level, CAST(user_id AS VARCHAR) AS item,
+      |                      count(*) AS cnt FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type AS level, count(*) AS n FROM events GROUP BY 1)
+      |SELECT g.level, g.item, g.est
+      |FROM graft_result g
+      |JOIN exact e ON e.level = g.level AND e.item = g.item
+      |JOIN tot ON tot.level = g.level
+      |WHERE g.est <= e.cnt AND e.cnt - g.est <= tot.n / 33.0
+      |ORDER BY g.level, g.est DESC, g.item""".stripMargin
+
   /** Request↔response correlation (SURVEY §2 A19n) — the batch
     * validation of the StreamCorrelate stream-stream interval join
     * (identical operator code; batch drops the watermark nodes, the
@@ -1459,6 +1488,7 @@ object SparkEntry {
     "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
     "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
     "correlate_req_resp" -> Q(correlateReqResp, Some(correlateReqRespSql)),
+    "approx_topk" -> Q(approxTopk, Some(approxTopkSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

@@ -203,6 +203,51 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Header(bad).isEmpty)
   }
 
+  test("freq_topk: Misra-Gries guarantees hold, exact in the small regime, SQL-callable") {
+    GraftExtensions.register(spark)
+    // skewed fixture: a=1000, b=300, c=100, plus 200 singletons; force
+    // partial summaries + merges with an explicit repartition
+    val items = Seq.fill(1000)("a") ++ Seq.fill(300)("b") ++ Seq.fill(100)("c") ++
+      (0 until 200).map(i => s"x$i")
+    val df = items.toDF("item").repartition(8)
+    val n = items.size
+    val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = 8
+    val got = df.agg(graft.functions.FreqTopK.topK(col("item"), 8, cap).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    val bound = n.toDouble / (cap + 1)
+    got.foreach { case (item, est) =>
+      val exact = trueCounts(item)
+      assert(est <= exact, s"$item overestimated: $est > $exact")
+      assert(exact - est <= bound, s"$item error ${exact - est} exceeds n/(cap+1)=$bound")
+    }
+    // completeness: every item with true count > n/(cap+1) must appear
+    trueCounts.filter(_._2 > bound).keys.foreach { hh =>
+      assert(got.contains(hh), s"true heavy hitter $hh missing from $got")
+    }
+    // small regime (capacity >= cardinality): exact counts, exact top-k
+    val smallExact = Seq("a", "a", "a", "b", "b", "c").toDF("item").repartition(3)
+      .agg(graft.functions.FreqTopK.topK(col("item"), 2, 8).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toSeq
+    assert(smallExact == Seq(("a", 3L), ("b", 2L)), s"got $smallExact")
+    // SQL registration path
+    items.toDF("item").createOrReplaceTempView("ft_items")
+    val viaSql = spark.sql("SELECT freq_topk(item, 1, 8) AS tk FROM ft_items")
+      .select(explode(col("tk")).as("e")).select(col("e.item")).as[String].head()
+    assert(viaSql == "a")
+    // analysis-time failures: wrong child type; non-literal k
+    import org.apache.spark.sql.AnalysisException
+    intercept[AnalysisException](spark.sql("SELECT freq_topk(1, 2, 3)").collect())
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT freq_topk(item, length(item), 8) FROM ft_items").collect())
+    val chain = Iterator.iterate[Throwable](nonLit)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("integer literal"), s"unexpected: $chain")
+    ()
+  }
+
   test("filesPerDay > 1 hash-buckets a hot date across multiple files, rows unchanged") {
     val root = Files.createTempDirectory("mt_fpd").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)
