@@ -39,11 +39,31 @@ object IncrementalDedup {
       n: Int = 3,
       bands: Int = 16,
       minEstJaccard: Double = 0.6,
+      numHashes: Int = 64): DataFrame =
+    newVsSignatures(
+      MinHashLSH.signatures(corpus, idCol, textCol, n, numHashes).localCheckpoint(true),
+      batch, idCol, textCol, n, bands, minEstJaccard, numHashes)
+
+  /** [[newVsCorpus]] against a PRECOMPUTED signature store `(id, sig)`
+    * — the steady-state production loop: read the store (any parquet
+    * path works; the `(id, sig)` frame is the entire persistent
+    * state), screen the arriving batch, then append the accepted
+    * batch's signatures back to the store for the next round. Spec-
+    * tested end to end over a parquet store in DedupSpec. Corpus text
+    * is never re-shingled and never re-read.
+    */
+  def newVsSignatures(
+      corpusSigs: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.6,
       numHashes: Int = 64): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) for even band slicing")
     val r = numHashes / bands
-    val corpusSigs = MinHashLSH.signatures(corpus, idCol, textCol, n, numHashes).localCheckpoint(true)
     val batchSigs = MinHashLSH.signatures(batch, idCol, textCol, n, numHashes).localCheckpoint(true)
 
     def bandRows(sigs: DataFrame): DataFrame = sigs

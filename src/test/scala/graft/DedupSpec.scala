@@ -88,6 +88,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_._1 >= 100L))
   }
 
+  test("incremental dedup runs against a persistent parquet signature store across rounds") {
+    import graft.dedup.{IncrementalDedup, MinHashLSH}
+    val store = java.nio.file.Files.createTempDirectory("sig_store").resolve("sigs").toString
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val base = (1 to 30).map(i => s"w$i")
+    val corpus = Seq((1L, mk(base))).toDF("doc_id", "text")
+    // round 0: materialize the corpus signatures once
+    MinHashLSH.signatures(corpus, "doc_id", "text", n = 3, numHashes = 64)
+      .write.parquet(store)
+    // round 1: batch screened against the store, no corpus text in sight
+    val b1 = Seq(
+      (100L, mk(base.updated(0, "CHANGED"))),     // near-dup of corpus 1
+      (101L, mk((1 to 30).map(i => s"z$i")))      // unique, accepted
+    ).toDF("doc_id", "text")
+    val sigs1 = spark.read.parquet(store)
+    val hits1 = IncrementalDedup.newVsSignatures(sigs1, b1, "doc_id", "text", n = 3)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(hits1 == Set((100L, 1L)), s"round-1 hits: $hits1")
+    // accepted (non-dup) batch docs append their signatures
+    val accepted1 = b1.where(
+      !org.apache.spark.sql.functions.col("doc_id").isin(hits1.map(_._1).toSeq: _*))
+    MinHashLSH.signatures(accepted1, "doc_id", "text", n = 3, numHashes = 64)
+      .write.mode("append").parquet(store)
+    // round 2: a near-dup of round-1's accepted doc is caught via the store
+    val b2 = Seq((200L, mk((1 to 30).map(i => s"z$i").updated(0, "CHANGED")))).toDF("doc_id", "text")
+    val hits2 = IncrementalDedup.newVsSignatures(
+      spark.read.parquet(store), b2, "doc_id", "text", n = 3)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(hits2 == Set((200L, 101L)), s"round-2 hits: $hits2")
+  }
+
   test("exact dedup collapses identical texts, keeps min id") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z w")).toDF("doc_id", "text")
     val out = ExactDedup.dedup(docs, "doc_id", "text")
