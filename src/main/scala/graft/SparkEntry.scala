@@ -826,6 +826,38 @@ object SparkEntry {
       |       round(1.0 - CAST(tok_sum AS DOUBLE) / (n_docs * bucket), 4) AS pad_waste
       |FROM g ORDER BY bucket""".stripMargin
 
+  /** Deterministic data-mix sampling (SURVEY §2 B49): documents
+    * grouped into 3 domains (derived from the source id), sampled to a
+    * 50/30/20 target mix at the largest total the corpus supports —
+    * the executor of the mix plan that `corpus_profile` informs.
+    * Row-local MD5-bucket predicate (zero data-path shuffles); the
+    * driver sees one per-group count. Full value oracle: DuckDB
+    * re-derives counts, feasibility total, per-group thresholds, and
+    * the identical bucket predicate.
+    */
+  private def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn(
+      "domain",
+      concat(lit("d"), (expr("CAST(substring(source, 4) AS INT)") % 3).cast("string")))
+    graft.data.Mix.sample(docs, "doc_id", "domain",
+      Seq("d0" -> 0.5, "d1" -> 0.3, "d2" -> 0.2))
+      .select("doc_id", "source", "domain")
+      .orderBy("doc_id")
+  }
+
+  private val mixSampleSql =
+    """WITH d AS (SELECT doc_id, source,
+      |             'd' || (CAST(substring(source, 4) AS INT) % 3) AS domain FROM documents),
+      |w(domain, t) AS (VALUES ('d0', CAST(0.5 AS DOUBLE)), ('d1', CAST(0.3 AS DOUBLE)), ('d2', CAST(0.2 AS DOUBLE))),
+      |c AS (SELECT domain, count(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT min(floor(c.n / w.t)) AS total FROM c JOIN w USING (domain)),
+      |thr AS (SELECT w.domain, floor(w.t * tot.total / c.n * 1000) AS thr
+      |        FROM c JOIN w USING (domain), tot)
+      |SELECT d.doc_id, d.source, d.domain
+      |FROM d JOIN thr USING (domain)
+      |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < thr.thr
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Stratified quota sampling (SURVEY §2 B40): 20 events per
     * event_type, ranked by the cross-engine key hash — the per-source
     * quota shape of a pretraining data mix. Full value oracle.
@@ -1472,6 +1504,7 @@ object SparkEntry {
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
+    "mix_sample" -> Q(mixSample, Some(mixSampleSql)),
     "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
     "dedup_paragraphs" -> Q(dedupParagraphs, Some(dedupParagraphsSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(dedupMinhashSql)),

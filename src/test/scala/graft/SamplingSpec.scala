@@ -66,6 +66,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L)), s"got $out")
   }
 
+  test("mix sampling hits target shares at the largest feasible total, deterministically") {
+    import graft.data.Mix
+    val d = docs.withColumn("domain",
+      concat(lit("d"), (expr("CAST(substring(source, 4) AS INT)") % 3).cast("string")))
+    val shares = Seq("d0" -> 0.5, "d1" -> 0.3, "d2" -> 0.2)
+    val out = Mix.sample(d, "doc_id", "domain", shares)
+    val by = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    val total = by.values.sum.toDouble
+    shares.foreach { case (g, t) =>
+      assert(math.abs(by(g) / total - t) < 0.08,
+        s"$g share ${by(g) / total} far from target $t (counts $by)")
+    }
+    // no group oversampled past what exists
+    val have = d.groupBy("domain").count().as[(String, Long)].collect().toMap
+    by.foreach { case (g, n) => assert(n <= have(g)) }
+    // deterministic across evaluations
+    val again = Mix.sample(d, "doc_id", "domain", shares)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // groups missing from the share list are excluded entirely
+    val only = Mix.sample(d, "doc_id", "domain", Seq("d1" -> 1.0))
+      .select("domain").distinct().as[String].collect().toSeq
+    assert(only == Seq("d1"))
+    // shares must sum to 1
+    intercept[IllegalArgumentException] {
+      Mix.sample(d, "doc_id", "domain", Seq("d0" -> 0.5, "d1" -> 0.2))
+    }
+    ()
+  }
+
   test("bloom filter has no false negatives and a sane false-positive rate") {
     val keys = (0 until 2000).map(i => s"key_$i")
     val bloom = graft.data.Bloom.build(keys.toDF("k"), col("k"))
