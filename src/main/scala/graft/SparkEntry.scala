@@ -422,6 +422,39 @@ object SparkEntry {
       |WHERE p.resp_ts >= r.req_ts AND p.resp_ts <= r.req_ts + INTERVAL 60 SECOND
       |ORDER BY r.event_id""".stripMargin
 
+  /** Native session windows (SURVEY §2 A19a2): Spark's built-in
+    * `session_window(ts, gap)` — the streamable form of the 30-min-gap
+    * sessionization that `sessionize` hand-rolls with lag+running-sum
+    * (the built-in merges events closer than the gap; window end is
+    * exclusive, so an event at exactly `prev + gap` opens a NEW
+    * session). Oracle: DuckDB reproduces the merge with the lag-gap
+    * construction using the same `>= gap` boundary. Full value oracle.
+    */
+  private def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionWindowsSql =
+    """WITH o AS (SELECT user_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+      |f AS (SELECT user_id, ts,
+      |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |      FROM o),
+      |s AS (SELECT user_id, ts,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM f)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private def aggDistinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type").as("level"))
@@ -1518,6 +1551,7 @@ object SparkEntry {
     "ann_lsh" -> Q(annLsh, Some(annPrecisionSql)),
     "ann_ivf" -> Q(annIvf, Some(annPrecisionSql)),
     "sessionize" -> Q(sessionize, Some(sessionizeSql)),
+    "session_windows" -> Q(sessionWindows, Some(sessionWindowsSql)),
     "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
     "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
     "correlate_req_resp" -> Q(correlateReqResp, Some(correlateReqRespSql)),

@@ -230,6 +230,60 @@ class StreamingSpec extends AnyFunSuite {
       "join should run as a stateful operator")
   }
 
+  test("native session windows finalize on a watermarked stream in append mode") {
+    import org.apache.spark.sql.functions._
+    val ck = tmp("sw_ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val sessions = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sw_out").outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 1: two events 2 min apart merge into one session; user 2: singleton
+    input.addData((1L, t(0)), (1L, t(2)), (2L, t(3)))
+    q.processAllAvailable()
+    // sessions only emit once the watermark passes their end — a late
+    // sentinel advances it far enough to finalize the earlier ones
+    input.addData((99L, t(50)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw_out")
+      .selectExpr("user_id", "CAST(session_start AS STRING)", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00", 2L),
+      (2L, "2024-01-01 10:03:00", 1L)),
+      s"sessions wrong or sentinel leaked before its watermark: $got")
+  }
+
+  test("freq_topk aggregates a live stream (complete mode): the dashboard top-k") {
+    import org.apache.spark.sql.functions._
+    val ck = tmp("ftk_ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val top = input.toDF().toDF("item")
+      .agg(graft.functions.FreqTopK.topK(col("item"), 2, 8).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est"))
+    val q = top.writeStream
+      .format("memory").queryName("ftk_out").outputMode("complete")
+      .option("checkpointLocation", ck.toString)
+      .start()
+    input.addData("a", "a", "b")
+    q.processAllAvailable()
+    input.addData("a", "c") // summary state must carry across microbatches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ftk_out").as[(String, Long)].collect().toSet
+    // small regime (cap > cardinality): exact counts; tie b/c broken by item order
+    assert(got == Set(("a", 3L), ("b", 1L)), s"live top-k wrong: $got")
+  }
+
   test("watermarked windowed counts aggregate the stream by event time") {
     val in = tmp("win_in"); val ck = tmp("win_ck")
     writeLog(in, "a.log", Seq(
