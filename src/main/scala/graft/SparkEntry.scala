@@ -632,6 +632,41 @@ object SparkEntry {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
       |GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** Keyed upsert store round-trip (SURVEY §2.A 9a — the
+    * ReplacingMergeTree member of the reference's target-engine
+    * family): events upserted as row versions keyed on user_id in
+    * three out-of-order insert waves, background-merged
+    * ([[graft.sinks.ReplacingSink.compact]]), then FINAL-read — latest
+    * event per user. The oracle recomputes per-user latest straight
+    * from `events`, so versioning, the merge swap, and merge-on-read
+    * must all preserve latest-wins exactly.
+    */
+  private def sinkReplacing(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+    val tmp = java.nio.file.Paths.get(scratch, "graft_sink_replacing").toAbsolutePath.toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true) // fresh store per run
+    val sink = graft.sinks.ReplacingSink(tmp, keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+    // three waves, deliberately NOT in time order: latest-wins must
+    // come from the version ordering, not insertion order
+    (0 to 2).foreach(w => sink.append(ev.where(pmod(col("event_id"), lit(3)) === w), s"wave$w"))
+    sink.compact(s)
+    sink.readFinal(s)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("event_id").as("last_event"))
+      .orderBy("user_id")
+  }
+
+  private val sinkReplacingSql =
+    """SELECT user_id, ts AS last_ts, event_type AS last_type, event_id AS last_event
+      |FROM (SELECT user_id, ts, event_type, event_id,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // B. LLM-data-pipeline operators (SURVEY §2.B)                      //
   // ---------------------------------------------------------------- //
@@ -1526,6 +1561,7 @@ object SparkEntry {
     "q3_join" -> Q(q3Join, Some(q3JoinSql)),
     "q5_join" -> Q(q5Join, Some(q5JoinSql)),
     "sink_roundtrip" -> Q(sinkRoundtrip, Some(sinkRoundtripSql)),
+    "sink_replacing" -> Q(sinkReplacing, Some(sinkReplacingSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_normalized" -> Q(dedupNormalized, Some(dedupNormalizedSql)),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),

@@ -619,6 +619,36 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(plan.contains("Filter"), s"bloom prefilter missing:\n$plan")
   }
 
+  test("ReplacingSink: latest-wins upsert, idempotent replay, compaction preserves FINAL") {
+    val root = Files.createTempDirectory("rs_sink").toFile.getAbsolutePath
+    val sink = graft.sinks.ReplacingSink(root, keyCols = Seq("k"), versionCols = Seq("ver", "id"))
+    // wave 0: k=a v1, k=b v1; wave 1 (out of order): k=a v3 then k=a v2
+    sink.append(Seq(("a", 1L, 10L, "a-v1"), ("b", 1L, 11L, "b-v1")).toDF("k", "ver", "id", "payload"), "w0")
+    sink.append(Seq(("a", 3L, 12L, "a-v3"), ("a", 2L, 13L, "a-v2")).toDF("k", "ver", "id", "payload"), "w1")
+    def finalRows = sink.readFinal(spark).orderBy("k")
+      .as[(String, Long, Long, String)].collect().toSeq
+    val expect = Seq(("a", 3L, 12L, "a-v3"), ("b", 1L, 11L, "b-v1"))
+    assert(finalRows == expect)
+    assert(sink.readRaw(spark).count() == 4, "raw read must keep every version")
+    // FINAL plan: partial max_by collapses versions map-side BEFORE the
+    // key shuffle (the scalable merge-on-read shape; a window would
+    // move every version across the wire first)
+    val plan = sink.readFinal(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"), s"no map-side partial collapse in FINAL read:\n$plan")
+    assert(!plan.contains("Window"), s"FINAL must not plan a window:\n$plan")
+    // replay of wave 1 (same batch key) is a no-op-equivalent rewrite
+    sink.append(Seq(("a", 3L, 12L, "a-v3"), ("a", 2L, 13L, "a-v2")).toDF("k", "ver", "id", "payload"), "w1")
+    assert(sink.readRaw(spark).count() == 4, "batch replay must not duplicate versions")
+    assert(finalRows == expect)
+    // background merge: raw collapses to FINAL, FINAL unchanged, and
+    // upserts keep working afterwards
+    sink.compact(spark)
+    assert(sink.readRaw(spark).orderBy("k").as[(String, Long, Long, String)].collect().toSeq == expect)
+    assert(finalRows == expect)
+    sink.append(Seq(("b", 9L, 14L, "b-v9")).toDF("k", "ver", "id", "payload"), "w2")
+    assert(finalRows == Seq(("a", 3L, 12L, "a-v3"), ("b", 9L, 14L, "b-v9")))
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString

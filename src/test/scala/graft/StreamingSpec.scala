@@ -284,6 +284,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("a", 3L), ("b", 1L)), s"live top-k wrong: $got")
   }
 
+  test("materialized view maintains keyed counts across microbatches; batch replay is exactly-once") {
+    import org.apache.spark.sql.functions._
+    val ck = tmp("mv_ck"); val store = tmp("mv_store")
+    val sink = graft.sinks.ReplacingSink(store.toString, keyCols = Seq("level"), versionCols = Seq("ver"))
+    val view = graft.streaming.CountMatView(sink)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val q = input.toDF().toDF("level").writeStream
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => view.update(df, id))
+      .start()
+    input.addData("INFO", "INFO", "ERROR")
+    q.processAllAvailable()
+    input.addData("INFO", "WARN") // totals must accumulate, not reset
+    q.processAllAvailable()
+    q.stop()
+    def totals = sink.readFinal(spark).select("level", "cnt")
+      .as[(String, Long)].collect().toSet
+    val expect = Set(("INFO", 3L), ("ERROR", 1L), ("WARN", 1L))
+    assert(totals == expect, s"incremental totals wrong: $totals")
+    // foreachBatch replay of the last batch (crash between sink write
+    // and checkpoint commit): same batch id → same totals, no double add
+    view.update(Seq("INFO", "WARN").toDF("level"), 1L)
+    assert(totals == expect, s"replay must be exactly-once: $totals")
+    // untouched keys survive on old versions: ERROR was only in batch 0
+    val raw = sink.readRaw(spark).where(col("level") === "ERROR").count()
+    assert(raw == 1L, "untouched key must not be rewritten per batch")
+  }
+
   test("watermarked windowed counts aggregate the stream by event time") {
     val in = tmp("win_in"); val ck = tmp("win_ck")
     writeLog(in, "a.log", Seq(
