@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, DistinctBigrams, FreqTopK, RegexpExtractGroups}
+import graft.functions.{ArrayDot, DistinctBigrams, FreqTopK, RegexpExtractGroups, ShingleHashes}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -52,6 +52,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("freq_topk", 3, args)
         FreqTopK(args(0), foldableInt("freq_topk k", args(1)), foldableInt("freq_topk capacity", args(2)))
+      }),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        arity("shingle_hashes", 2, args)
+        ShingleHashes(args(0), foldableInt("shingle_hashes n", args(1)))
       }))
 
   /** Extract a non-null foldable integer argument at analysis time —

@@ -15,8 +15,11 @@ import graft.dedup.Shingles
   * relative to a TB-scale train side (an eval suite is KBs-to-MBs),
   * so the check is a BROADCAST equi join keyed on the gram — one pass
   * over the training shingles with no fact-side shuffle before the
-  * per-document count. Shingling itself is the row-local
-  * [[Shingles]] map shared with the dedup family.
+  * per-document count. Shingling is the native one-pass
+  * [[Shingles.hashedShingles]] shared with the dedup family; grams
+  * travel as 8-byte hashes, never strings (a cross-gram collision
+  * flips one count with probability ~|grams|²/2^64 — the same
+  * accepted caveat as the rest of the family).
   */
 object Decontaminate {
 
@@ -32,7 +35,7 @@ object Decontaminate {
       textCol: String,
       n: Int = 5): DataFrame = {
     def grams(df: DataFrame) =
-      df.select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s"))
+      df.select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val evalGrams = grams(evalDocs).select("s").distinct()
     grams(train)
       .join(broadcast(evalGrams), "s")
@@ -45,8 +48,8 @@ object Decontaminate {
 
   /** [[overlap]]'s scale path: same result (exact — the oracle is
     * shared), different memory shape. The eval grams are folded into a
-    * [[Bloom]] bitmap (~1.25 bytes per gram vs tens of bytes for the
-    * gram string in a broadcast hash set), the training shingles are
+    * [[Bloom]] bitmap (~1.25 bytes per gram vs 8 for the hashed gram
+    * in a broadcast hash set), the training shingles are
     * prefiltered by the codegen'd bit test — a row-local map, no join —
     * and only the survivors (true positives + ~0.1% false positives)
     * reach the exact-verify join. When the benchmark suite outgrows
@@ -62,7 +65,7 @@ object Decontaminate {
       bitsPerKey: Int = 10,
       k: Int = 5): DataFrame = {
     def grams(df: DataFrame) =
-      df.select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s"))
+      df.select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     // Tiny by contract; localCheckpoint so the bloom build's two driver
     // jobs and the verify join don't re-shingle the eval side 3×.
     val evalGrams = grams(evalDocs).select("s").distinct().localCheckpoint()

@@ -45,26 +45,37 @@ object DupClusters {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // materialize the (typically expensive) upstream pair computation
     // ONCE — every propagation round joins against edges, and without
-    // this the candidate-pair join would re-execute per round
+    // this the candidate-pair join would re-execute per round.
+    // Pre-partitioned on the probe key (dst): LogicalRDD keeps the
+    // checkpoint's output partitioning, so every round's edges⋈labels
+    // join reuses it instead of re-exchanging the edge set per round.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .repartition(col("dst"))
       .localCheckpoint(true)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // Round 0 fused into initialization: label(v) = min(v, neighbors(v))
+    // straight off the edge set — one aggregation, no join.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var converged = false
-    var it = 0
+    var it = 1
     while (!converged && it < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("label")).as("nmin"))
+      // lazy checkpoint + count in ONE action per round: the count job
+      // materializes the round's blocks (truncating lineage — the plan
+      // doubles per round otherwise) and decides convergence in the
+      // same pass, instead of a checkpoint job plus an isEmpty job
       val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(
           col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(true) // truncate: the plan doubles per round otherwise
-      converged = updated.where(col("label") =!= col("prev")).isEmpty
+        .localCheckpoint(false)
+      converged = updated.where(col("label") =!= col("prev")).count() == 0
       labels = updated.select("id", "label")
       it += 1
     }

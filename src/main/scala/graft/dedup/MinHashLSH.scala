@@ -39,8 +39,12 @@ object MinHashLSH {
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2, numHashes: Int = 64): DataFrame = {
     val exploded = docs.select(
       col(idCol).as("id"),
-      explode_outer(Shingles.shingles(col(textCol), n)).as("s"))
-    val h = pmod(xxhash64(col("s")), lit(Prime))
+      explode_outer(Shingles.hashedShingles(col(textCol), n)).as("s"))
+    // shingles arrive pre-hashed (native one-pass ShingleHashes);
+    // explode_outer turns a shingle-less doc into one null row, which
+    // the old chain hashed as xxhash64(null) = the seed (42) — coalesce
+    // keeps those signatures bit-identical
+    val h = pmod(coalesce(col("s"), lit(42L)), lit(Prime))
     val slots = coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * h + lit(b), lit(Prime))).as(s"_s$i")
     }

@@ -29,23 +29,88 @@ object NgramJaccard {
     */
   val DefaultMaxDf: Int = 64
 
-  /** Exhaustive exact Jaccard — NO stop-shingle cap. Distinctly named
-    * so opting out of the scale guard is visible at the call site: a
-    * shingle with document frequency d contributes d² candidate pairs,
-    * so this form has a known blowup on hot shingles and is intended
-    * for bounded data (oracle baselines, ground-truth evaluation), not
-    * production corpora. Note: before round 5, [[pairs]] defaulted to
-    * this behavior (`maxDf = None`); callers who relied on that default
-    * and need exhaustive results should migrate here.
+  /** Exhaustive exact Jaccard — NO stop-shingle cap, accelerated by
+    * PREFIX FILTERING (the AllPairs/PPJoin family, Bayardo et al.
+    * WWW'07): identical output to the naive inverted-index join, far
+    * fewer candidate pairs.
+    *
+    * Why it is exact: order all shingles by one global canonical order
+    * (ascending document frequency, ties by hash — rarest first). For a
+    * doc with `m` distinct shingles, its PREFIX is the first
+    * `m - ceil(t*m) + 1` shingles in that order. Any pair with Jaccard
+    * ≥ t has intersection i ≥ t*max(|A|,|B|), and the globally-smallest
+    * shared shingle has rank ≤ (|A| - i) + 1 ≤ prefix(A) within A (and
+    * symmetrically within B) — so every qualifying pair shares at least
+    * one shingle lying in BOTH prefixes, and joining prefixes only
+    * misses nothing. Hot stop-shingles sort LAST, so they drop out of
+    * prefixes and their df² candidate blowup never happens; that is the
+    * entire speedup, with zero recall cost.
+    *
+    * Shape at scale: one df count (partial agg), then ONE grouped pass
+    * by doc building the df-sorted shingle-hash array per document —
+    * materialized once (the "set store", same localCheckpoint
+    * discipline as MinHash's signature store) and reused three times:
+    * the prefix explode and both sides of the exact verification. The
+    * prefix-only self-join moves (id, hash, size) rows; candidate
+    * verification joins the per-doc hash arrays back onto the
+    * (distinct) candidate pairs — payload arrays ride only candidate
+    * joins, the same discipline as the cosine family. A length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before the distinct.
+    *
+    * The threshold used for pruning is relaxed by half an ulp of the
+    * 4-decimal rounding (t - 5e-5) so pairs that only reach t after
+    * rounding are still found — the emitted filter is unchanged.
     */
   def pairsExhaustive(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 2,
-      minJaccard: Double = 0.6): DataFrame =
-    pairs(docs, idCol, textCol, n, minJaccard, maxDf = None)
+      minJaccard: Double = 0.6): DataFrame = {
+    val tEff = minJaccard - 0.00005 // absorb round(j, 4) at the emitted filter
+    val sh = docs
+      .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
+    val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // per-doc shingle hashes sorted by the global (df, hash) canonical
+    // order — built once, reused by the prefix explode and both verify
+    // probes (without the checkpoint this grouped pass would re-execute
+    // for each of its three plan occurrences)
+    val docSets = sh.join(dfCounts, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(
+        col("id"),
+        transform(col("arr"), x => x.getField("s")).as("set"),
+        size(col("arr")).as("m"))
+      .localCheckpoint(true)
+    val prefix = docSets.select(
+      col("id"), col("m"),
+      explode(slice(col("set"), lit(1),
+        (col("m") - ceil(lit(tEff) * col("m")) + 1).cast("int"))).as("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.m") >= lit(tEff) * col("b.m") && col("b.m") >= lit(tEff) * col("a.m"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+    cand
+      .join(docSets.select(col("id"), col("set").as("sa"), col("m").as("na")), col("a") === col("id")).drop("id")
+      .join(docSets.select(col("id"), col("set").as("sb"), col("m").as("nb")), col("b") === col("id")).drop("id")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        col("na"), col("nb"))
+      .select(
+        col("a"), col("b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
 
+  /** Capped (default) or naive-uncapped inverted-index Jaccard join.
+    * `maxDf = None` is the NAIVE exhaustive join — it exists as the
+    * straight-line reference implementation that [[pairsExhaustive]]'s
+    * prefix-filtered plan is equivalence-tested against; production
+    * exhaustive callers should use [[pairsExhaustive]].
+    */
   def pairs(
       docs: DataFrame,
       idCol: String,
@@ -53,19 +118,19 @@ object NgramJaccard {
       n: Int = 2,
       minJaccard: Double = 0.6,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    // The shingle key is carried as its 64-bit hash, not the string:
-    // every downstream shuffle (df count, the self-join, both join
-    // probes) then moves and compares 8-byte longs instead of ~n-word
-    // UTF8 strings — less shuffle volume and cheaper key compares in
-    // exactly the stages that dominate this operator. Shingles are
-    // distinct-per-doc BEFORE hashing, so per-doc sizes are exact; a
-    // cross-doc xxhash64 collision could overcount one intersection,
-    // with probability ~|distinct shingles|²/2^64 corpus-wide —
-    // accepted and documented (the MD5-family cross-engine trick is
-    // not needed because hashes never leave the plan).
+    // The shingle key is carried as its 64-bit hash, not the string
+    // (computed in one native pass by ShingleHashes): every downstream
+    // shuffle (df count, the self-join, both join probes) then moves
+    // and compares 8-byte longs instead of ~n-word UTF8 strings — less
+    // shuffle volume and cheaper key compares in exactly the stages
+    // that dominate this operator. Shingles are distinct-per-doc
+    // BEFORE hashing, so per-doc sizes are exact; a cross-doc xxhash64
+    // collision could overcount one intersection, with probability
+    // ~|distinct shingles|²/2^64 corpus-wide — accepted and documented
+    // (the MD5-family cross-engine trick is not needed because hashes
+    // never leave the plan).
     val sh = docs
-      .select(col(idCol).as("id"), explode(Shingles.shingles(col(textCol), n)).as("s_str"))
-      .select(col("id"), xxhash64(col("s_str")).as("s"))
+      .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val index = maxDf match {
       case Some(cap) =>
         val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")

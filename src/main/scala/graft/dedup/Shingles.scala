@@ -21,6 +21,16 @@ object Shingles {
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct xxhash64 values of the word n-gram shingles — the native
+    * one-pass fast path ([[graft.functions.ShingleHashes]]),
+    * bit-identical to `xxhash64` applied to each [[shingles]] element
+    * (spec-tested corpus-wide). Use this whenever the downstream only
+    * ever sees the hash (the whole dedup family); use [[shingles]]
+    * when the gram string itself matters.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes(text, n)
+
   /** NON-overlapping windows of `paraTokens` tokens, in document order
     * (the last window may be shorter) — the "paragraph" unit of
     * [[ParagraphDedup]] on single-line corpora. Unlike [[shingles]],

@@ -134,6 +134,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 0.5)))
   }
 
+  test("native shingle hashing is bit-identical to the builtin shingle+xxhash64 chain") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Shingles
+    val edge = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a b ", "a b c d e",
+      "übergröße straße λ κ", "x " * 50 + "y").toDF("text")
+    val real = Tables(spark, TestSpark.SfDir, "documents").select("text")
+    for (df <- Seq(edge, real); n <- Seq(1, 2, 3, 5)) {
+      val builtin = sort_array(transform(Shingles.shingles(col("text"), n), s => xxhash64(s)))
+      val native = sort_array(Shingles.hashedShingles(col("text"), n))
+      val bad = df.where(not(builtin <=> native)).count()
+      assert(bad == 0L, s"n=$n: $bad rows diverge between native and builtin shingle hashes")
+    }
+    // null text → null result, like the builtin chain
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+    assert(nulls.select(Shingles.hashedShingles(col("text"), 2)).head.isNullAt(0))
+    // SQL surface + analysis-time failures
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c', 2)) s").head.getInt(0) == 2)
+    intercept[Exception](spark.sql("SELECT shingle_hashes(array(1), 2)").collect())
+    intercept[Exception](spark.sql("SELECT shingle_hashes('a b', 0)").collect())
+  }
+
+  test("prefix-filtered exhaustive jaccard is value-identical to the naive join") {
+    // the AllPairs prefix filter is an exact optimization: same pairs,
+    // same jaccard values, on real testdata and at a threshold low
+    // enough that length/prefix bounds actually bind
+    val docs = Tables(spark, TestSpark.SfDir, "documents")
+    for (t <- Seq(0.6, 0.35)) {
+      val naive = NgramJaccard.pairs(docs, "doc_id", "text", n = 3, minJaccard = t, maxDf = None)
+        .as[(Long, Long, Double)].collect().toSet
+      val fast = NgramJaccard.pairsExhaustive(docs, "doc_id", "text", n = 3, minJaccard = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(naive.nonEmpty, "testdata should contain planted near-dups")
+      assert(fast == naive,
+        s"t=$t: prefix-filtered diverged (missing=${(naive -- fast).take(5)}, extra=${(fast -- naive).take(5)})")
+    }
+  }
+
   test("minhash+LSH finds the same near-dup pairs as exact jaccard on testdata") {
     val docs = Tables(spark, TestSpark.SfDir, "documents")
     val exact = NgramJaccard.pairs(docs, "doc_id", "text", n = 2, minJaccard = 0.6)
