@@ -860,6 +860,41 @@ object SparkEntry {
       |       round(cum / (SELECT count(*) FROM toks), 4) AS cum_share
       |FROM r WHERE tok_rank <= 500 ORDER BY tok_rank""".stripMargin
 
+  /** BPE merge-candidate counting (SURVEY §2 B50): adjacent
+    * character-pair frequencies — the per-iteration kernel of BPE
+    * tokenizer training — counted over the DISTINCT-WORD table
+    * weighted by word frequency, so the pair explode sees vocab-sized
+    * input at any corpus size. Full value oracle: identical word
+    * frequencies, pair slicing, and tie-break order in DuckDB.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpePairs.topMerges(t(s, dir, "documents"), "text", k = 25)
+
+  private val bpeMergesSql =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |f AS (SELECT w, count(*) AS freq FROM w WHERE len(w) >= 2 GROUP BY w),
+      |p AS (SELECT unnest([w[i:i+1] FOR i IN range(1, len(w))]) AS pair, freq FROM f)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 25""".stripMargin
+
+  /** Overlapping context-window chunking (SURVEY §2 B51): 32-token
+    * windows every 16 tokens — consecutive chunks share a 16-token
+    * overlap; trailing windows shorter; every token covered. Row-local,
+    * zero shuffles. Full value oracle: the identical window arithmetic
+    * and slicing in DuckDB.
+    */
+  private def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.data.Chunker.chunks(t(s, dir, "documents"), "doc_id", "text", win = 32, stride = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkOverlapSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, unnest(range(0, len(toks), 16)) AS s, toks FROM t)
+      |SELECT doc_id, s // 16 AS chunk_id,
+      |       least(32, len(toks) - s) AS n_tokens,
+      |       array_to_string(toks[s+1 : least(s+32, len(toks))], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Length-bucket batching stats (SURVEY §2 B48): docs assigned to a
     * fixed pow-2 token-length ladder (row-local CASE, cross-engine
     * exact — no float log2 at bucket boundaries); per bucket the doc
@@ -1129,6 +1164,18 @@ object SparkEntry {
       minCosine = 0.4).orderBy("a", "b")
 
   private val dedupCosineLshSql = cosinePrecisionSql
+
+  /** Semantic dedup (SemDeDup shape, SURVEY §2 row 24a): k-means cells
+    * bound the candidate join (within-cell pairs only), exact cosine
+    * verifies — same precision oracle as the LSH configs (true cosine
+    * recomputed per emitted pair, threshold re-applied).
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.pairs(
+      embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec")),
+      minCosine = 0.4, numCells = 16).orderBy("a", "b")
+
+  private val dedupSemanticSql = cosinePrecisionSql
 
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
@@ -1571,6 +1618,8 @@ object SparkEntry {
     "decontaminate" -> Q(decontaminate, Some(decontaminateSql)),
     "decontaminate_bloom" -> Q(decontaminateBloom, Some(decontaminateSql)),
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
+    "bpe_merges" -> Q(bpeMerges, Some(bpeMergesSql)),
+    "chunk_overlap" -> Q(chunkOverlap, Some(chunkOverlapSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
     "mix_sample" -> Q(mixSample, Some(mixSampleSql)),
@@ -1583,6 +1632,7 @@ object SparkEntry {
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
     "dedup_cosine_lsh" -> Q(dedupCosineLsh, Some(dedupCosineLshSql)),
+    "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)),
     "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),
     "ann_lsh" -> Q(annLsh, Some(annPrecisionSql)),
     "ann_ivf" -> Q(annIvf, Some(annPrecisionSql)),

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Cosine, IvfAnn}
+
+/** Semantic deduplication over an embedding column — the SemDeDup
+  * shape (Abbas et al. 2023, arXiv:2303.09540, public preprint):
+  * k-means-cluster the embedding space, then look for near-duplicate
+  * pairs ONLY within each cluster. Semantic duplicates are, by
+  * definition, close in embedding space, so they land in the same
+  * Voronoi cell; pairing within cells bounds candidate volume by
+  * Σ|cell|² instead of |corpus|² — with numCells scaled ∝ corpus size
+  * (the paper runs 50k clusters on 5B embeddings), expected cell
+  * sizes stay constant and the candidate join stays linear-ish at
+  * 100 TB. Cluster-boundary pairs are the recall cost (a true pair
+  * split across cells is missed) — measured in DedupSpec against the
+  * exact pair set; the LSH family ([[CosineDedup]]) is the
+  * complementary tradeoff (multi-table redundancy buys recall,
+  * costs table-count× candidate work).
+  *
+  * Discipline shared with the rest of the family:
+  *  - candidate generation moves only `(id, cell)` — vectors join
+  *    back onto the deduplicated candidate list for the exact check;
+  *  - every emitted pair carries its TRUE cosine (exact verification
+  *    on candidates), so downstream keep-one logic
+  *    ([[DupClusters.resolve]] composes directly) never acts on an
+  *    estimated similarity;
+  *  - centroids train once ([[IvfAnn.train]], Lloyd's in DataFrame
+  *    ops) and can be reused across batches via [[pairsWith]].
+  */
+object SemDedup {
+
+  /** Self-contained train-and-pair (trains `numCells` centroids per
+    * call; batch consumers should [[IvfAnn.train]] once and call
+    * [[pairsWith]]).
+    */
+  def pairs(
+      embeddings: DataFrame, // (id, vec array<double>)
+      minCosine: Double,
+      numCells: Int = 16,
+      iters: Int = 3,
+      probes: Int = 2): DataFrame =
+    pairsWith(embeddings, IvfAnn.train(embeddings, numCells, iters), minCosine, probes)
+
+  /** Near-duplicate pairs `(a, b, cosine)` sharing at least one of
+    * their top-`probes` trained cells, with exact cosine ≥ `minCosine`.
+    *
+    * `probes = 1` is the paper-faithful hard assignment — right when
+    * the threshold is high (0.9+) and duplicates are near-identical.
+    * The default `probes = 2` soft-assigns each vector to its two
+    * nearest cells, recovering pairs that straddle a Voronoi boundary
+    * (at moderate thresholds most misses are boundary misses) for 2×
+    * assignment rows and ~4× within-cell pair work — still
+    * Σ|cell|²-bounded, never corpus².
+    */
+  def pairsWith(
+      embeddings: DataFrame,
+      centroids: IvfAnn.Centroids,
+      minCosine: Double,
+      probes: Int = 2): DataFrame = {
+    val cells = IvfAnn.assign(embeddings, centroids, probes)
+    val cand = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .dropDuplicates("a", "b")
+    val vecs = embeddings.select(
+      col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm"))
+    cand
+      .join(vecs.as("x"), col("a") === col("x.id"))
+      .join(vecs.as("y"), col("b") === col("y.id"))
+      .select(col("a"), col("b"),
+        round(Cosine.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 4).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

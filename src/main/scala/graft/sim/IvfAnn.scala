@@ -61,6 +61,32 @@ object IvfAnn {
     -array_max(scored).getField("col2")
   }
 
+  /** Row-local Voronoi cell assignment against a trained centroid set:
+    * `(id, cell)` rows for every corpus vector — a row-local map over
+    * the scan (the centroids ride along as a literal array), no join,
+    * no shuffle. `probes = 1` is hard assignment (one row per vector,
+    * Generate-free); `probes > 1` is SOFT assignment — one row per
+    * (vector, top-p cell), the multi-probe trick that recovers
+    * cell-boundary neighbors at the cost of p× assignment rows.
+    * Shared by IVF probing and [[graft.dedup.SemDedup]]'s
+    * cluster-bounded candidate generation.
+    */
+  def assign(corpus: DataFrame, cs: Centroids, probes: Int = 1): DataFrame =
+    if (probes <= 1) corpus.select(col("id"), nearestCell(col("vec"), cs).as("cell"))
+    else {
+      // sort (score, -cid) ascending, take the top `probes` from the
+      // tail — ties break to the lowest cid, like nearestCell
+      val scored = transform(inlineCentroids(cs), c =>
+        struct(
+          Cosine.dot(col("vec"), c.getField("cvec")) / c.getField("cn"),
+          -c.getField("cid")))
+      corpus.select(
+        col("id"),
+        explode(transform(
+          slice(reverse(array_sort(scored)), 1, probes),
+          x => -x.getField("col2"))).as("cell"))
+    }
+
   /** `iters` Lloyd's iterations from a deterministic seed (the
     * numCells lowest-id vectors). iters = 0 reproduces pure seed
     * sampling — kept for the trained-vs-sampled recall comparison in

@@ -212,6 +212,38 @@ class DedupSpec extends AnyFunSuite {
     assert(got.subsetOf(exact), "exact verification stage must not emit false positives")
   }
 
+  test("semantic dedup: cluster-bounded candidates recover near-dup pairs, no false positives") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, TestSpark.SfDir, "embeddings")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    val exact = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        graft.sim.Cosine.sim(col("x.vec"), col("y.vec")).as("c"))
+      .where(col("c") >= 0.4).select("a", "b").as[(Long, Long)].collect().toSet
+    val sem = graft.dedup.SemDedup.pairs(e, minCosine = 0.4, numCells = 16)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in plan:\n$plan")
+    val got = sem.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "exact verification stage must not emit false positives")
+    val recall = (exact & got).size.toDouble / exact.size
+    // these synthetic pairs sit at cosine 0.40-0.51 (boundary-prone, the
+    // hard case for cell-bounded candidates); the default 2-probe soft
+    // assignment measures 0.80 here — deterministic, bound with margin
+    assert(recall >= 0.7, s"semantic-dedup recall $recall (exact=${exact.size}, sem=${got.size}) " +
+      "— soft assignment should recover boundary pairs")
+    // hard assignment trades recall for candidate volume, monotonically
+    val hard = graft.dedup.SemDedup.pairs(e, minCosine = 0.4, numCells = 16, probes = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(hard.subsetOf(got), "probes=1 candidates are a subset of probes=2")
+    // trained centroids are reusable across batches (the production shape)
+    val cs = graft.sim.IvfAnn.train(e, numCells = 16)
+    val again = graft.dedup.SemDedup.pairsWith(e, cs, minCosine = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(graft.dedup.SemDedup.pairsWith(e, cs, minCosine = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet == again, "deterministic per trained set")
+  }
+
   test("candidate generation is never all-pairs (no cartesian/nested-loop join)") {
     val docs = Tables(spark, TestSpark.SfDir, "documents")
     for (df <- Seq(

@@ -174,6 +174,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.map(t => t._1 -> t._3).toMap == again)
   }
 
+  test("overlapping chunker covers every token, keeps stride overlap, reconstructs docs") {
+    // hand case: 10 tokens, win=4, stride=2 → starts 0,2,4,6,8
+    val doc = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = graft.data.Chunker.chunks(doc, "doc_id", "text", win = 4, stride = 2)
+      .orderBy("chunk_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"), (1L, 1L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 4L, "t4 t5 t6 t7"), (1L, 3L, 4L, "t6 t7 t8 t9"),
+      (1L, 4L, 2L, "t8 t9")))
+    // corpus invariants: chunk ids dense from 0; n_tokens matches the
+    // chunk text; stride-spaced chunks reconstruct the document exactly
+    val docs = Tables(spark, TestSpark.SfDir, "documents")
+    val chunks = graft.data.Chunker.chunks(docs, "doc_id", "text", win = 32, stride = 16)
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"doc $id: chunk ids not dense")
+      sorted.foreach { case (_, _, n, c) => assert(c.split(" ", -1).length == n, s"doc $id: n_tokens mismatch") }
+      // non-overlapped prefixes (first `stride` tokens of each chunk,
+      // whole tail for the last) concatenate back to the document
+      val rebuilt = sorted.map { case (_, cid, _, c) =>
+        val t = c.split(" ", -1)
+        if (cid == sorted.last._2) t else t.take(16)
+      }.flatten.mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id: reconstruction mismatch")
+    }
+  }
+
+  test("bpe merge-pair counts match a local recompute on testdata") {
+    val docs = Tables(spark, TestSpark.SfDir, "documents")
+    val got = graft.text.BpePairs.topMerges(docs, "text", k = 25)
+      .as[(String, Long)].collect().toSeq
+    // local ground truth: count every adjacent char pair occurrence
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.select("text").as[String].collect().foreach { t =>
+      t.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach(p => counts(p) += 1)
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(25)
+    assert(got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
+  }
+
   test("deterministic shuffle is a reproducible permutation, not id order") {
     val out = Sampling.deterministicShuffle(docs, "doc_id").select("pos", "doc_id")
       .as[(Long, Long)].collect().sortBy(_._1)
