@@ -860,6 +860,34 @@ object SparkEntry {
       |       round(cum / (SELECT count(*) FROM toks), 4) AS cum_share
       |FROM r WHERE tok_rank <= 500 ORDER BY tok_rank""".stripMargin
 
+  /** BM25 ranked search (SURVEY §2 B52): ranked "grep the corpus" and
+    * the scoring kernel of retrieval-based data selection. Stats
+    * passes collect three scalars + |terms| dfs; scoring is one
+    * row-local corpus pass, top-k as TakeOrderedAndProject. Full value
+    * oracle: identical Okapi formula, term order, and rounding in
+    * DuckDB (idf is an in-plan log expression over the same df).
+    */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.search(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "merge", "window"), k = 50)
+
+  private val bm25SearchSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+      |d AS (SELECT
+      |  sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+      |  sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS df2,
+      |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df3 FROM t),
+      |sc AS (SELECT doc_id, round(
+      |    ln(1 + (s.n - d.df1 + 0.5)/(d.df1 + 0.5)) * tf1 * 2.2/(tf1 + 1.2*(0.25 + 0.75*len(toks)/s.avgdl))
+      |  + ln(1 + (s.n - d.df2 + 0.5)/(d.df2 + 0.5)) * tf2 * 2.2/(tf2 + 1.2*(0.25 + 0.75*len(toks)/s.avgdl))
+      |  + ln(1 + (s.n - d.df3 + 0.5)/(d.df3 + 0.5)) * tf3 * 2.2/(tf3 + 1.2*(0.25 + 0.75*len(toks)/s.avgdl)), 4) AS score
+      | FROM t, s, d,
+      | LATERAL (SELECT len(list_filter(toks, x -> x = 'spark')) AS tf1,
+      |                 len(list_filter(toks, x -> x = 'merge')) AS tf2,
+      |                 len(list_filter(toks, x -> x = 'window')) AS tf3) l)
+      |SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** BPE merge-candidate counting (SURVEY §2 B50): adjacent
     * character-pair frequencies — the per-iteration kernel of BPE
     * tokenizer training — counted over the DISTINCT-WORD table
@@ -1619,6 +1647,7 @@ object SparkEntry {
     "decontaminate_bloom" -> Q(decontaminateBloom, Some(decontaminateSql)),
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
     "bpe_merges" -> Q(bpeMerges, Some(bpeMergesSql)),
+    "bm25_search" -> Q(bm25Search, Some(bm25SearchSql)),
     "chunk_overlap" -> Q(chunkOverlap, Some(chunkOverlapSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

@@ -116,6 +116,27 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
   }
 
+  test("bm25 matches a hand-computed score and ranks by saturated tf") {
+    // corpus of 4 docs, query "x": df=2, N=4, dl=2 everywhere, avgdl=2
+    // -> length norm term is exactly 1, score = idf * tf*2.2/(tf+1.2)
+    val docs = Seq(
+      (1L, "x x"),   // tf=2
+      (2L, "x y"),   // tf=1
+      (3L, "y z"),   // tf=0 -> dropped
+      (4L, "z w")).toDF("doc_id", "text")
+    val out = graft.text.Bm25.search(docs, "doc_id", "text", Seq("x"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    def sc(tf: Double) = math.rint(idf * tf * 2.2 / (tf + 1.2) * 1e4) / 1e4
+    assert(out == Seq((1L, sc(2)), (2L, sc(1))))
+    assert(sc(2) > sc(1), "tf saturates but stays monotone")
+    // multi-term scores are sums of per-term scores
+    val two = graft.text.Bm25.search(docs, "doc_id", "text", Seq("x", "y"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(two.keySet == Set(1L, 2L, 3L))
+    assert(two(2L) > two(1L), "doc matching both terms outranks tf=2 single-term")
+  }
+
   test("PII redaction tags emails, IPv4s, and long digit runs in order") {
     val docs = Seq((1L, "mail a.b+c@ex-1.org or 10.0.0.255 acct 12345678 end"),
       (2L, "clean text 123 here")).toDF("doc_id", "text")
