@@ -422,6 +422,37 @@ object SparkEntry {
       |WHERE p.resp_ts >= r.req_ts AND p.resp_ts <= r.req_ts + INTERVAL 60 SECOND
       |ORDER BY r.event_id""".stripMargin
 
+  /** Timeout detection (SURVEY §2 A19n2): requests whose response did
+    * NOT arrive within the window — the left-outer interval
+    * correlation, i.e. the SLA-violation / lost-request report. Same
+    * operator code streams (null rows emit once the watermark passes
+    * the join window); batch form carries the full value oracle.
+    * The synthetic responses land `event_id % 120` seconds after the
+    * request, so ids with `% 120 > 60` time out deterministically.
+    */
+  private def correlateTimeouts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val reqs = ev.select(col("event_id"), col("user_id"), col("ts").as("req_ts"))
+    val resps = ev.select(
+      col("event_id"),
+      expr("timestampadd(SECOND, event_id % 120, ts)").as("resp_ts"))
+    graft.streaming.StreamCorrelate
+      .intervalOuter(reqs, resps, "event_id", "req_ts", "resp_ts",
+        delay = "10 minutes", within = "60 seconds")
+      .where(col("resp_ts").isNull)
+      .select(col("event_id"), col("user_id"), col("req_ts"))
+      .orderBy("event_id")
+  }
+
+  private val correlateTimeoutsSql =
+    """WITH req AS (SELECT event_id, user_id, ts AS req_ts FROM events),
+      |resp AS (SELECT event_id, ts + INTERVAL (event_id % 120) SECOND AS resp_ts FROM events)
+      |SELECT r.event_id, r.user_id, r.req_ts
+      |FROM req r LEFT JOIN resp p ON r.event_id = p.event_id
+      |  AND p.resp_ts >= r.req_ts AND p.resp_ts <= r.req_ts + INTERVAL 60 SECOND
+      |WHERE p.resp_ts IS NULL
+      |ORDER BY r.event_id""".stripMargin
+
   /** Native session windows (SURVEY §2 A19a2): Spark's built-in
     * `session_window(ts, gap)` — the streamable form of the 30-min-gap
     * sessionization that `sessionize` hand-rolls with lag+running-sum
@@ -1670,6 +1701,7 @@ object SparkEntry {
     "agg_distinct_users" -> Q(aggDistinctUsers, Some(aggDistinctUsersSql)),
     "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
     "correlate_req_resp" -> Q(correlateReqResp, Some(correlateReqRespSql)),
+    "correlate_timeouts" -> Q(correlateTimeouts, Some(correlateTimeoutsSql)),
     "approx_topk" -> Q(approxTopk, Some(approxTopkSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),

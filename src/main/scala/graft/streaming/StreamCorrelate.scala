@@ -36,14 +36,47 @@ object StreamCorrelate {
       leftTimeCol: String,
       rightTimeCol: String,
       delay: String,
-      within: String): DataFrame = {
+      within: String): DataFrame =
+    joined(left, right, keyCol, leftTimeCol, rightTimeCol, delay, within, "inner")
+
+  /** LEFT-OUTER variant — TIMEOUT DETECTION: every left event emits,
+    * matched rows as in [[interval]], unmatched rows with null right
+    * columns. On a stream, an unmatched left row can only be declared
+    * unmatched once no in-window right row can still arrive, so the
+    * null-padded row emits when the watermark passes the end of its
+    * join window — the emission delay IS the correctness condition
+    * (the SLA-violation alert fires `within + delay` after the
+    * request, never early). State bounds are the inner join's; the
+    * same code runs in batch as a plain left-outer interval join,
+    * where it is value-oracle-checked (`correlate_timeouts`).
+    */
+  def intervalOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      delay: String,
+      within: String): DataFrame =
+    joined(left, right, keyCol, leftTimeCol, rightTimeCol, delay, within, "left_outer")
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      delay: String,
+      within: String,
+      joinType: String): DataFrame = {
     val l = left.withWatermark(leftTimeCol, delay)
     val r = right.withWatermark(rightTimeCol, delay)
       .withColumnRenamed(keyCol, "__corr_key")
     l.join(r,
       col(keyCol) === col("__corr_key") &&
         col(rightTimeCol) >= col(leftTimeCol) &&
-        col(rightTimeCol) <= col(leftTimeCol) + expr(s"INTERVAL $within"))
+        col(rightTimeCol) <= col(leftTimeCol) + expr(s"INTERVAL $within"),
+      joinType)
       .drop("__corr_key")
   }
 }

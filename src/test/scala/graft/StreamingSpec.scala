@@ -230,6 +230,41 @@ class StreamingSpec extends AnyFunSuite {
       "join should run as a stateful operator")
   }
 
+  test("left-outer interval join emits timeouts only after the watermark closes the window") {
+    val ck = tmp("tmo_ck")
+    val reqs = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val resps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val joined = graft.streaming.StreamCorrelate.intervalOuter(
+      reqs.toDF().toDF("id", "req_ts"), resps.toDF().toDF("id", "resp_ts"),
+      "id", "req_ts", "resp_ts", delay = "2 minutes", within = "60 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("tmo").outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def t(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    // req 1 answered in-window; req 2's response is 90 s late (a
+    // timeout); req 3 never answered (a timeout)
+    reqs.addData((1L, t(0, 0)), (2L, t(0, 0)), (3L, t(0, 10)))
+    resps.addData((1L, t(0, 30)), (2L, t(1, 30)))
+    q.processAllAvailable()
+    // watermark has not passed the join windows yet: no timeout row may
+    // have been emitted (an early alert would be a correctness bug)
+    val early = spark.table("tmo").where("resp_ts IS NULL").count()
+    assert(early == 0, s"timeouts emitted before the watermark closed the window: $early")
+    // advance both watermarks far past the horizon -> unmatched rows emit
+    reqs.addData((90L, t(30, 0)))
+    resps.addData((91L, t(30, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tmo").select("id", "resp_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    assert(out(1L).isDefined, "in-window pair must match")
+    assert(out.get(2L).exists(_.isEmpty), "late response is a timeout")
+    assert(out.get(3L).exists(_.isEmpty), "missing response is a timeout")
+  }
+
   test("native session windows finalize on a watermarked stream in append mode") {
     import org.apache.spark.sql.functions._
     val ck = tmp("sw_ck")
