@@ -44,7 +44,13 @@ object Plans {
       "decontaminate_bloom" -> "bloom bitmap literal probed by codegen'd bit arithmetic in a row-local Filter over the shingles; only survivors reach the (broadcast) exact-verify join",
       "vocab_topk" -> "token-frequency partial agg + TakeOrderedAndProject bounded heaps; rank/coverage window runs over the K survivors in one driver-sized partition",
       "approx_topk" -> "freq_topk TypedImperativeAggregate: capacity-bounded Misra-Gries partials ride the standard partial-agg machinery - no item-keyed shuffle, no cardinality-sized hash map",
-      "correlate_req_resp" -> "batch form of the stream-stream interval join (watermark nodes eliminated): key equi-join + event-time range filter, no inequality-pair explosion")
+      "correlate_req_resp" -> "batch form of the stream-stream interval join (watermark nodes eliminated): key equi-join + event-time range filter, no inequality-pair explosion",
+      "correlate_timeouts" -> "left-outer interval join: unmatched requests survive as null-padded rows; same equi-join + range-filter shape as the inner form",
+      "dedup_ngram_jaccard" -> "prefix-filtered exact Jaccard (AllPairs): df-sorted per-doc set store built once (checkpointed), prefix-only self-join on 8-byte hashes, exact array_intersect verify on the distinct candidates",
+      "dedup_semantic" -> "k-means cell assignment is a row-local map over a literal centroid array; within-cell id-only candidate join; vectors join back for the exact-cosine verify",
+      "bm25_search" -> "stats collected as literals (N, avgdl, per-term dfs); scoring is one row-local scan, no join; top-k is TakeOrderedAndProject",
+      "bpe_merges" -> "word-frequency partial agg, pair explode over the DISTINCT-WORD table only, pair partial agg, TakeOrderedAndProject top-k",
+      "chunk_overlap" -> "entirely row-local window slicing (Generate over the scan); the only exchange is the gate ORDER BY")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

@@ -453,6 +453,44 @@ object SparkEntry {
       |WHERE p.resp_ts IS NULL
       |ORDER BY r.event_id""".stripMargin
 
+  /** EWMA rate-anomaly detection (SURVEY §2 A19p): hourly event-type
+    * counts with a deterministic 10× spike injected at hour 13 (the
+    * synthetic stream is rate-uniform, so the corpus plants its own
+    * anomalies, like pii_redact); flags buckets above
+    * expected + 3σ of the PREVIOUS EWMA state. Full value oracle: the
+    * identical recurrence as a DuckDB recursive CTE — α = 1/4 keeps
+    * every step plain IEEE arithmetic, bit-identical across engines.
+    */
+  private def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bts"))
+      .agg(count(lit(1)).as("raw"))
+      .select(col("event_type"), col("bts"),
+        (col("raw") * when(hour(col("bts")) === 13, 10).otherwise(1)).as("cnt"))
+    graft.ops.RateAnomaly.detect(counts, "event_type", "bts", "cnt")
+      .orderBy("event_type", "bucket_ts")
+  }
+
+  private val rateAnomalySql =
+    """WITH RECURSIVE b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bts,
+      |         count(*) * (CASE WHEN extract(hour FROM date_trunc('hour', ts)) = 13 THEN 10 ELSE 1 END) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |o AS (SELECT event_type, bts, cnt,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY bts) AS rn FROM b),
+      |r(event_type, rn, ewma, v) AS (
+      |  SELECT event_type, 1, CAST(cnt AS DOUBLE), CAST(0 AS DOUBLE) FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.rn,
+      |         0.25*o.cnt + 0.75*r.ewma,
+      |         0.75*(r.v + 0.25*(o.cnt - r.ewma)*(o.cnt - r.ewma))
+      |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+      |SELECT o.event_type, o.bts AS bucket_ts, o.cnt,
+      |       round(p.ewma, 4) AS expected, round(sqrt(p.v), 4) AS sigma
+      |FROM o JOIN r p ON p.event_type = o.event_type AND p.rn = o.rn - 1
+      |WHERE o.rn > 5 AND o.cnt > p.ewma + 3*sqrt(p.v)
+      |ORDER BY o.event_type, bucket_ts""".stripMargin
+
   /** Native session windows (SURVEY §2 A19a2): Spark's built-in
     * `session_window(ts, gap)` — the streamable form of the 30-min-gap
     * sessionization that `sessionize` hand-rolls with lag+running-sum
@@ -1702,6 +1740,7 @@ object SparkEntry {
     "windowed_counts" -> Q(windowedCounts, Some(windowedCountsSql)),
     "correlate_req_resp" -> Q(correlateReqResp, Some(correlateReqRespSql)),
     "correlate_timeouts" -> Q(correlateTimeouts, Some(correlateTimeoutsSql)),
+    "rate_anomaly" -> Q(rateAnomaly, Some(rateAnomalySql)),
     "approx_topk" -> Q(approxTopk, Some(approxTopkSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),

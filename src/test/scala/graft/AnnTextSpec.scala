@@ -116,6 +116,22 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
   }
 
+  test("ewma rate anomaly flags a planted spike against hand-computed state") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // steady rate 10, one 10x spike at hour 8, recovery after
+    val counts = ((0 to 11).map(h => (("err", ts(h), if (h == 8) 100L else 10L)))).toDF("k", "bts", "cnt")
+    val out = graft.ops.RateAnomaly.detect(counts, "k", "bts", "cnt", warmup = 5)
+      .as[(String, java.sql.Timestamp, Long, Double, Double)].collect().toSeq
+    // constant series -> ewma 10, var 0 until the spike; only hour 8 flags
+    assert(out == Seq(("err", ts(8), 100L, 10.0, 0.0)), s"got $out")
+    // a spike INSIDE the warmup must not alert
+    val early = ((0 to 11).map(h => (("err", ts(h), if (h == 3) 100L else 10L)))).toDF("k", "bts", "cnt")
+    assert(graft.ops.RateAnomaly.detect(early, "k", "bts", "cnt", warmup = 5).isEmpty,
+      "warmup buckets must not alert")
+    // after the spike, absorbed state must not re-flag the normal rate
+    assert(out.size == 1, "recovery buckets must not alert")
+  }
+
   test("bm25 matches a hand-computed score and ranks by saturated tf") {
     // corpus of 4 docs, query "x": df=2, N=4, dl=2 everywhere, avgdl=2
     // -> length norm term is exactly 1, score = idf * tf*2.2/(tf+1.2)

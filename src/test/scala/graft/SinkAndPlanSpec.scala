@@ -576,7 +576,11 @@ class SinkAndPlanSpec extends AnyFunSuite {
       "text_unigram_nll" -> 3,  // freq agg + per-doc agg + gate sort (freq side broadcasts; the total is a collected literal)
       "decontaminate_bloom" -> 2, // bloom prefilter is a row-local Filter; verify join broadcasts; per-doc agg + gate sort
       "vocab_topk" -> 3,          // freq agg + single-partition window over the top-k + gate sort
-      "length_buckets" -> 2)      // bucket agg + gate sort
+      "length_buckets" -> 2,      // bucket agg + gate sort
+      "bm25_search" -> 0,         // stats are collected literals; scoring scan + TakeOrderedAndProject, no exchange at all
+      "bpe_merges" -> 2,          // word-freq agg + pair agg (top-k is TakeOrdered)
+      "chunk_overlap" -> 1,       // row-local slicing; gate ORDER BY only
+      "dedup_ngram_jaccard" -> 4) // prefix self-join + candidate distinct + verify joins + gate sort (set store checkpointed)
     val over = budgets.flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, TestSpark.SfDirSmall)
         .queryExecution.executedPlan.toString
