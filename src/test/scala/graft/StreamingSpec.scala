@@ -265,6 +265,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.get(3L).exists(_.isEmpty), "missing response is a timeout")
   }
 
+  test("streaming ewma anomaly alerts live, carries state across batches, drops regressions") {
+    import graft.streaming.StreamingRateAnomaly
+    import graft.streaming.StreamingRateAnomaly.{Alert, Bucket}
+    val ck = tmp("ewma_ck")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Bucket](spark)
+    val q = StreamingRateAnomaly.alerts(in.toDS(), warmup = 5).writeStream
+      .format("memory").queryName("ewma_alerts")
+      .outputMode(StreamingRateAnomaly.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def b(h: Int, cnt: Long) = Bucket("err", h * 3600000L, cnt)
+    // batch 1: six steady buckets seed the state past warmup — no alert
+    in.addData((0 to 5).map(h => b(h, 10L)): _*)
+    q.processAllAvailable()
+    assert(spark.table("ewma_alerts").isEmpty, "steady rate must not alert")
+    // batch 2: a 10x spike arrives — the alert fires IN THIS BATCH with
+    // state carried from batch 1 (ewma 10, var 0), plus an out-of-order
+    // regression below the high-water mark that must be dropped silently
+    in.addData(b(6, 100L), b(2, 999L))
+    q.processAllAvailable()
+    val alerts = spark.table("ewma_alerts").as[Alert].collect().toSeq
+    assert(alerts == Seq(Alert("err", 6 * 3600000L, 100L, 10.0, 0.0)), s"got $alerts")
+    // batch 3: recovery at the old rate — spike absorbed, no new alert;
+    // the batch operator agrees with the stream on the same series
+    in.addData(b(7, 10L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ewma_alerts").count() == 1)
+    val series = ((0 to 6).map(h => ("err", new java.sql.Timestamp(h * 3600000L), if (h == 6) 100L else 10L)))
+      .toDF("k", "bts", "cnt")
+    val batch = graft.ops.RateAnomaly.detect(series, "k", "bts", "cnt", warmup = 5)
+      .select("cnt", "expected", "sigma")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(batch == Seq((100L, 10.0, 0.0)), "batch and streaming forms must agree")
+  }
+
   test("native session windows finalize on a watermarked stream in append mode") {
     import org.apache.spark.sql.functions._
     val ck = tmp("sw_ck")
