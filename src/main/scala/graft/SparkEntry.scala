@@ -929,6 +929,28 @@ object SparkEntry {
       |       round(cum / (SELECT count(*) FROM toks), 4) AS cum_share
       |FROM r WHERE tok_rank <= 500 ORDER BY tok_rank""".stripMargin
 
+  /** Batched embedding inference plumbing (SURVEY §2 B53): the
+    * mapPartitions batch-assembly shape of a model-inference stage,
+    * with the model swapped for cross-engine MD5 hash math — so unlike
+    * the usual plumbing-only stub, the stage carries a FULL value
+    * oracle (DuckDB recomputes every dimension).
+    */
+  private def embedTexts(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.mm.Embedder.embed(t(s, dir, "documents"), "doc_id", "text", dim = 8)
+    e.select(col("doc_id") +:
+      (0 until 8).map(d => round(element_at(col("embedding"), d + 1), 4).as(s"e$d")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val embedTextsSql = {
+    val dims = (0 until 8).map(d =>
+      s"round(CAST('0x' || substring(md5(text || ':$d'), 1, 15) AS BIGINT) % 2001 / 1000.0 - 1.0, 4) AS e$d")
+      .mkString(",\n      |       ")
+    s"""SELECT doc_id,
+      |       $dims
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** BM25 ranked search (SURVEY §2 B52): ranked "grep the corpus" and
     * the scoring kernel of retrieval-based data selection. Stats
     * passes collect three scalars + |terms| dfs; scoring is one
@@ -1717,6 +1739,7 @@ object SparkEntry {
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
     "bpe_merges" -> Q(bpeMerges, Some(bpeMergesSql)),
     "bm25_search" -> Q(bm25Search, Some(bm25SearchSql)),
+    "embed_texts" -> Q(embedTexts, Some(embedTextsSql)),
     "chunk_overlap" -> Q(chunkOverlap, Some(chunkOverlapSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

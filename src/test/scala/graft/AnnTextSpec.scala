@@ -116,6 +116,29 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
   }
 
+  test("batched embedder: batch-size-invariant, hand-checked dims, feeds the ANN family") {
+    val docs = Tables(spark, TestSpark.SfDirSmall, "documents")
+    val n = docs.count()
+    // batch size must not affect values — 7 never divides the
+    // partition sizes, so trailing short batches are exercised
+    def emb(bs: Int) = graft.mm.Embedder.embed(docs, "doc_id", "text", dim = 4, batchSize = bs)
+      .as[(Long, Seq[Double])].collect().toMap
+    val e7 = emb(7)
+    assert(e7.size == n && e7 == emb(64))
+    // hand recompute of one value via the documented MD5 construction
+    val (id0, text0) = docs.select("doc_id", "text").as[(Long, String)].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((text0 + ":2").getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+    val want = (java.lang.Long.parseLong(hex, 16) % 2001L) / 1000.0 - 1.0
+    assert(e7(id0)(2) == want)
+    assert(e7.values.forall(_.forall(v => v >= -1.0 && v <= 1.0)))
+    // the embedding column feeds the similarity family directly
+    val corpus = graft.mm.Embedder.embed(docs, "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("id"), col("embedding").as("vec"))
+    val qs = corpus.limit(2).select(col("id").as("qid"), col("vec").as("qvec"))
+    assert(graft.sim.Knn.topK(qs, corpus, 3).count() == 6)
+  }
+
   test("ewma rate anomaly flags a planted spike against hand-computed state") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // steady rate 10, one 10x spike at hour 8, recovery after

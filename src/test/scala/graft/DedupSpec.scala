@@ -157,6 +157,26 @@ class DedupSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT shingle_hashes('a b', 0)").collect())
   }
 
+  test("native shingle hashing equals the builtin chain on randomized unicode corpora") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Shingles
+    // property-style sweep: adversarial token alphabets (empty tokens,
+    // multi-byte unicode, long runs) × random docs, seeded for
+    // reproducibility
+    val alphabet = Vector("", "a", "bb", "λ", "日本語", "x" * 300, "émo🎈ji", "0")
+    val rnd = new scala.util.Random(4242)
+    val docs = (1 to 400).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }.toDF("id", "text")
+    for (n <- Seq(1, 2, 4)) {
+      val builtin = sort_array(transform(Shingles.shingles(col("text"), n), s => xxhash64(s)))
+      val native = sort_array(Shingles.hashedShingles(col("text"), n))
+      val bad = docs.where(not(builtin <=> native))
+      assert(bad.isEmpty, s"n=$n diverged on: ${bad.select("text").take(3).mkString("; ")}")
+    }
+  }
+
   test("prefix-filtered exhaustive jaccard is value-identical to the naive join") {
     // the AllPairs prefix filter is an exact optimization: same pairs,
     // same jaccard values, on real testdata and at a threshold low
