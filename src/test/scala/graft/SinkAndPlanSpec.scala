@@ -554,6 +554,27 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"all-pairs join shipped in: $offenders")
   }
 
+  test("results are invariant to shuffle partition count (AQE re-plans at scale)") {
+    // At 100 TB, AQE coalesces/splits partitions at runtime — any
+    // result that silently depends on the partition count (zipWithIndex
+    // misuse, per-partition RNG, non-commutative merge) is a cluster
+    // bug that local[4]-only testing never sees. Representative set:
+    // the order-assigning ops (shuffle/packing), an iterative op
+    // (clusters), a sketch (minhash), and a collected-stats op (bm25).
+    val names = Seq("corpus_shuffle", "pack_chunks", "dedup_clusters", "dedup_minhash", "bm25_search")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, TestSpark.SfDirSmall)
+        .collect().map(_.toString).sorted.toSeq
+    val at4 = names.map(n => n -> run(n)).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      names.foreach { n =>
+        assert(run(n) == at4(n), s"$n changed results when shuffle partitions changed 4 -> 7")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("plan-regression guard: headline queries keep their shuffle-exchange budgets") {
     // Every shuffle is a full-data network pass at 100 TB; a plan that
     // silently acquires one (lost broadcast, dropped partial agg, an
