@@ -38,6 +38,7 @@ object Bm25 {
     val stats = docs.agg(
       count(lit(1)).as("n"), avg(size(toks)).as("avgdl")).head()
     val n = stats.getLong(0)
+    require(n > 0, "bm25 needs a non-empty corpus (avgdl is undefined on zero documents)")
     val avgdl = stats.getDouble(1)
     val dfs = docs
       .select(explode(array_distinct(toks)).as("t"))
