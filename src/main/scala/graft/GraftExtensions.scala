@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, DistinctBigrams, FreqTopK, RegexpExtractGroups, ShingleHashes}
+import graft.functions.{ArrayDot, ByteEntropy, DistinctBigrams, FreqTopK, RegexpExtractGroups, ShingleHashes}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -58,7 +58,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("shingle_hashes", 2, args)
         ShingleHashes(args(0), foldableInt("shingle_hashes n", args(1)))
-      }))
+      }),
+    ("byte_entropy",
+      new ExpressionInfo(classOf[ByteEntropy].getName, "byte_entropy"),
+      (args: Seq[Expression]) => { arity("byte_entropy", 1, args); ByteEntropy(args(0)) }))
 
   /** Extract a non-null foldable integer argument at analysis time —
     * k/capacity must be literals (they size driver-side structures).

@@ -951,6 +951,28 @@ object SparkEntry {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Byte-entropy quality scoring (SURVEY §2 B54): the
+    * compression-ratio-style junk signal — one native codegen pass per
+    * row, no shuffle. Full value oracle: the corpus is ASCII, so
+    * DuckDB's char distribution equals the byte distribution, and the
+    * ordered list aggregation sums terms in the same ascending order
+    * the expression does.
+    */
+  private def textEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.ByteEntropy(col("text")), 4).as("entropy"))
+      .orderBy("doc_id")
+
+  private val textEntropySql =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |f AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt FROM ch GROUP BY 1, 2),
+      |n AS (SELECT doc_id, sum(cnt) AS n FROM f GROUP BY 1)
+      |SELECT f.doc_id,
+      |       round(-list_sum(list(f.cnt/n.n * ln(f.cnt/n.n) ORDER BY f.c)), 4) AS entropy
+      |FROM f JOIN n ON f.doc_id = n.doc_id
+      |GROUP BY f.doc_id, n.n ORDER BY f.doc_id""".stripMargin
+
   /** BM25 ranked search (SURVEY §2 B52): ranked "grep the corpus" and
     * the scoring kernel of retrieval-based data selection. Stats
     * passes collect three scalars + |terms| dfs; scoring is one
@@ -1740,6 +1762,7 @@ object SparkEntry {
     "bpe_merges" -> Q(bpeMerges, Some(bpeMergesSql)),
     "bm25_search" -> Q(bm25Search, Some(bm25SearchSql)),
     "embed_texts" -> Q(embedTexts, Some(embedTextsSql)),
+    "text_entropy" -> Q(textEntropy, Some(textEntropySql)),
     "chunk_overlap" -> Q(chunkOverlap, Some(chunkOverlapSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

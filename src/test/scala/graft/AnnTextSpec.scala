@@ -116,6 +116,36 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
   }
 
+  test("byte entropy: hand values, null/empty semantics, matches a local recompute") {
+    import graft.functions.ByteEntropy
+    val docs = Seq(
+      (1L, "aaaa"),           // single symbol -> 0
+      (2L, "ab"),             // two equiprobable -> ln 2
+      (3L, "abcd"),           // four equiprobable -> ln 4
+      (4L, ""),               // empty -> 0
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = docs.select(col("id"), ByteEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(0.0) && got(4L).contains(0.0) && got(5L).isEmpty)
+    assert(math.abs(got(2L).get - math.log(2)) < 1e-12)
+    assert(math.abs(got(3L).get - math.log(4)) < 1e-12)
+    // corpus equivalence vs a local byte-histogram recompute
+    val real = Tables(spark, TestSpark.SfDirSmall, "documents")
+    val spark_ = real.select(col("doc_id"), ByteEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    real.select("doc_id", "text").as[(Long, String)].collect().foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val counts = bytes.groupBy(identity).toSeq.sortBy(_._1 & 0xff).map(_._2.length)
+      val n = bytes.length.toDouble
+      val want = counts.foldLeft(0.0)((acc, c) => acc - (c / n) * math.log(c / n))
+      assert(spark_(id) == want, s"doc $id entropy mismatch")
+    }
+    // SQL surface + analysis-time failure
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT byte_entropy('aaaa') h").head.getDouble(0) == 0.0)
+    intercept[Exception](spark.sql("SELECT byte_entropy(array(1))").collect())
+  }
+
   test("batched embedder: batch-size-invariant, hand-checked dims, feeds the ANN family") {
     val docs = Tables(spark, TestSpark.SfDirSmall, "documents")
     val n = docs.count()
