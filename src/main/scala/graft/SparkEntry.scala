@@ -973,6 +973,28 @@ object SparkEntry {
       |FROM f JOIN n ON f.doc_id = n.doc_id
       |GROUP BY f.doc_id, n.n ORDER BY f.doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction (SURVEY §2 B55): top-3 terms per doc by
+    * smooth tf-idf; ranking on the ROUNDED score with term tie-break
+    * keeps rank order engine-reproducible. Full value oracle.
+    */
+  private def docKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.keywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "tok_rank")
+
+  private val docKeywordsSql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.tok,
+      |         round(tf.tf * (ln((nn.n + 1.0)/(df.df + 1)) + 1), 4) AS score
+      |       FROM tf JOIN df USING (tok) CROSS JOIN nn),
+      |r AS (SELECT doc_id, tok, score,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS tok_rank
+      |      FROM sc)
+      |SELECT doc_id, tok, score, tok_rank FROM r WHERE tok_rank <= 3
+      |ORDER BY doc_id, tok_rank""".stripMargin
+
   /** BM25 ranked search (SURVEY §2 B52): ranked "grep the corpus" and
     * the scoring kernel of retrieval-based data selection. Stats
     * passes collect three scalars + |terms| dfs; scoring is one
@@ -1763,6 +1785,7 @@ object SparkEntry {
     "bm25_search" -> Q(bm25Search, Some(bm25SearchSql)),
     "embed_texts" -> Q(embedTexts, Some(embedTextsSql)),
     "text_entropy" -> Q(textEntropy, Some(textEntropySql)),
+    "doc_keywords" -> Q(docKeywords, Some(docKeywordsSql)),
     "chunk_overlap" -> Q(chunkOverlap, Some(chunkOverlapSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

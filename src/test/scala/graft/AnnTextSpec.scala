@@ -116,6 +116,26 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
   }
 
+  test("tf-idf keywords: rare terms outrank common ones, k bounds per doc") {
+    // equal tf, different df: "rare" (df=1) must outrank "common" (df=3)
+    val docs = Seq(
+      (1L, "common rare zz"),
+      (2L, "common other words"),
+      (3L, "common more words")).toDF("doc_id", "text")
+    val out = graft.text.TfIdf.keywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "tok_rank")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.head._2 == "rare", s"rare term must rank first in doc 1: $doc1")
+    // rare and zz tie on score (both df=1, tf=1): token tiebreak is
+    // lexicographic, so rare precedes zz; common (idf = ln(1)+1 = 1) is cut
+    assert(doc1.map(_._2) == Seq("rare", "zz"))
+    assert(out.groupBy(_._1).forall(_._2.size <= 2), "k must bound terms per doc")
+    // hand value: rare in doc1 -> tf=1, idf = ln(4/2)+1
+    val want = math.rint((math.log(4.0 / 2) + 1) * 1e4) / 1e4
+    assert(doc1.head._3 == want)
+  }
+
   test("byte entropy: hand values, null/empty semantics, matches a local recompute") {
     import graft.functions.ByteEntropy
     val docs = Seq(
