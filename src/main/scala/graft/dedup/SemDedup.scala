@@ -32,17 +32,40 @@ import graft.sim.{Cosine, IvfAnn}
   */
 object SemDedup {
 
+  /** Target vectors per cell for the adaptive default: cells scale
+    * with the corpus so within-cell pair work stays ~n·TargetCellSize
+    * instead of n²/numCells.
+    */
+  val TargetCellSize = 512
+
   /** Self-contained train-and-pair (trains `numCells` centroids per
     * call; batch consumers should [[IvfAnn.train]] once and call
     * [[pairsWith]]).
+    *
+    * `numCells <= 0` (the default) derives the cell count from the
+    * corpus size — ⌈n / TargetCellSize⌉ clamped to [4, 4096] — so the
+    * obvious API keeps candidate volume ~linear as the corpus grows
+    * instead of silently inheriting a fixed-k n²/k blowup; the one
+    * extra count job is the price of the safe default. The 4096 upper
+    * clamp is the literal-centroid-array assignment regime
+    * (numCells×dim literals codegen'd per row); beyond that, cell
+    * assignment should move to a broadcast-join argmin — a documented
+    * scale boundary, not a silent one.
     */
   def pairs(
       embeddings: DataFrame, // (id, vec array<double>)
       minCosine: Double,
-      numCells: Int = 16,
+      numCells: Int = 0,
       iters: Int = 3,
-      probes: Int = 2): DataFrame =
-    pairsWith(embeddings, IvfAnn.train(embeddings, numCells, iters), minCosine, probes)
+      probes: Int = 2): DataFrame = {
+    val cells =
+      if (numCells > 0) numCells
+      else {
+        val n = embeddings.count()
+        math.min(4096L, math.max(4L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
+      }
+    pairsWith(embeddings, IvfAnn.train(embeddings, cells, iters), minCosine, probes)
+  }
 
   /** Near-duplicate pairs `(a, b, cosine)` sharing at least one of
     * their top-`probes` trained cells, with exact cosine ≥ `minCosine`.

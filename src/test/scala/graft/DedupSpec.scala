@@ -256,6 +256,11 @@ class DedupSpec extends AnyFunSuite {
     val hard = graft.dedup.SemDedup.pairs(e, minCosine = 0.4, numCells = 16, probes = 1)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(hard.subsetOf(got), "probes=1 candidates are a subset of probes=2")
+    // the adaptive default derives cells from corpus size (500 docs /
+    // 512-per-cell target -> the 4-cell floor) and stays green
+    val auto = graft.dedup.SemDedup.pairs(e, minCosine = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact) && auto.nonEmpty, "adaptive default emits verified pairs")
     // trained centroids are reusable across batches (the production shape)
     val cs = graft.sim.IvfAnn.train(e, numCells = 16)
     val again = graft.dedup.SemDedup.pairsWith(e, cs, minCosine = 0.4)
