@@ -50,7 +50,11 @@ object Plans {
       "dedup_semantic" -> "k-means cell assignment is a row-local map over a literal centroid array; within-cell id-only candidate join; vectors join back for the exact-cosine verify",
       "bm25_search" -> "stats collected as literals (N, avgdl, per-term dfs); scoring is one row-local scan, no join; top-k is TakeOrderedAndProject",
       "bpe_merges" -> "word-frequency partial agg, pair explode over the DISTINCT-WORD table only, pair partial agg, TakeOrderedAndProject top-k",
-      "chunk_overlap" -> "entirely row-local window slicing (Generate over the scan); the only exchange is the gate ORDER BY")
+      "chunk_overlap" -> "entirely row-local window slicing (Generate over the scan); the only exchange is the gate ORDER BY",
+      "text_entropy" -> "native byte_entropy codegen expression: one generated histogram+log pass per row, no shuffle but the gate ORDER BY",
+      "doc_keywords" -> "(doc,term) partial agg; vocab-sized df side broadcasts back; per-doc rank window bounded by terms-per-doc",
+      "embed_texts" -> "mapPartitions batched-inference stage: one pass, zero shuffles before the gate ORDER BY",
+      "rate_anomaly" -> "partial-agg hourly bucketing; the EWMA fold shuffles pre-bucketed counts by key, never raw events")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")
