@@ -85,12 +85,22 @@ object NgramJaccard {
       .localCheckpoint(true)
     val prefix = docSets.select(
       col("id"), col("m"),
-      explode(slice(col("set"), lit(1),
-        (col("m") - ceil(lit(tEff) * col("m")) + 1).cast("int"))).as("s"))
+      posexplode(slice(col("set"), lit(1),
+        (col("m") - ceil(lit(tEff) * col("m")) + 1).cast("int"))))
+      .select(col("id"), col("m"), col("pos").as("rk"), col("col").as("s"))
+    // positional filter (PPJoin, Xiao et al. WWW'08): matched via a
+    // shingle at 0-based prefix positions (ra, rb), the overlap can't
+    // exceed min(|A|-ra, |B|-rb); a qualifying pair's FIRST shared
+    // shingle always passes this bound (all shared shingles rank at or
+    // after it on both sides), so per-row pruning before the distinct
+    // loses no pair — it only stops late-prefix collisions from
+    // generating candidate rows
+    val minOverlap = lit(tEff / (1 + tEff)) * (col("a.m") + col("b.m"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("a.m") >= lit(tEff) * col("b.m") && col("b.m") >= lit(tEff) * col("a.m"))
+          col("a.m") >= lit(tEff) * col("b.m") && col("b.m") >= lit(tEff) * col("a.m") &&
+          least(col("a.m") - col("a.rk"), col("b.m") - col("b.rk")) >= minOverlap)
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .distinct()
     cand
