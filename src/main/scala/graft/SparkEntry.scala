@@ -973,6 +973,25 @@ object SparkEntry {
       |FROM f JOIN n ON f.doc_id = n.doc_id
       |GROUP BY f.doc_id, n.n ORDER BY f.doc_id""".stripMargin
 
+  /** Boilerplate-span mining (SURVEY §2 B56): most-repeated 10-token
+    * spans at ANY alignment — the pre-strip diagnostic. Spans are
+    * identified by (first_doc, first_pos) so no hash leaves the plan;
+    * the oracle groups the identical windows by STRING in DuckDB and
+    * re-derives the same aggregates.
+    */
+  private def boilerplateSpans(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.BoilerplateSpans.mine(t(s, dir, "documents"), "doc_id", "text", n = 10, k = 20)
+
+  private val boilerplateSpansSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+9], ' ') AS span
+      |      FROM t, unnest(range(1, len(toks) - 8)) AS u(i)),
+      |g AS (SELECT span, count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs,
+      |             min(doc_id * 1048576 + pos) AS fk
+      |      FROM w GROUP BY span HAVING count(*) >= 2)
+      |SELECT fk // 1048576 AS first_doc, fk % 1048576 AS first_pos, occurrences, n_docs
+      |FROM g ORDER BY occurrences DESC, first_doc, first_pos LIMIT 20""".stripMargin
+
   /** TF-IDF keyword extraction (SURVEY §2 B55): top-3 terms per doc by
     * smooth tf-idf; ranking on the ROUNDED score with term tie-break
     * keeps rank order engine-reproducible. Full value oracle.
@@ -1786,6 +1805,7 @@ object SparkEntry {
     "embed_texts" -> Q(embedTexts, Some(embedTextsSql)),
     "text_entropy" -> Q(textEntropy, Some(textEntropySql)),
     "doc_keywords" -> Q(docKeywords, Some(docKeywordsSql)),
+    "boilerplate_spans" -> Q(boilerplateSpans, Some(boilerplateSpansSql)),
     "chunk_overlap" -> Q(chunkOverlap, Some(chunkOverlapSql)),
     "length_buckets" -> Q(lengthBuckets, Some(lengthBucketsSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Distinctness keeps first occurrence, matching `array_distinct`
   * modulo the (documented, accepted) xxhash64-collision caveat.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -52,14 +53,14 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(v: Any): Any =
-    ShingleHashes.compute(v.asInstanceOf[UTF8String], n)
+    ShingleHashes.compute(v.asInstanceOf[UTF8String], n, distinct)
 
   // The kernel is one static JVM method (JIT-compiled scala); the
   // generated code is a single call, so the enclosing stage stays in
   // whole-stage codegen with no fallback.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n);")
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -71,9 +72,13 @@ object ShingleHashes {
   private val Seed = 42L
 
   /** One-pass kernel: token boundaries by byte scan, then XXH64 over
-    * each n-token byte span, first-occurrence-distinct.
+    * each n-token byte span. `distinct = true` keeps first occurrences
+    * (set semantics, the dedup-family contract); `distinct = false`
+    * emits EVERY window in position order (index i = the shingle
+    * starting at token i — the positional contract boilerplate-span
+    * mining relies on).
     */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  def compute(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
@@ -100,13 +105,13 @@ object ShingleHashes {
     ends(m - 1) = len
     val w = m - n + 1
     val out = new Array[Long](w)
-    val seen = new java.util.HashSet[java.lang.Long](Math.max(8, w * 2))
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long](Math.max(8, w * 2)) else null
     var cnt = 0
     var j = 0
     while (j < w) {
       val a = starts(j)
       val h = XXH64.hashUnsafeBytes(base, off + a, ends(j + n - 1) - a, Seed)
-      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      if (seen == null || seen.add(h)) { out(cnt) = h; cnt += 1 }
       j += 1
     }
     new GenericArrayData(if (cnt == w) out else java.util.Arrays.copyOf(out, cnt))
@@ -115,4 +120,10 @@ object ShingleHashes {
   /** Column-API entry point: distinct hashed word n-grams of `text`. */
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** EVERY window in position order (non-distinct): array index i is
+    * the hash of the n-gram starting at token i.
+    */
+  def positional(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n, distinct = false))
 }

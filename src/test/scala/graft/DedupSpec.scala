@@ -269,6 +269,29 @@ class DedupSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet == again, "deterministic per trained set")
   }
 
+  test("boilerplate spans: positional windows, first occurrence, spread, ranking") {
+    import org.apache.spark.sql.functions._
+    // positional (non-distinct) kernel contract: index i = window at token i
+    val reps = Seq(("a b a b a")).toDF("text")
+      .select(graft.functions.ShingleHashes.positional(col("text"), 2).as("w"))
+      .head.getSeq[Long](0)
+    assert(reps.size == 4 && reps(0) == reps(2) && reps(1) == reps(3) && reps(0) != reps(1))
+    // miner hand case: "p q" repeats across three docs at mixed offsets
+    val docs = Seq((1L, "p q r"), (2L, "p q s"), (3L, "z p q")).toDF("doc_id", "text")
+    val out = graft.dedup.BoilerplateSpans.mine(docs, "doc_id", "text", n = 2, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 3L, 3L)), s"got $out")
+    // corpus sanity at n=10: planted near-dups repeat long spans; the
+    // report is non-empty, bounded by k, and within-bounds positions
+    val real = Tables(spark, TestSpark.SfDir, "documents")
+    val mined = graft.dedup.BoilerplateSpans.mine(real, "doc_id", "text", n = 10, k = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mined.nonEmpty && mined.size <= 20)
+    assert(mined.forall { case (_, pos, occ, nd) => pos >= 0 && occ >= 2 && nd >= 1 && nd <= occ })
+    // ranked by occurrences descending
+    assert(mined.map(_._3) == mined.map(_._3).sortBy(-_))
+  }
+
   test("candidate generation is never all-pairs (no cartesian/nested-loop join)") {
     val docs = Tables(spark, TestSpark.SfDir, "documents")
     for (df <- Seq(
