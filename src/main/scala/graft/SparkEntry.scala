@@ -1768,6 +1768,150 @@ object SparkEntry {
       |  FROM lineitem)
       |WHERE rn <= 5 GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Funnel analysis (SURVEY §2 A17b) — ClickHouse `windowFunnel`
+    * analog over the event log: per-user max funnel level through
+    * view → click → purchase with every step inside 6 h of the chain's
+    * first view. The operator is the classical windowFunnel dynamic
+    * program folded with built-in HOFs (graft.ops.Funnel — one
+    * step-filtered partial-agg shuffle moving 12-byte pairs). The
+    * oracle states the SEMANTICS directly: level ≥ k iff an ordered
+    * event chain inside the window exists (DuckDB per-user step
+    * joins), so the DP must agree with the exists-a-chain definition
+    * on every user.
+    */
+  private def funnelLevels(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel
+      .levels(
+        t(s, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"),
+        steps = Seq("view", "click", "purchase"),
+        windowMicros = 6L * 3600 * 1000000L,
+        keyOut = "user_id")
+      .orderBy("user_id")
+
+  private val funnelLevelsSql =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |base AS (SELECT DISTINCT user_id FROM events
+      |         WHERE event_type IN ('view', 'click', 'purchase'))
+      |SELECT b.user_id,
+      |       CASE
+      |         WHEN b.user_id IN (
+      |           SELECT v.user_id FROM v
+      |           JOIN c ON c.user_id = v.user_id AND c.ts >= v.ts
+      |           JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+      |            AND epoch_us(p.ts) - epoch_us(v.ts) <= 21600000000)
+      |         THEN 3
+      |         WHEN b.user_id IN (
+      |           SELECT v.user_id FROM v
+      |           JOIN c ON c.user_id = v.user_id AND c.ts >= v.ts
+      |            AND epoch_us(c.ts) - epoch_us(v.ts) <= 21600000000)
+      |         THEN 2
+      |         WHEN b.user_id IN (SELECT user_id FROM v) THEN 1
+      |         ELSE 0
+      |       END AS funnel_level
+      |FROM base b ORDER BY user_id""".stripMargin
+
+  /** Cohort retention (SURVEY §2 A17c) — ClickHouse `retention()`
+    * analog: users grouped by signup day (their first `signup` event),
+    * counted as retained if active on day 0/1/3/7 after it. Two
+    * row-local date projections + one distinct + one user-keyed
+    * shuffle join + one grouped count — all partial-agg friendly; the
+    * cohort side is per-user-sized, the activity side per-user-day.
+    */
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cohort = ev
+      .where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    cohort
+      .join(active, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .where(col("day_offset").isin(0L, 1L, 3L, 7L))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val retentionCohortsSql =
+    """WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |                FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT c.cohort_day, date_diff('day', c.cohort_day, a.day) AS day_offset,
+      |       count(DISTINCT a.user_id) AS users
+      |FROM cohort c JOIN active a USING (user_id)
+      |WHERE date_diff('day', c.cohort_day, a.day) IN (0, 1, 3, 7)
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Count–min sketch point frequencies (SURVEY §2 A17d) — the
+    * mergeable-sketch complement of freq_topk: Misra–Gries answers
+    * "what is heavy", CMS answers "how often is THIS key" for any
+    * key, in eps-width counter rows that merge associatively (Spark's
+    * built-in `count_min_sketch` aggregate — one partial-agg pass; the
+    * collected sketch is KBs regardless of data volume, the same
+    * collect-a-summary regime as the Bloom/IVF paths). Probes the
+    * first 25 user ids (present at every SF). Precision oracle: CMS
+    * guarantees `est >= true` and, with depth-many independent rows,
+    * `est <= true + eps * N`; both bounds re-checked per emitted row
+    * against DuckDB's exact counts.
+    */
+  private def approxFreqCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val bytes = ev
+      .agg(count_min_sketch(col("user_id"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val probes = (0L until 25L).map(id => (id, cms.estimateCount(java.lang.Long.valueOf(id))))
+    import s.implicits._
+    probes.toDF("user_id", "est").orderBy("user_id")
+  }
+
+  private val approxFreqCmsSql =
+    """WITH exact AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM events)
+      |SELECT g.user_id, g.est
+      |FROM graft_result g
+      |LEFT JOIN exact e USING (user_id) CROSS JOIN tot
+      |WHERE g.est >= coalesce(e.cnt, 0)
+      |  AND g.est - coalesce(e.cnt, 0) <= 0.001 * tot.n
+      |ORDER BY g.user_id""".stripMargin
+
+  /** Zone-map pruned scan (SURVEY §2 A13a) — the MergeTree
+    * sparse-index analog: events written range-partitioned on `ts`
+    * (16 files, each covering a narrow time slice), a per-file min/max
+    * manifest built in one pass, then a 2-day range query that reads
+    * ONLY the files whose zones overlap (graft.sources.ZoneMap; the
+    * plan-level file-skipping assert lives in AnalyticsSpec). The
+    * oracle recomputes the range aggregate over the original table, so
+    * pruning must be exactly sound.
+    */
+  private def zonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+    val tmp = java.nio.file.Paths.get(scratch, "graft_zonemap").toAbsolutePath.toString
+    t(s, dir, "events")
+      .repartitionByRange(16, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val manifest = graft.sources.ZoneMap.build(s.read.parquet(tmp), Seq("ts"))
+    val (lo, hi) = (lit("2024-01-10 00:00:00").cast("timestamp"),
+      lit("2024-01-11 23:59:59.999999").cast("timestamp"))
+    graft.sources.ZoneMap.prunedRead(s, manifest, "ts", lo, hi)
+      .groupBy(col("event_type").as("level"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+      .orderBy("level")
+  }
+
+  private val zonemapPruneSql =
+    """SELECT event_type AS level, count(*) AS cnt, count(DISTINCT user_id) AS users
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-11 23:59:59.999999'
+      |GROUP BY 1 ORDER BY level""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1831,6 +1975,10 @@ object SparkEntry {
     "correlate_timeouts" -> Q(correlateTimeouts, Some(correlateTimeoutsSql)),
     "rate_anomaly" -> Q(rateAnomaly, Some(rateAnomalySql)),
     "approx_topk" -> Q(approxTopk, Some(approxTopkSql)),
+    "funnel_levels" -> Q(funnelLevels, Some(funnelLevelsSql)),
+    "retention_cohorts" -> Q(retentionCohorts, Some(retentionCohortsSql)),
+    "approx_freq_cms" -> Q(approxFreqCms, Some(approxFreqCmsSql)),
+    "zonemap_prune" -> Q(zonemapPrune, Some(zonemapPruneSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

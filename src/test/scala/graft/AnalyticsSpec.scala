@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnel
+import graft.sources.ZoneMap
+
+/** Funnel / retention / CMS / zone-map — the round-9 analytics rows. */
+class AnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ funnel
+
+  private val Steps = Seq("a", "b", "c")
+
+  private def funnelOf(rows: Seq[(Long, String, Long)], window: Long) = {
+    val df = rows.toDF("k", "et", "micros")
+      .select(col("k"), col("et"), timestamp_micros(col("micros")).as("ts"))
+    Funnel.levels(df, col("k"), col("et"), col("ts"), Steps, window)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  /** Exists-a-chain reference semantics, brute force: largest k with
+    * t1 <= ... <= tk, step types in order, tk - t1 <= window.
+    */
+  private def bruteLevel(evs: Seq[(String, Long)], window: Long): Int = {
+    val byStep = Steps.map(st => evs.collect { case (`st`, t) => t })
+    val l3 = for {
+      t1 <- byStep(0); t2 <- byStep(1); t3 <- byStep(2)
+      if t1 <= t2 && t2 <= t3 && t3 - t1 <= window
+    } yield ()
+    val l2 = for {
+      t1 <- byStep(0); t2 <- byStep(1)
+      if t1 <= t2 && t2 - t1 <= window
+    } yield ()
+    if (l3.nonEmpty) 3 else if (l2.nonEmpty) 2 else if (byStep(0).nonEmpty) 1 else 0
+  }
+
+  test("funnel: a later restart with more window slack is found (max-start DP)") {
+    // chain through the SECOND 'a' (60,70,100) fits W=50; the first doesn't
+    val evs = Seq((1L, "a", 0L), (1L, "b", 10L), (1L, "a", 60L), (1L, "b", 70L), (1L, "c", 100L))
+    assert(funnelOf(evs, 50L) == Map(1L -> 3))
+    // W=30: (60,70,100) spans 40 — only level 2 (via 60,70)
+    assert(funnelOf(evs, 30L) == Map(1L -> 2))
+  }
+
+  test("funnel: ties, missing first step, and out-of-window chains") {
+    val evs = Seq(
+      (1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L), // all-tied chain => 3
+      (2L, "b", 0L), (2L, "c", 1L),                // never starts => 0
+      (3L, "a", 0L), (3L, "c", 1L),                // no step 2 => 1
+      (4L, "c", 0L), (4L, "b", 1L), (4L, "a", 2L)) // reverse order => 1
+    assert(funnelOf(evs, 100L) == Map(1L -> 3, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("funnel: DP equals brute-force exists-a-chain on random corpora") {
+    val rnd = new scala.util.Random(9)
+    val rows = for {
+      k <- 0L until 40L
+      _ <- 0 until (1 + rnd.nextInt(12))
+    } yield (k, Steps(rnd.nextInt(3)), rnd.nextInt(200).toLong)
+    for (w <- Seq(10L, 40L, 150L)) {
+      val got = funnelOf(rows, w)
+      val want = rows.groupBy(_._1).map { case (k, evs) =>
+        k -> bruteLevel(evs.map(e => (e._2, e._3)), w)
+      }
+      assert(got == want, s"window=$w")
+    }
+  }
+
+  test("funnel: rejects empty and duplicate step lists") {
+    val df = Seq((1L, "a", new Timestamp(0L))).toDF("k", "et", "ts")
+    intercept[IllegalArgumentException] {
+      Funnel.levels(df, col("k"), col("et"), col("ts"), Seq.empty, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.levels(df, col("k"), col("et"), col("ts"), Seq("a", "a"), 1L)
+    }
+  }
+
+  // --------------------------------------------------------- retention
+
+  test("retention day-offset math: only listed offsets, distinct users per cell") {
+    val micros = (d: Int, u: Long) => (u, if (u == 9L) "view" else "signup", d * 86400000000L)
+    // user 1 signs up day 0, active days 0,1,7; user 2 signs up day 1,
+    // active day 1 only; user 9 never signs up (excluded)
+    val rows = Seq(
+      micros(0, 1L), (1L, "view", 1 * 86400000000L), (1L, "click", 7 * 86400000000L),
+      micros(1, 2L), micros(3, 9L))
+    val ev = rows.toDF("user_id", "event_type", "m")
+      .select(col("user_id"), col("event_type"), timestamp_micros(col("m")).as("ts"))
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val out = cohort.join(active, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .where(col("day_offset").isin(0L, 1L, 3L, 7L))
+      .groupBy("cohort_day", "day_offset").agg(countDistinct(col("user_id")).as("users"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (d, o, u) => (d.toString, o, u) }.toSet
+    assert(out == Set(
+      ("1970-01-01", 0L, 1L), ("1970-01-01", 1L, 1L), ("1970-01-01", 7L, 1L),
+      ("1970-01-02", 0L, 1L)))
+  }
+
+  // --------------------------------------------------------------- cms
+
+  test("count-min sketch: overestimate-only, within eps*N, mergeable across partitions") {
+    val n = 4000
+    val df = spark.range(n).repartition(4)
+      .select((col("id") % 37).as("key")) // skewed-ish small key space
+    val bytes = df.agg(count_min_sketch(col("key"), lit(0.01d), lit(0.99d), lit(7)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = df.groupBy("key").count().as[(Long, Long)].collect().toMap
+    for (k <- 0L until 37L) {
+      val est = cms.estimateCount(java.lang.Long.valueOf(k))
+      assert(est >= exact(k), s"CMS underestimated key $k")
+      assert(est - exact(k) <= (0.01 * n).ceil.toLong, s"CMS overshot eps*N on key $k")
+    }
+    // a never-inserted key is bounded by pure collision mass
+    assert(cms.estimateCount(java.lang.Long.valueOf(999L)) <= (0.01 * n).ceil.toLong)
+  }
+
+  // ----------------------------------------------------------- zonemap
+
+  test("zone map: prunes non-overlapping files, result identical to the full scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val ev = Tables(spark, TestSpark.SfDir, "events")
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+    val manifest = ZoneMap.build(back, Seq("ts")).cache()
+    assert(manifest.count() == 16)
+
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+    val files = ZoneMap.overlappingFiles(manifest, "ts", lo, hi)
+    // 2 days of a 30-day range split into 16 slices: most files skipped
+    assert(files.nonEmpty && files.size <= 4, s"expected <=4 files, got ${files.size}")
+
+    val pruned = ZoneMap.prunedRead(spark, manifest, "ts", lo, hi)
+    // the scan itself only touches the surviving files
+    assert(pruned.inputFiles.toSet == files.toSet)
+    val full = back.where(col("ts") >= lo && col("ts") <= hi)
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    manifest.unpersist()
+  }
+
+  test("zone map: pruning every file is an explicit error, not an empty result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm2").toString
+    spark.range(10).select(col("id")).write.mode("overwrite").parquet(tmp)
+    val manifest = ZoneMap.build(spark.read.parquet(tmp), Seq("id"))
+    intercept[IllegalArgumentException] {
+      ZoneMap.prunedRead(spark, manifest, "id", lit(100L), lit(200L))
+    }
+  }
+}
