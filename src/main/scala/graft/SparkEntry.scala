@@ -1912,6 +1912,50 @@ object SparkEntry {
       |  AND ts <= TIMESTAMP '2024-01-11 23:59:59.999999'
       |GROUP BY 1 ORDER BY level""".stripMargin
 
+  /** Z-order clustered scan (SURVEY §2 A13b) — multi-dimensional file
+    * skipping: events laid out by the Morton interleave of
+    * (user_id, day), per-file zone maps built on the ORIGINAL columns,
+    * and a 2-dim selective query that reads only files surviving BOTH
+    * range predicates (a single-column sort can prune one dimension;
+    * the curve layout prunes both — AnalyticsSpec measures the file
+    * counts against a linear layout). The emitted `z_sum` is the
+    * Morton bit math itself re-derived in DuckDB (identical
+    * shift/mask expressions), so the curve values — not just the
+    * pruned aggregate — are value-checked.
+    */
+  private def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+    val tmp = java.nio.file.Paths.get(scratch, "graft_zorder").toAbsolutePath.toString
+    val ev = t(s, dir, "events")
+      .withColumn("day_idx",
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"))
+      .withColumn("z", graft.sources.Morton.interleave16(col("user_id"), col("day_idx")))
+    ev.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val back = s.read.parquet(tmp)
+    val manifest = graft.sources.ZoneMap.build(back, Seq("user_id", "day_idx"))
+    val files = graft.sources.ZoneMap.overlappingFilesAll(manifest,
+      Seq(("user_id", lit(10L), lit(40L)), ("day_idx", lit(5L), lit(9L))))
+    s.read.parquet(files: _*)
+      .where(col("user_id").between(10L, 40L) && col("day_idx").between(5L, 9L))
+      .groupBy(col("event_type").as("level"))
+      .agg(count(lit(1)).as("cnt"), sum(col("z")).as("z_sum"))
+      .orderBy("level")
+  }
+
+  private val zorderScanSql = {
+    val z = graft.sources.Morton.interleave16Sql("user_id", "day_idx")
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id,
+       |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+       |  FROM events)
+       |SELECT event_type AS level, count(*) AS cnt,
+       |       CAST(sum($z) AS BIGINT) AS z_sum
+       |FROM ev
+       |WHERE user_id BETWEEN 10 AND 40 AND day_idx BETWEEN 5 AND 9
+       |GROUP BY 1 ORDER BY level""".stripMargin
+  }
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1979,6 +2023,7 @@ object SparkEntry {
     "retention_cohorts" -> Q(retentionCohorts, Some(retentionCohortsSql)),
     "approx_freq_cms" -> Q(approxFreqCms, Some(approxFreqCmsSql)),
     "zonemap_prune" -> Q(zonemapPrune, Some(zonemapPruneSql)),
+    "zorder_scan" -> Q(zorderScan, Some(zorderScanSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

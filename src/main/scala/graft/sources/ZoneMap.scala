@@ -50,6 +50,20 @@ object ZoneMap {
       .map(_.getString(0))
       .toSeq
 
+  /** Files surviving EVERY range predicate — multi-dimensional
+    * skipping (one manifest scan; with a z-ordered layout each
+    * dimension prunes independently, see [[Morton]]).
+    */
+  def overlappingFilesAll(manifest: DataFrame, ranges: Seq[(String, Column, Column)]): Seq[String] =
+    manifest
+      .where(ranges.map { case (c, lo, hi) =>
+        !(col(s"max_$c") < lo || col(s"min_$c") > hi)
+      }.reduce(_ && _))
+      .select("file")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+
   /** Read only the files whose zones overlap `[lo, hi]` on `c`, with
     * the exact range predicate re-applied (zones are necessary, not
     * sufficient). Returns an empty frame with the manifest-free schema

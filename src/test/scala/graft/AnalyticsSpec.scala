@@ -153,6 +153,65 @@ class AnalyticsSpec extends AnyFunSuite {
     manifest.unpersist()
   }
 
+  // ------------------------------------------------------------ morton
+
+  test("morton: interleave16 matches a local per-bit recompute") {
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), graft.sources.Morton.interleave16(col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      val want = (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+      assert(z == want, s"($x, $y)")
+    }
+  }
+
+  test("z-order layout prunes BOTH dimensions; a linear layout prunes only its sort key") {
+    val ev = Tables(spark, TestSpark.SfDir, "events")
+      .withColumn("day_idx",
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"))
+      .select("event_id", "user_id", "day_idx")
+    def layout(sortCol: org.apache.spark.sql.Column): (org.apache.spark.sql.DataFrame, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zo").toString
+      ev.withColumn("z", graft.sources.Morton.interleave16(col("user_id"), col("day_idx")))
+        .repartitionByRange(16, sortCol).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(tmp)
+      val manifest = ZoneMap.build(spark.read.parquet(tmp), Seq("user_id", "day_idx"))
+      (manifest.cache(), tmp)
+    }
+    val (zManifest, zTmp) = layout(col("z"))
+    val (linManifest, _) = layout(col("day_idx"))
+    val userRange = ("user_id", lit(10L), lit(40L))
+    val dayRange = ("day_idx", lit(5L), lit(9L))
+
+    // the linear-by-day layout answers day ranges well and user ranges
+    // not at all (every file spans all users)
+    val linDay = ZoneMap.overlappingFilesAll(linManifest, Seq(dayRange)).size
+    val linUser = ZoneMap.overlappingFilesAll(linManifest, Seq(userRange)).size
+    assert(linDay <= 4, s"linear layout should prune day ranges hard, got $linDay/16")
+    assert(linUser == 16, s"linear layout cannot prune user ranges, got $linUser/16")
+
+    // the z layout prunes on EITHER dimension
+    val zDay = ZoneMap.overlappingFilesAll(zManifest, Seq(dayRange)).size
+    val zUser = ZoneMap.overlappingFilesAll(zManifest, Seq(userRange)).size
+    val zBoth = ZoneMap.overlappingFilesAll(zManifest, Seq(userRange, dayRange)).size
+    assert(zUser < 16, s"z layout should prune user ranges, got $zUser/16")
+    assert(zDay < 16, s"z layout should prune day ranges, got $zDay/16")
+    assert(zBoth <= math.min(zUser, zDay))
+
+    // pruning is sound: pruned read + exact predicate == full filter
+    val files = ZoneMap.overlappingFilesAll(zManifest, Seq(userRange, dayRange))
+    val pruned = spark.read.parquet(files: _*)
+      .where(col("user_id").between(10L, 40L) && col("day_idx").between(5L, 9L))
+    val full = spark.read.parquet(zTmp)
+      .where(col("user_id").between(10L, 40L) && col("day_idx").between(5L, 9L))
+    assert(pruned.count() == full.count() && full.count() > 0)
+    zManifest.unpersist(); linManifest.unpersist()
+  }
+
   test("zone map: pruning every file is an explicit error, not an empty result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zm2").toString
     spark.range(10).select(col("id")).write.mode("overwrite").parquet(tmp)
