@@ -54,7 +54,12 @@ object Plans {
       "text_entropy" -> "native byte_entropy codegen expression: one generated histogram+log pass per row, no shuffle but the gate ORDER BY",
       "doc_keywords" -> "(doc,term) partial agg; vocab-sized df side broadcasts back; per-doc rank window bounded by terms-per-doc",
       "embed_texts" -> "mapPartitions batched-inference stage: one pass, zero shuffles before the gate ORDER BY",
-      "rate_anomaly" -> "partial-agg hourly bucketing; the EWMA fold shuffles pre-bucketed counts by key, never raw events")
+      "rate_anomaly" -> "partial-agg hourly bucketing; the EWMA fold shuffles pre-bucketed counts by key, never raw events",
+      "funnel_levels" -> "step-filtered scan -> ONE user-keyed partial-agg shuffle of 12-byte (ts, step) pairs -> row-local windowFunnel DP fold (built-in HOFs, O(steps) state)",
+      "zorder_scan" -> "morton interleave is five shift/AND builtins per dim inside the write projection; the read side scans ONLY the zone-surviving files (file-list pruning happens before the plan exists)",
+      "text_bigram_nll" -> "bigram explode feeds BOTH the frequency partial-agg and the scoring side; token-keyed joins auto-broadcast at vocab scale; V is a collected literal",
+      "scd2_history" -> "both windows and the grouped agg share ONE user-keyed sort exchange (lag-change running sum -> island agg -> lead)",
+      "retention_cohorts" -> "cohort min-agg and activity distinct share the user key; one shuffle join + one grouped count, all partial-agg shapes")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

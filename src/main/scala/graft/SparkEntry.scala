@@ -1956,6 +1956,106 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY level""".stripMargin
   }
 
+  /** Unicode NFC normalization (SURVEY §2 B20b) — the canonical-
+    * composition pass exact dedup and fingerprinting need before
+    * hashing ("é" composed vs "e"+combining-acute are byte-different).
+    * Spark has no built-in; `nfc_normalize` is a native codegen
+    * expression around the JDK normalizer. The corpus is ASCII, so the
+    * query PLANTS decomposed sequences (combining acute + tilde) on
+    * every row; the oracle re-derives lengths and the composed tail
+    * with DuckDB's own `nfc_normalize` — two independent Unicode
+    * implementations (JDK vs utf8proc) must agree byte-for-byte.
+    */
+  private def textNfc(s: SparkSession, dir: String): DataFrame = {
+    // decomposed on purpose (combining U+0301 / U+0303) so NFC composes
+    val raw = concat(col("text"), lit(" cafe\u0301 man\u0303ana"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(graft.functions.NfcNormalize(col("raw"))).cast("long").as("len_nfc"),
+        graft.functions.NfcNormalize(expr("right(raw, 14)")).as("nfc_tail"))
+      .orderBy("doc_id")
+  }
+
+  private val textNfcSql =
+    """WITH r AS (SELECT doc_id,
+      |  text || ' cafe' || chr(769) || ' man' || chr(771) || 'ana' AS raw
+      |  FROM documents)
+      |SELECT doc_id, length(raw) AS len_raw,
+      |       length(nfc_normalize(raw)) AS len_nfc,
+      |       nfc_normalize(right(raw, 14)) AS nfc_tail
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Bigram LM scoring (SURVEY §2 B44a) — transition-level perplexity
+    * filtering, one Markov order above `text_unigram_nll` (word-salad
+    * text keeps a good unigram score but falls off the bigram model).
+    * Full value oracle: identical add-one-smoothed math in DuckDB.
+    */
+  private def textBigramNll(s: SparkSession, dir: String): DataFrame =
+    graft.text.BigramLm.score(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val textBigramNllSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |u AS (SELECT tok, count(*) AS cu FROM tok GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM u),
+      |bz AS (SELECT doc_id,
+      |              unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+      |       FROM t),
+      |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bz),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |d AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+      |             avg(ln((cb.cb + 1.0) / (u.cu + v.v))) AS ll
+      |      FROM bg JOIN cb USING (w1, w2) JOIN u ON u.tok = bg.w1, v
+      |      GROUP BY 1)
+      |SELECT doc_id, n_bigrams, round(-ll, 4) AS nll
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** SCD2 interval history (SURVEY §2 A19q) — the CDC/warehouse shape:
+    * a change log (each user's event stream, `event_type` as the
+    * tracked attribute) folded into type-2 validity intervals —
+    * consecutive equal values collapse into one interval,
+    * `valid_to` = next interval's start, null while current. Two
+    * same-key windows + one grouped agg, all sharing ONE user-keyed
+    * sort/shuffle (island detection via the lag-change running sum,
+    * the sessionize pattern). Full value oracle with the identical
+    * window algebra in DuckDB.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byFrom = Window.partitionBy("user_id").orderBy("valid_from")
+    t(s, dir, "events")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(byTs))
+      .groupBy(col("user_id"), col("grp"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val scd2HistorySql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp FROM c),
+      |iv AS (SELECT user_id, grp, event_type,
+      |              min(ts) AS valid_from, count(*) AS n_events
+      |       FROM g GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |       n_events
+      |FROM iv ORDER BY user_id, valid_from""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2024,6 +2124,9 @@ object SparkEntry {
     "approx_freq_cms" -> Q(approxFreqCms, Some(approxFreqCmsSql)),
     "zonemap_prune" -> Q(zonemapPrune, Some(zonemapPruneSql)),
     "zorder_scan" -> Q(zorderScan, Some(zorderScanSql)),
+    "text_nfc" -> Q(textNfc, Some(textNfcSql)),
+    "text_bigram_nll" -> Q(textBigramNll, Some(textBigramNllSql)),
+    "scd2_history" -> Q(scd2History, Some(scd2HistorySql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

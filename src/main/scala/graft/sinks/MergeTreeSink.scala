@@ -104,13 +104,116 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
   override def writeBatch(batch: DataFrame, batchKey: String): Unit =
     writeBatch(batch, batchKey, filesPerDay = 1)
 
-  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int): Unit =
+  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int): Unit = {
     partitionForWrite(withDate(batch), filesPerDay)
       .sortWithinPartitions("created_at", "repo", "host")
       .write
       .partitionBy("event_date")
       .mode(SaveMode.Overwrite)
       .parquet(s"$path/ingest_batch=$batchKey")
+    // write-time zone-map maintenance: the manifest slice for this
+    // batch is (over)written with the SAME idempotent key as the data,
+    // so a replayed batch rewrites its stats instead of duplicating
+    // them. One batch-sized stats pass per micro-batch — per-file
+    // min/max, the footer stats a write-path hook would collect,
+    // gathered by read-back to keep the write path plain. An EMPTY
+    // micro-batch (e.g. tail-from-end's first trigger) writes no
+    // parquet files, so there is nothing to manifest — and nothing to
+    // read a schema from.
+    val spark = batch.sparkSession
+    val wrote = Option(fs(spark).globStatus(
+      new Path(path, s"ingest_batch=$batchKey/event_date=*/*.parquet")))
+      .exists(_.nonEmpty)
+    if (wrote) writeManifestSlice(
+      spark.read.parquet(s"$path/ingest_batch=$batchKey"),
+      s"batch=$batchKey")
+  }
+
+  // --------------------------------------------------------------- //
+  // Zone-map manifest (SURVEY §2 A13a: built AT WRITE TIME, not per   //
+  // query). Lives under `_manifest/` inside the sink root — the `_`   //
+  // prefix hides it from Spark's data-file listing (the _delta_log    //
+  // convention). Granularity mirrors how data moves: one slice per    //
+  // (batch, date), so writeBatch idempotency, compact's date swap,    //
+  // and TTL's date drop each map to whole-directory manifest ops.     //
+  // --------------------------------------------------------------- //
+
+  private def manifestRoot = s"$path/_manifest"
+
+  private def writeManifestSlice(slice: DataFrame, key: String): Unit =
+    graft.sources.ZoneMap.build(slice, Seq("created_at", "event_date"))
+      .withColumn("event_date", col("min_event_date"))
+      .drop("min_event_date", "max_event_date")
+      .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+      .parquet(s"$manifestRoot/$key")
+
+  private def dropManifestDate(f: FileSystem, date: String): Unit = {
+    Option(f.globStatus(new Path(manifestRoot, s"batch=*/event_date=$date")))
+      .getOrElse(Array.empty)
+      .foreach { st =>
+        f.delete(st.getPath, true)
+        val parent = st.getPath.getParent
+        if (Option(f.listStatus(parent)).forall(_.isEmpty)) f.delete(parent, false)
+      }
+  }
+
+  /** All live manifest rows: (file, rows, min/max created_at,
+    * event_date, batch).
+    */
+  def manifest(spark: SparkSession): DataFrame =
+    spark.read.parquet(manifestRoot)
+
+  /** Full manifest rebuild for data written OUTSIDE the batch-keyed
+    * path (plain `write`) — one stats pass over the sink, crash-safe
+    * swap (stale manifest stays live until the rebuilt one renames
+    * in).
+    */
+  def rebuildManifest(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    val tmp = new Path(path, ".manifest_rebuild")
+    f.delete(tmp, true)
+    graft.sources.ZoneMap.build(read(spark), Seq("created_at", "event_date"))
+      .withColumn("event_date", col("min_event_date"))
+      .drop("min_event_date", "max_event_date")
+      .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+      .parquet(new Path(tmp, "batch=rebuilt").toString)
+    val live = new Path(manifestRoot)
+    val aside = new Path(path, ".manifest_aside")
+    f.delete(aside, true)
+    if (f.exists(live) && !f.rename(live, aside))
+      throw new java.io.IOException(s"manifest rebuild aside-rename failed for $live")
+    if (!f.rename(tmp, live)) {
+      if (f.exists(aside)) f.rename(aside, live)
+      throw new java.io.IOException(s"manifest rebuild swap failed for $live")
+    }
+    f.delete(aside, true)
+  }
+
+  /** Manifest-pruned read of a `created_at` range: files whose zones
+    * provably miss the range are never opened. Files the manifest does
+    * NOT cover (e.g. plain-`write` data before a rebuild) are always
+    * read — unknown stays sound, it just doesn't prune. The exact
+    * predicate is re-applied, so zones only save I/O.
+    */
+  def prunedRead(spark: SparkSession, fromTs: String, toTs: String): DataFrame = {
+    val lo = lit(fromTs).cast("timestamp")
+    val hi = lit(toTs).cast("timestamp")
+    if (!fs(spark).exists(new Path(manifestRoot)))
+      return read(spark).where(col("created_at") >= lo && col("created_at") <= hi)
+    def canon(s: String): String = new Path(s).toString
+    val m = manifest(spark).cache()
+    val known = m.select("file").distinct()
+      .collect().map(r => canon(r.getString(0))).toSet
+    val keep = m.where(!(col("max_created_at") < lo || col("min_created_at") > hi))
+      .select("file").distinct()
+      .collect().map(r => canon(r.getString(0)))
+    m.unpersist()
+    val unknown = read(spark).inputFiles.map(canon).filterNot(known)
+    val files = (keep ++ unknown).distinct
+    if (files.isEmpty) read(spark).where(lit(false))
+    else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+      .where(col("created_at") >= lo && col("created_at") <= hi)
+  }
 
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 
@@ -177,6 +280,12 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       throw new java.io.IOException(s"compaction swap failed for $dest")
     }
     aside.foreach(f.delete(_, true))
+    // manifest follows the data: the date's per-batch slices die with
+    // their directories; the compacted files get one fresh slice
+    dropManifestDate(f, date)
+    writeManifestSlice(
+      spark.read.parquet(dest.toString).withColumn("event_date", to_date(lit(date))),
+      s"batch=${CompactedBatchId}_$date")
   }
 
   /** Drop partitions whose date is older than `ttlDays` before `asOf`
@@ -203,6 +312,8 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       val parent = p.getParent
       if (parent.getName.startsWith("ingest_batch=") &&
         Option(f.listStatus(parent)).forall(_.isEmpty)) f.delete(parent, false)
+      // expired dates take their manifest slices with them
+      dropManifestDate(f, p.getName.stripPrefix("event_date="))
     }
     expired.map { p =>
       val parent = p.getParent.getName

@@ -212,6 +212,74 @@ class AnalyticsSpec extends AnyFunSuite {
     zManifest.unpersist(); linManifest.unpersist()
   }
 
+  test("sink manifest: written per batch, follows compact and TTL, prunes file reads") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sinks.MergeTreeSink
+    val root = java.nio.file.Files.createTempDirectory("mt_manifest").toString
+    val sink = MergeTreeSink(root, ttlDays = 10)
+    val parsed = graft.logs.MonologParser.parse(
+      graft.logs.LogLines.fromEvents(Tables(spark, TestSpark.SfDirSmall, "events")),
+      graft.logs.TailConfig(name = "access", repo = "api2"))
+    val day1 = parsed.where(to_date(col("created_at")) === "2024-01-01").cache()
+    val day2 = parsed.where(to_date(col("created_at")) === "2024-01-02").cache()
+
+    sink.writeBatch(day1, "b0")
+    sink.writeBatch(day2, "b1")
+    sink.writeBatch(day2.limit(50), "b2")
+    // replay is idempotent for the manifest too
+    sink.writeBatch(day2.limit(50), "b2")
+    val m0 = sink.manifest(spark)
+    assert(m0.select("file").distinct().count() == m0.count(), "duplicate manifest rows")
+    val dataFiles = sink.read(spark).inputFiles.length
+    assert(m0.count() == dataFiles, s"manifest must cover every data file")
+
+    // pruning: a day-2-only range must not open day-1 files
+    val pruned = sink.prunedRead(spark, "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    assert(pruned.inputFiles.length < dataFiles, "manifest pruning skipped nothing")
+    val expect = sink.read(spark)
+      .where(col("created_at").between("2024-01-02 00:00:00", "2024-01-02 23:59:59")).count()
+    assert(pruned.count() == expect && expect > 0)
+
+    // compact collapses day-2's two batch slices into one manifest slice
+    sink.compact(spark, "2024-01-02")
+    val m1 = sink.manifest(spark)
+    assert(m1.count() == sink.read(spark).inputFiles.length)
+    val day2Batches = m1.where(col("event_date") === "2024-01-02")
+      .select("batch").distinct().as[String].collect().toSeq
+    assert(day2Batches == Seq(s"${sink.CompactedBatchId}_2024-01-02"), s"got $day2Batches")
+    assert(sink.prunedRead(spark, "2024-01-02 00:00:00", "2024-01-02 23:59:59").count() == expect)
+
+    // TTL drops the date's manifest slice with its data
+    sink.applyTtl(spark, java.time.LocalDate.parse("2024-01-12"))
+    assert(sink.manifest(spark).where(col("event_date") === "2024-01-01").count() == 0)
+    day1.unpersist(); day2.unpersist()
+  }
+
+  test("sink manifest: unmanifested files are still read (unknown stays sound)") {
+    import graft.sinks.MergeTreeSink
+    val root = java.nio.file.Files.createTempDirectory("mt_manifest2").toString
+    val sink = MergeTreeSink(root)
+    val parsed = graft.logs.MonologParser.parse(
+      graft.logs.LogLines.fromEvents(Tables(spark, TestSpark.SfDirSmall, "events")),
+      graft.logs.TailConfig(name = "access", repo = "api2")).limit(300).cache()
+    sink.writeBatch(parsed, "b0")
+    sink.writeBatch(parsed, "b1")
+    // simulate data from a writer that never maintained stats: drop
+    // one batch's manifest slice out from under the pruner
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest/batch=b1"), true)
+    val lo = "2024-01-01 00:00:00"; val hi = "2024-12-31 23:59:59"
+    val full = sink.read(spark).where(col("created_at").between(lo, hi)).count()
+    assert(sink.prunedRead(spark, lo, hi).count() == full,
+      "pruned read must include files the manifest has never seen")
+    // a rebuild restores full coverage
+    sink.rebuildManifest(spark)
+    assert(sink.manifest(spark).count() == sink.read(spark).inputFiles.length)
+    assert(sink.prunedRead(spark, lo, hi).count() == full)
+    parsed.unpersist()
+  }
+
   test("zone map: pruning every file is an explicit error, not an empty result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zm2").toString
     spark.range(10).select(col("id")).write.mode("overwrite").parquet(tmp)
