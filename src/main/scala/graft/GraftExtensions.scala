@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ByteEntropy, DistinctBigrams, FreqTopK, NfcNormalize, RegexpExtractGroups, ShingleHashes}
+import graft.functions.{ArrayDot, ByteEntropy, DistinctBigrams, FreqTopK, MultiContains, NfcNormalize, RegexpExtractGroups, ShingleHashes}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -64,7 +64,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => { arity("byte_entropy", 1, args); ByteEntropy(args(0)) }),
     ("nfc_normalize",
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) }))
+      (args: Seq[Expression]) => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) }),
+    ("multi_contains",
+      new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),
+      (args: Seq[Expression]) => { arity("multi_contains", 2, args); MultiContains(args(0), args(1)) }))
 
   /** Extract a non-null foldable integer argument at analysis time —
     * k/capacity must be literals (they size driver-side structures).

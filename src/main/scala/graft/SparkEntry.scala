@@ -2056,6 +2056,39 @@ object SparkEntry {
       |       n_events
       |FROM iv ORDER BY user_id, valid_from""".stripMargin
 
+  /** Multi-pattern blocklist scan (SURVEY §2 B38a) — `multi_contains`,
+    * a compiled Aho–Corasick automaton as a native expression: ONE
+    * pass over each document at any pattern count, vs one full
+    * `contains` pass per pattern (a thousand-entry blocklist over
+    * 100 TB cannot afford the naive plan). Row-local, shuffle-free;
+    * the oracle re-derives the sorted hit list with per-pattern
+    * `contains` in DuckDB, so automaton semantics must equal plain
+    * substring containment on every row.
+    */
+  private def blocklistScan(s: SparkSession, dir: String): DataFrame = {
+    val pats = Seq("big vector", "slow filter", "merge batch", "customer query",
+      "spark", "window table")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.AhoCorasick
+          .multiContains(col("text"), typedlit(pats)).as("hits"))
+      .select(col("doc_id"), col("hits"), (size(col("hits")) > 0).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private val blocklistScanSql =
+    """SELECT doc_id,
+      |       list_sort(list_filter(
+      |         ['big vector', 'slow filter', 'merge batch', 'customer query',
+      |          'spark', 'window table'],
+      |         p -> contains(text, p))) AS hits,
+      |       len(list_filter(
+      |         ['big vector', 'slow filter', 'merge batch', 'customer query',
+      |          'spark', 'window table'],
+      |         p -> contains(text, p))) > 0 AS flagged
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2127,6 +2160,7 @@ object SparkEntry {
     "text_nfc" -> Q(textNfc, Some(textNfcSql)),
     "text_bigram_nll" -> Q(textBigramNll, Some(textBigramNllSql)),
     "scd2_history" -> Q(scd2History, Some(scd2HistorySql)),
+    "blocklist_scan" -> Q(blocklistScan, Some(blocklistScanSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

@@ -127,6 +127,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cms.estimateCount(java.lang.Long.valueOf(999L)) <= (0.01 * n).ceil.toLong)
   }
 
+  // ---------------------------------------------------- multi_contains
+
+  test("multi_contains: equals per-pattern contains on random text, incl. overlaps") {
+    import graft.functions.AhoCorasick
+    val pats = Seq("ab", "b", "bc", "abc", "ca", "zz")
+    val rnd = new scala.util.Random(11)
+    val texts = Seq("abc", "", "zzz", "cabcab", "bbbb") ++
+      Seq.fill(300)((0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val got = texts.toDF("t")
+      .select(col("t"), AhoCorasick.multiContains(col("t"), typedlit(pats)).as("hits"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (t, hits) =>
+      val want = pats.filter(t.contains(_)).sorted
+      assert(hits == want, s"text '$t'")
+    }
+  }
+
+  test("multi_contains: SQL-callable, null text, analysis failures") {
+    GraftExtensions.register(spark)
+    val hits = spark.sql("SELECT multi_contains('xabcy', array('abc', 'q')) AS h")
+      .as[Seq[String]].head()
+    assert(hits == Seq("abc"))
+    val nullText = spark.sql("SELECT multi_contains(CAST(NULL AS STRING), array('a')) AS h")
+      .selectExpr("h IS NULL").as[Boolean].head()
+    assert(nullText)
+    def fails(sql: String, fragment: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $sql").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains(fragment.toLowerCase), e.getMessage)
+    }
+    fails("multi_contains('x', CAST(array() AS ARRAY<STRING>))", "at least one pattern")
+    fails("multi_contains('x', array('a', NULL))", "non-null and non-empty")
+    fails("multi_contains('x', array('a', ''))", "non-null and non-empty")
+    fails("multi_contains(1, array('a'))", "string")
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT multi_contains(c, array(c)) FROM VALUES ('a') AS t(c)").collect()
+    }
+    assert(nonFoldable.getMessage.toLowerCase.contains("foldable"))
+  }
+
   // ----------------------------------------------------------- zonemap
 
   test("zone map: prunes non-overlapping files, result identical to the full scan") {

@@ -301,6 +301,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Seq((100L, 10.0, 0.0)), "batch and streaming forms must agree")
   }
 
+  test("streaming funnel converts live, carries state across batches, agrees with batch") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{Conversion, StepEvent}
+    val ck = tmp("funnel_ck")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StepEvent](spark)
+    val q = StreamingFunnel.conversions(in.toDS(), steps = 3, windowMicros = 50L)
+      .writeStream.format("memory").queryName("funnel_conv")
+      .outputMode(StreamingFunnel.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    // batch 1: user u reaches level 1 then 2; the first chain (0,10)
+    // will be too stale for the purchase later
+    in.addData(StepEvent("u", 0L, 0), StepEvent("u", 10L, 1))
+    q.processAllAvailable()
+    assert(spark.table("funnel_conv").as[Conversion].collect().toSet ==
+      Set(Conversion("u", 0L, 1), Conversion("u", 10L, 2)))
+    // batch 2: a RESTART with more slack (the max-start DP case) and an
+    // out-of-order event below the high-water mark that must be dropped
+    in.addData(StepEvent("u", 60L, 0), StepEvent("u", 70L, 1), StepEvent("u", 5L, 2))
+    q.processAllAvailable()
+    assert(spark.table("funnel_conv").count() == 2, "no level-up yet, dropped stale event")
+    // batch 3: purchase completes the (60,70,100) chain within W=50 —
+    // level 3 fires in this batch with state carried across batches
+    in.addData(StepEvent("u", 100L, 2))
+    q.processAllAvailable()
+    q.stop()
+    val conv = spark.table("funnel_conv").as[Conversion].collect().toSet
+    assert(conv.contains(Conversion("u", 100L, 3)), s"got $conv")
+    // the batch operator on the SAME in-order events lands on the same level
+    import org.apache.spark.sql.functions._
+    val events = Seq(("u", 0L, "s0"), ("u", 10L, "s1"), ("u", 60L, "s0"),
+      ("u", 70L, "s1"), ("u", 100L, "s2"))
+      .toDF("k", "m", "et")
+      .select(col("k"), col("et"), timestamp_micros(col("m")).as("ts"))
+    val batchLevels = graft.ops.Funnel
+      .levels(events, col("k"), col("et"), col("ts"), Seq("s0", "s1", "s2"), 50L)
+      .as[(String, Int)].collect().toMap
+    assert(batchLevels == Map("u" -> 3), "batch and streaming forms must agree")
+  }
+
   test("native session windows finalize on a watermarked stream in append mode") {
     import org.apache.spark.sql.functions._
     val ck = tmp("sw_ck")
