@@ -2089,6 +2089,35 @@ object SparkEntry {
       |         p -> contains(text, p))) > 0 AS flagged
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Skew-salted join (SURVEY §2 A19r / §5 skew tooling): the fact
+    * side keys on a 5-value segment — exactly the pathological-skew
+    * regime where hash partitioning serializes whole hot keys through
+    * single tasks. `SaltedJoin` fans each hot key over 8 salts and
+    * replicates the (tiny) build side per salt; results are
+    * value-oracle-identical to the plain join (the whole point — the
+    * rewrite buys parallelism, never answers). At this dim size the
+    * build side auto-broadcasts and salting is a no-op-safe pass-
+    * through; the operator targets the replicate-don't-broadcast
+    * middle regime, measured in SinkAndPlanSpec.
+    */
+  private def saltedJoinSkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").withColumn("seg", (col("user_id") % 5).cast("long"))
+    val dim = Seq((0L, "core"), (1L, "growth"), (2L, "intl"), (3L, "labs"), (4L, "edu"))
+      .toDF("seg", "segment_name")
+    graft.ops.SaltedJoin.join(ev, dim, "seg", nSalts = 8)
+      .groupBy("segment_name")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+      .orderBy("segment_name")
+  }
+
+  private val saltedJoinSkewSql =
+    """WITH dim(seg, segment_name) AS (VALUES (0, 'core'), (1, 'growth'),
+      |  (2, 'intl'), (3, 'labs'), (4, 'edu'))
+      |SELECT segment_name, count(*) AS cnt, count(DISTINCT user_id) AS users
+      |FROM events e JOIN dim d ON e.user_id % 5 = d.seg
+      |GROUP BY 1 ORDER BY segment_name""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2161,6 +2190,7 @@ object SparkEntry {
     "text_bigram_nll" -> Q(textBigramNll, Some(textBigramNllSql)),
     "scd2_history" -> Q(scd2History, Some(scd2HistorySql)),
     "blocklist_scan" -> Q(blocklistScan, Some(blocklistScanSql)),
+    "salted_join_skew" -> Q(saltedJoinSkew, Some(saltedJoinSkewSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),
