@@ -1308,7 +1308,8 @@ object SparkEntry {
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("vec_id"), graft.sim.Cosine.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), graft.sim.Cosine.asDouble(col("embedding")).as("v"),
+        col("label"))
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
     * cosine verify — the only shape that survives 100 TB (the n²
@@ -2118,6 +2119,38 @@ object SparkEntry {
       |FROM events e JOIN dim d ON e.user_id % 5 = d.seg
       |GROUP BY 1 ORDER BY segment_name""".stripMargin
 
+  /** Hard-negative mining (SURVEY §2 B26a) — for each probe vector,
+    * the top-5 most-similar corpus vectors with a DIFFERENT label
+    * (the contrastive-training data op: near the anchor, wrong
+    * class). Exact brute force over the literal probe batch — same
+    * Generate-no-join shape as `ann_bruteforce` — with the label
+    * filter ahead of the rank window; full value oracle re-derives
+    * the whole cross-label ranking in DuckDB.
+    */
+  private def mineHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"), col("label").as("qlabel"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"), col("label"))
+    graft.sim.Knn.hardNegatives(queries, corpus, 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
+  private val mineHardNegativesSql =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ve FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q, c.vec_id AS neighbor,
+      |         list_cosine_similarity(q.ve, c.ve) AS sim_raw
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |   AND q.label <> c.label),
+      |ranked AS (
+      |  SELECT q, neighbor, sim_raw,
+      |         row_number() OVER (PARTITION BY q ORDER BY sim_raw DESC, neighbor) AS rank
+      |  FROM scored)
+      |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2191,6 +2224,7 @@ object SparkEntry {
     "scd2_history" -> Q(scd2History, Some(scd2HistorySql)),
     "blocklist_scan" -> Q(blocklistScan, Some(blocklistScanSql)),
     "salted_join_skew" -> Q(saltedJoinSkew, Some(saltedJoinSkewSql)),
+    "mine_hard_negatives" -> Q(mineHardNegatives, Some(mineHardNegativesSql)),
     "search_messages" -> Q(searchMessages, Some(searchMessagesSql)),
     "anti_join_users" -> Q(antiJoinUsers, Some(antiJoinUsersSql)),
     "rollup_counts" -> Q(rollupCounts, Some(rollupCountsSql)),

@@ -37,6 +37,46 @@ object Knn {
     }: _*)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * probe, the top-k most similar corpus vectors with a DIFFERENT
+    * label (near the anchor in embedding space, wrong class — the
+    * negatives that actually teach). Same single-pass literal-probe
+    * shape as [[topK]] with the probe's label carried in the inlined
+    * struct; the label filter runs BEFORE the rank window, so ranks
+    * are exact within the cross-label candidate set.
+    *
+    * @param queries (qid, qvec array<double>, qlabel)
+    * @param corpus  (id, vec array<double>, label)
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qRows: Array[Row] = queries.select("qid", "qvec", "qlabel").collect()
+    require(qRows.nonEmpty, "empty probe batch")
+    val inlined = array(qRows.map { r =>
+      val qv = r.getSeq[Double](1)
+      var qn = 0.0
+      qv.foreach(x => qn += x * x)
+      struct(
+        lit(r.get(0)).as("qid"),
+        array(qv.map(lit(_)): _*).as("qvec"),
+        lit(math.sqrt(qn)).as("qn"),
+        lit(r.get(2)).as("qlabel"))
+    }: _*)
+    val scored = corpus
+      .select(col("id"), col("vec"), col("label"),
+        sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"),
+        explode(inlined).as("qq"))
+      .where(col("qq.qid") =!= col("id") && col("qq.qlabel") =!= col("label"))
+      .select(
+        col("qq.qid").as("q"),
+        col("id").as("neighbor"),
+        (Cosine.dot(col("qq.qvec"), col("vec")) / (col("qq.qn") * col("cn"))).as("sim"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("neighbor"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** @param queries (qid, qvec array<double>) — small, inlined
     * @param corpus  (id, vec array<double>)
     */

@@ -109,6 +109,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs == Seq("another long enough message", "this passes the gate"))
   }
 
+  test("stream-static broadcast enrichment joins a dimension inside the ingest path") {
+    // enrichment beyond the reference's static repo/name/host literals:
+    // a stream-static join against a dimension table rides the same
+    // TailConfig.transform hook; Spark re-plans the static side per
+    // microbatch and broadcasts it, so the ingest path stays
+    // shuffle-free on the stream side
+    import org.apache.spark.sql.functions._
+    val dim = Seq(("INFO", "low"), ("ERROR", "page"), ("WARN", "watch"))
+      .toDF("level", "severity_route")
+    val enrich = (df: org.apache.spark.sql.DataFrame) =>
+      df.join(broadcast(dim), Seq("level"), "left")
+        .withColumn("severity_route", coalesce(col("severity_route"), lit("ignore")))
+    val in = tmp("enr_in"); val ck = tmp("enr_ck"); val out = tmp("enr_out")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "enr", transform = Some(enrich)),
+      in.toString, ck.toString, sink)
+    writeLog(in, "a.log", Seq(
+      line(1, "boot ok"), // INFO -> low
+      "[2024-01-01 10:00:02] app.ERROR: disk full {} []", // ERROR -> page
+      "[2024-01-01 10:00:03] app.TRACE: noise {} []")) // unmapped -> ignore
+    val q = pipe.start(LocalDate.of(2024, 1, 1))
+    q.processAllAvailable()
+    pipe.stopGracefully(q)
+    val routes = sink.read(spark).select("message", "severity_route")
+      .as[(String, String)].collect().toMap
+    assert(routes == Map("boot ok" -> "low", "disk full" -> "page", "noise" -> "ignore"))
+  }
+
   test("maxFilesPerTrigger bounds each flush like the reference's max_sent_count") {
     val in = tmp("mft_in"); val ck = tmp("mft_ck"); val out = tmp("mft_out")
     val sink = MergeTreeSink(out.toString)
