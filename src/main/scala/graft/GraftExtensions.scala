@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ByteEntropy, DistinctBigrams, FreqTopK, MultiContains, NfcNormalize, RegexpExtractGroups, ShingleHashes}
+import graft.functions.{ArrayDot, ByteEntropy, DeflateSize, DistinctBigrams, FreqTopK, MultiContains, NfcNormalize, RegexpExtractGroups, ShingleHashes}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -62,6 +62,9 @@ object GraftExtensions {
     ("byte_entropy",
       new ExpressionInfo(classOf[ByteEntropy].getName, "byte_entropy"),
       (args: Seq[Expression]) => { arity("byte_entropy", 1, args); ByteEntropy(args(0)) }),
+    ("deflate_size",
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      (args: Seq[Expression]) => { arity("deflate_size", 1, args); DeflateSize(args(0)) }),
     ("nfc_normalize",
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) }),

@@ -2151,6 +2151,126 @@ object SparkEntry {
       |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
       |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
 
+  /** Blocked edit-distance record linkage (PassJoin segment signatures,
+    * graft.ops.FuzzyJoin): customer ids fuzzy-matched to supplier ids at
+    * levenshtein <= 1 — an equi join on short segment keys, never the
+    * cross product the naive predicate plans. The shared "Customer#"/
+    * "Supplier#" prefixes are stripped BEFORE the join: constant
+    * affixes would make every segment-0 key hot (skew) and would mask
+    * real id edits. DuckDB's levenshtein is the value oracle over the
+    * naive cross join (150k pairs at sf0.01 — fine for an oracle, fatal
+    * at scale; that asymmetry is the point of the operator).
+    */
+  private def fuzzyJoinNames(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), expr("substring(c_name, 10)").as("cid"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), expr("substring(s_name, 10)").as("sid"))
+    graft.ops.FuzzyJoin.join(cust, "c_custkey", "cid", supp, "s_suppkey", "sid", k = 1)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  private val fuzzyJoinNamesSql =
+    """WITH c AS (SELECT c_custkey, substring(c_name, 10) AS cid FROM customer),
+      |     s AS (SELECT s_suppkey, substring(s_name, 10) AS sid FROM supplier)
+      |SELECT c.c_custkey, s.s_suppkey, levenshtein(cid, sid) AS dist
+      |FROM c CROSS JOIN s
+      |WHERE levenshtein(cid, sid) <= 1
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  /** Int8 scalar-quantized ANN (graft.sim.Quantized): candidates scored
+    * on 4x-smaller quantized vectors, shortlist re-ranked at full
+    * precision — emitted sims are true cosine, so the shared
+    * `annPrecisionSql` re-derives them exactly.
+    */
+  private def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    graft.sim.Quantized.topK(queries, corpus, 5, shortlist = 20)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
+  /** Temperature-scaled language rebalance (alpha = 0.5): target shares
+    * ∝ n^alpha — the multilingual upsample-the-tail mix. The oracle
+    * recomputes counts → shares → hash thresholds with the same MD5
+    * bucket hash, so selection matches row for row.
+    */
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.data.Mix.temperatureSample(t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val mixTemperatureSql =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |z AS (SELECT sum(power(n, 0.5) ORDER BY lang) AS z FROM c),
+      |sh AS (SELECT lang, n, power(n, 0.5) / z.z AS t FROM c, z),
+      |tot AS (SELECT min(floor(n / t)) AS total FROM sh),
+      |thr AS (SELECT lang, floor(t * tot.total / n * 1000) AS thr FROM sh, tot)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN thr USING (lang)
+      |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < thr.thr
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** DEFLATE compression ratio (native `deflate_size` expression) — the
+    * LZ77-aware quality signal `byte_entropy` cannot see. zlib is not
+    * re-runnable in SQL, so the oracle is precision-style: byte length
+    * re-derived exactly, the compressed size held to hard information
+    * bounds, and the ratio recomputed from the emitted size.
+    */
+  private def textCompress(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.DeflateSize(col("text")).cast("long").as("deflate_len"))
+      .withColumn("ratio", round(col("deflate_len").cast("double") / col("n_bytes"), 4))
+      .orderBy("doc_id")
+
+  private val textCompressSql =
+    """SELECT g.doc_id, g.n_bytes, g.deflate_len, g.ratio
+      |FROM graft_result g JOIN documents d ON g.doc_id = d.doc_id
+      |WHERE g.n_bytes = strlen(d.text)
+      |  AND g.deflate_len > 0 AND g.deflate_len <= g.n_bytes + 64
+      |  AND g.ratio = round(CAST(g.deflate_len AS DOUBLE) / g.n_bytes, 4)
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** Inverted index with delta-encoded postings — the retrieval-side
+    * export (BM25/decontain lookups read this shape): term → document
+    * frequency + ascending doc-id gaps (the classic compressed posting
+    * list; gaps are what varint/PForDelta codecs then pack). One
+    * explode + one aggregation, partial-agg friendly; gaps are derived
+    * IN the row via zip_with, no second window pass.
+    */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\W+"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("p"))
+      .withColumn("gaps",
+        zip_with(col("p"),
+          concat(array(lit(0L)), slice(col("p"), lit(1), size(col("p")) - 1)),
+          (a, b) => a - b))
+      .select(col("term"), col("df"), array_join(col("gaps"), ",").as("postings_gaps"))
+      .orderBy("term")
+
+  private val invertedIndexSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, t.term
+      |  FROM documents, unnest(string_split_regex(lower(text), '\W+')) AS t(term)
+      |  WHERE length(t.term) > 0),
+      |g AS (
+      |  SELECT term, doc_id,
+      |         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS gap
+      |  FROM tok)
+      |SELECT term, count(*) AS df,
+      |       string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id) AS postings_gaps
+      |FROM g GROUP BY term ORDER BY term""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2246,6 +2366,11 @@ object SparkEntry {
     "corpus_shuffle" -> Q(corpusShuffle, Some(corpusShuffleSql)),
     "pack_chunks" -> Q(packChunks, Some(packChunksSql)),
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
+    "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
+    "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
+    "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
+    "text_compress" -> Q(textCompress, Some(textCompressSql)),
+    "inverted_index" -> Q(invertedIndex, Some(invertedIndexSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

@@ -41,6 +41,46 @@ object Mix {
     shares.foreach { case (g, _) =>
       require(counts.contains(g), s"mix group '$g' absent from the corpus")
     }
+    applyShares(df, keyCol, groupCol, shares, counts, buckets)
+  }
+
+  /** Temperature-scaled group sampling — the multilingual-rebalance op
+    * (upsample the tail, downsample the head): target shares
+    * `q_g ∝ n_g^alpha` for `alpha ∈ (0, 1]` (alpha = 1 keeps natural
+    * proportions; alpha → 0 approaches uniform across groups). Shares
+    * are DERIVED from the observed group counts — same tiny grouped
+    * count, same hash-threshold data path as [[sample]], zero shuffles
+    * on the data path. Since sampling can only remove rows, the
+    * flattened mix is realized at the largest feasible total (the
+    * most-upsampled group kept whole caps it).
+    */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      alpha: Double,
+      buckets: Int = 1000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    // sum in group-name order — a deterministic summation order the
+    // oracle can reproduce (Map iteration order is not a contract)
+    val byName = counts.toSeq.sortBy(_._1)
+    val z = byName.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val shares = byName.map { case (g, n) =>
+      g -> math.pow(n.toDouble, alpha) / z
+    }
+    applyShares(df, keyCol, groupCol, shares, counts, buckets)
+  }
+
+  private def applyShares(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      shares: Seq[(String, Double)],
+      counts: Map[String, Long],
+      buckets: Int): DataFrame = {
     // largest feasible mix total: the scarcest group at its share caps it
     val total = shares.map { case (g, t) => math.floor(counts(g) / t) }.min
     val thresholds = shares.map { case (g, t) =>

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join (record linkage): all (left, right)
+  * pairs with `levenshtein(left, right) <= k`, without the cross
+  * product a raw `levenshtein(l, r) <= k` predicate plans (BNLJ —
+  * O(|L| x |R|) string comparisons, dead at 100 TB).
+  *
+  * Candidate generation is the PassJoin partition-signature scheme
+  * (Li/Deng/Feng, ICDE 2011 — published algorithm, public knowledge):
+  * split every indexed string into `k+1` contiguous segments. By
+  * pigeonhole, any string within edit distance `k` must contain at
+  * least one segment **exactly**, as a substring whose start position
+  * differs from the segment's by at most `k` (an edit shifts later
+  * characters by at most one position each, and at most `k` edits
+  * precede the match). So:
+  *
+  *  - index side: one row per (strLen, segIdx, segment) — `k+1` keys
+  *    per string;
+  *  - probe side: for each plausible indexed length `L` in
+  *    `[len-k, len+k]` and each segment slot, every substring of the
+  *    probe at start positions within `±k` of the slot — O(k^3) short
+  *    keys per string (18 for k=1);
+  *  - equi-join on (L, segIdx, substring) → candidate pairs →
+  *    `array_distinct` dedup → exact `levenshtein` verify.
+  *
+  * Cost is linear in rows + matches: a shuffled (or broadcast) hash
+  * join on short segment keys. The probe window is the simple `±k`
+  * superset of PassJoin's multi-match-aware selection — slightly more
+  * candidates, same zero-false-negative guarantee, and the verify
+  * filter discards the excess.
+  *
+  * Skew note for 100 TB: segments drawn from low-entropy regions
+  * (shared prefixes like `"Customer#"`) hash to hot keys. Normalize
+  * constant affixes away before joining (as `fuzzy_join_names` does),
+  * or salt the hot segment keys; the verify filter is unaffected.
+  *
+  * Reference anchor: the reference has no fuzzy matching — this is
+  * part of the LLM-pipeline surface (entity resolution / near-dup
+  * keys at the record level, SURVEY §2B).
+  */
+object FuzzyJoin {
+
+  /** Even segment boundaries for a string of length `len` split into
+    * `k+1` parts: the first `k+1-rem` segments get `base` chars, the
+    * last `rem` get `base+1` (deterministic; mirrored by probe side).
+    * Returns array of (start, segLen), 0-based starts.
+    */
+  private def segmentBounds(len: Column, k: Int): Column = {
+    val parts = k + 1
+    val base = len.cast("int") / lit(parts)
+    val baseI = floor(base).cast("int")
+    val rem = pmod(len.cast("int"), lit(parts))
+    transform(sequence(lit(0), lit(k)), i => {
+      val extraBefore = greatest(lit(0), i - (lit(parts) - rem))
+      val start = i * baseI + extraBefore
+      val segLen = baseI + when(i >= lit(parts) - rem, 1).otherwise(0)
+      struct(start.as("start"), segLen.as("len"))
+    })
+  }
+
+  /** All pairs (leftId, rightId, dist) with
+    * `levenshtein(left(strCol), right(strCol)) <= k`. Output columns:
+    * left id, right id, `dist`. Strings must be non-null; empty
+    * strings match anything of length <= k (handled by a length-only
+    * fallback key so zero-length segments never generate).
+    */
+  def join(
+      left: DataFrame,
+      leftIdCol: String,
+      leftStrCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightStrCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+
+    // Index side (right): (len, segIdx, segment) keys. Zero-length
+    // segments (len < k+1) key on position only — the substring is ''.
+    val idx = right
+      .select(col(rightIdCol).as("_rid"), col(rightStrCol).as("_rstr"))
+      .withColumn("_rlen", length(col("_rstr")))
+      .withColumn("_seg", explode(segmentBounds(col("_rlen"), k)))
+      .select(
+        col("_rid"), col("_rstr"), col("_rlen"),
+        col("_seg.start").as("_si"),
+        expr("substring(_rstr, _seg.start + 1, _seg.len)").as("_sub"))
+
+    // Probe side (left): for each candidate indexed length L in
+    // [len-k, len+k] (L >= 1), each segment slot of an L-length split,
+    // and each start within ±k of the slot, the matching substring.
+    val kk = lit(k)
+    val probeKeys = {
+      val qlen = length(col("_lstr"))
+      val lens = sequence(greatest(lit(0), qlen - kk), qlen + kk)
+      flatten(transform(lens, l => {
+        val bounds = segmentBounds(l, k)
+        flatten(transform(sequence(lit(0), lit(k)), i => {
+          val b = element_at(bounds, i + 1)
+          val segLen = b.getField("len")
+          val lo = greatest(lit(0), b.getField("start") - kk)
+          val hi = least(qlen - segLen, b.getField("start") + kk)
+          when(lo <= hi,
+            transform(sequence(lo, hi), p =>
+              struct(l.as("l"), p.as("si"),
+                expr("_lstr").substr(p + 1, segLen).as("sub"))))
+            .otherwise(expr("CAST(array() AS array<struct<l:int,si:int,sub:string>>)"))
+        }))
+      }))
+    }
+    val probe = left
+      .select(col(leftIdCol).as("_lid"), col(leftStrCol).as("_lstr"))
+      .withColumn("_key", explode(array_distinct(probeKeys)))
+
+    // Join candidates: probe `si` is the substring's own start, index
+    // `_si` the segment's start; PassJoin's guarantee is substring
+    // equality with the two starts within ±k. (len, substring) carry
+    // the hash-join selectivity; the position band rides along as a
+    // post-join conjunct on the same equi key.
+    val cand = probe
+      .join(idx,
+        probe("_key.l") === idx("_rlen") && probe("_key.sub") === idx("_sub") &&
+          abs(probe("_key.si") - idx("_si")) <= k)
+      .select(col("_lid"), col("_lstr"), col("_rid"), col("_rstr"))
+      .distinct()
+
+    cand
+      .withColumn("dist", levenshtein(col("_lstr"), col("_rstr")))
+      .where(col("dist") <= k)
+      .select(
+        col("_lid").as(leftIdCol),
+        col("_rid").as(rightIdCol),
+        col("dist"))
+  }
+}

@@ -276,4 +276,63 @@ class AnnTextSpec extends AnyFunSuite {
       .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
     assert(out == Seq("en", "und"))
   }
+
+  test("int8-quantized ANN: high recall vs brute force, true-cosine sims, tight quantized dot") {
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val bf = Knn.topK(queries, corpus, 5).collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("neighbor")) -> r.getAs[Double]("sim")).toMap
+    val qz = graft.sim.Quantized.topK(queries, corpus, 5, shortlist = 20).collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("neighbor")) -> r.getAs[Double]("sim")).toMap
+    val recall = (bf.keySet & qz.keySet).size.toDouble / bf.size
+    // int8 max-abs quantization loses < 0.4% per dot term; with a 4x
+    // shortlist margin the exact re-rank recovers essentially all of
+    // the brute-force top-5
+    assert(recall >= 0.9, s"quantized recall $recall")
+    // emitted sims are TRUE cosine: identical to brute force on shared pairs
+    (bf.keySet & qz.keySet).foreach { p => assert(bf(p) == qz(p), s"sim mismatch at $p") }
+  }
+
+  test("quantize: int8 range, scale round-trips the max component") {
+    val d = Seq((1L, Seq(0.5, -1.0, 0.25, 0.0))).toDF("id", "vec")
+    val r = d.select(graft.sim.Quantized.quantize(col("vec")).as("qv"))
+      .select(col("qv.scale"), col("qv.q")).head()
+    val scale = r.getFloat(0)
+    val q = r.getSeq[Byte](1)
+    assert(q.forall(b => b >= -127 && b <= 127))
+    assert(q(1) == -127) // max-abs component pins the range
+    assert(math.abs(scale * 127.0 - 1.0) < 1e-6)
+    assert(math.abs(scale * q(0) - 0.5) < scale) // within one quantum
+  }
+
+  test("deflate size: repetition compresses, bounds hold, matches a direct Deflater run") {
+    import graft.functions.DeflateSize
+    val docs = Seq(
+      (1L, "spam " * 200),                       // highly repetitive
+      (2L, (1 to 200).map(i => s"w$i").mkString(" ")), // low repetition
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = docs.select(col("id"), DeflateSize(col("text")).as("z"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(4L).isEmpty)
+    assert(got(3L).exists(_ > 0)) // empty stream still has a wrapper
+    assert(got(1L).get < got(2L).get, s"repetition did not compress: $got")
+    // exact agreement with a direct java.util.zip run on corpus text
+    val real = Tables(spark, TestSpark.SfDirSmall, "documents").limit(50)
+    val spark_ = real.select(col("doc_id"), DeflateSize(col("text")).as("z"))
+      .as[(Long, Int)].collect().toMap
+    real.select("doc_id", "text").as[(Long, String)].collect().foreach { case (id, t) =>
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      d.setInput(t.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      assert(spark_(id) == total, s"doc $id deflate size mismatch")
+    }
+    // SQL surface + analysis-time failure
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT deflate_size('') z").head.getInt(0) > 0)
+    intercept[Exception](spark.sql("SELECT deflate_size(array(1))").collect())
+  }
 }

@@ -96,6 +96,42 @@ class SamplingSpec extends AnyFunSuite {
     ()
   }
 
+  test("temperature sampling flattens group shares toward n^alpha, alpha=1 is a no-op") {
+    import graft.data.Mix
+    val d = docs // documents table: lang groups with uneven sizes
+    val natural = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // alpha = 1: natural proportions are already feasible at the full
+    // corpus — (essentially) every row kept; floor rounding at bucket
+    // boundaries may shave a stray bucket
+    val kept1 = Mix.temperatureSample(d, "doc_id", "lang", alpha = 1.0).count()
+    assert(kept1 >= (d.count() * 99) / 100 && kept1 <= d.count(), s"alpha=1 kept $kept1")
+    // alpha = 0.5: output shares track n^0.5 renormalized
+    val out = Mix.temperatureSample(d, "doc_id", "lang", alpha = 0.5)
+    val by = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val z = natural.values.map(n => math.sqrt(n.toDouble)).sum
+    val total = by.values.sum.toDouble
+    natural.foreach { case (g, n) =>
+      val want = math.sqrt(n.toDouble) / z
+      assert(math.abs(by(g) / total - want) < 0.08,
+        s"$g share ${by(g) / total} far from temperature target $want (counts $by)")
+      assert(by(g) <= n, s"$g oversampled")
+    }
+    // flattening: the head group's share shrinks vs natural, the tail's grows
+    val head = natural.maxBy(_._2)._1
+    val tail_ = natural.minBy(_._2)._1
+    val naturalTotal = natural.values.sum.toDouble
+    assert(by(head) / total < natural(head) / naturalTotal + 1e-9)
+    assert(by(tail_) / total > natural(tail_) / naturalTotal - 1e-9)
+    // deterministic
+    val again = Mix.temperatureSample(d, "doc_id", "lang", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // alpha outside (0, 1] rejected
+    intercept[IllegalArgumentException](Mix.temperatureSample(d, "doc_id", "lang", 0.0))
+    intercept[IllegalArgumentException](Mix.temperatureSample(d, "doc_id", "lang", 1.5))
+    ()
+  }
+
   test("bloom filter has no false negatives and a sane false-positive rate") {
     val keys = (0 until 2000).map(i => s"key_$i")
     val bloom = graft.data.Bloom.build(keys.toDF("k"), col("k"))
