@@ -2157,23 +2157,33 @@ object SparkEntry {
     * cross product the naive predicate plans. The shared "Customer#"/
     * "Supplier#" prefixes are stripped BEFORE the join: constant
     * affixes would make every segment-0 key hot (skew) and would mask
-    * real id edits. DuckDB's levenshtein is the value oracle over the
-    * naive cross join (150k pairs at sf0.01 — fine for an oracle, fatal
-    * at scale; that asymmetry is the point of the operator).
+    * real id edits. So are the zero-pad runs: every padded id shares
+    * the "0000…" prefix, which at sf0.1 (150k x 10k) turns segment 0
+    * into ONE key carrying ~10^9 candidate pairs — leading zeros are
+    * stripped too, leaving the digits that actually discriminate.
+    * DuckDB's levenshtein is the value oracle over the naive cross
+    * join (150k pairs at sf0.01 — fine for an oracle, fatal at scale;
+    * that asymmetry is the point of the operator).
     */
   private def fuzzyJoinNames(s: SparkSession, dir: String): DataFrame = {
+    def id(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(nullif(regexp_replace(substring(src, 10, 9), "^0+", ""), lit("")), lit("0"))
     val cust = t(s, dir, "customer")
-      .select(col("c_custkey"), expr("substring(c_name, 10)").as("cid"))
+      .select(col("c_custkey"), id(col("c_name")).as("cid"))
     val supp = t(s, dir, "supplier")
-      .select(col("s_suppkey"), expr("substring(s_name, 10)").as("sid"))
+      .select(col("s_suppkey"), id(col("s_name")).as("sid"))
     graft.ops.FuzzyJoin.join(cust, "c_custkey", "cid", supp, "s_suppkey", "sid", k = 1)
       .withColumn("dist", col("dist").cast("long"))
       .orderBy("c_custkey", "s_suppkey")
   }
 
   private val fuzzyJoinNamesSql =
-    """WITH c AS (SELECT c_custkey, substring(c_name, 10) AS cid FROM customer),
-      |     s AS (SELECT s_suppkey, substring(s_name, 10) AS sid FROM supplier)
+    """WITH c AS (SELECT c_custkey,
+      |            coalesce(nullif(regexp_replace(substring(c_name, 10), '^0+', ''), ''), '0') AS cid
+      |            FROM customer),
+      |     s AS (SELECT s_suppkey,
+      |            coalesce(nullif(regexp_replace(substring(s_name, 10), '^0+', ''), ''), '0') AS sid
+      |            FROM supplier)
       |SELECT c.c_custkey, s.s_suppkey, levenshtein(cid, sid) AS dist
       |FROM c CROSS JOIN s
       |WHERE levenshtein(cid, sid) <= 1

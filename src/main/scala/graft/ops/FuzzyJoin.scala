@@ -126,9 +126,11 @@ object FuzzyJoin {
       .select(col("_lid"), col("_lstr"), col("_rid"), col("_rstr"))
       .distinct()
 
+    // bounded form: early-exits at k+1 (O(k·n) per pair, not O(n^2))
+    // and returns -1 past the bound; for kept pairs it IS the distance
     cand
-      .withColumn("dist", levenshtein(col("_lstr"), col("_rstr")))
-      .where(col("dist") <= k)
+      .withColumn("dist", levenshtein(col("_lstr"), col("_rstr"), k))
+      .where(col("dist") >= 0 && col("dist") <= k)
       .select(
         col("_lid").as(leftIdCol),
         col("_rid").as(rightIdCol),
