@@ -2281,6 +2281,151 @@ object SparkEntry {
       |       string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id) AS postings_gaps
       |FROM g GROUP BY term ORDER BY term""".stripMargin
 
+  /** k-NN majority-vote label prediction (graft.sim.Knn.classify):
+    * probes vec_id<20 classified against the labeled rest of the
+    * corpus — the weak-supervision / quality-classifier shape. Full
+    * value oracle: DuckDB recomputes the exact kNN and the identical
+    * deterministic vote (votes desc, best rounded sim desc, label).
+    */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val probes = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("v").as("vec"), col("label"))
+    graft.sim.Knn.classify(probes, corpus, k = 7)
+      .withColumn("votes", col("votes").cast("long"))
+      .orderBy("q")
+  }
+
+  private val knnClassifySql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve, label FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q, c.vec_id AS neighbor, c.label,
+      |         list_cosine_similarity(q.ve, c.ve) AS sim_raw
+      |  FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20),
+      |ranked AS (
+      |  SELECT q, label, sim_raw,
+      |         row_number() OVER (PARTITION BY q ORDER BY sim_raw DESC, neighbor) AS rank
+      |  FROM scored),
+      |votes AS (
+      |  SELECT q, label, count(*) AS votes, max(round(sim_raw, 4)) AS best_sim
+      |  FROM ranked WHERE rank <= 7 GROUP BY q, label),
+      |best AS (
+      |  SELECT q, label, votes, best_sim,
+      |         row_number() OVER (PARTITION BY q ORDER BY votes DESC, best_sim DESC, label) AS vr
+      |  FROM votes)
+      |SELECT q, label AS pred, votes, best_sim FROM best WHERE vr = 1 ORDER BY q""".stripMargin
+
+  /** Directed shingle containment (graft.dedup.NgramJaccard
+    * .containmentPairs): a ⊂≈ b pairs Jaccard structurally misses —
+    * quote inclusion, page-with-chrome vs body. Capped inverted index
+    * (the scale control; containment admits no length filter), sizes
+    * from the uncapped sets; the oracle applies the identical cap.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NgramJaccard.containmentPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, minContainment = 0.8, maxDf = Some(64))
+      .orderBy("a", "b")
+
+  private val dedupContainmentSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s FROM t),
+      |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 64),
+      |ec AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM ec ea JOIN ec eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2),
+      |dir AS (
+      |  SELECT i.a AS a, i.b AS b, round(i.i / sa.n, 4) AS containment
+      |  FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+      |  UNION ALL
+      |  SELECT i.b, i.a, round(i.i / sb.n, 4)
+      |  FROM inter i JOIN sizes sb ON i.b = sb.doc_id)
+      |SELECT a, b, containment FROM dir WHERE containment >= 0.8 ORDER BY a, b""".stripMargin
+
+  /** Balanced output sharding (graft.data.Sampling.balancedShards):
+    * serpentine-LPT deal of size-ranked documents into 8 shards; the
+    * query emits per-shard doc and char totals (the thing a training
+    * job actually cares about — no shard stalls the slowest reader).
+    * The oracle reproduces rank + serpentine + totals exactly.
+    */
+  private def shardBalance(s: SparkSession, dir: String): DataFrame =
+    graft.data.Sampling.balancedShards(
+      t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id", col("n_chars"), nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars").cast("long")).as("chars"))
+      .orderBy("shard")
+
+  private val shardBalanceSql =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+      |  FROM documents),
+      |a AS (SELECT CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END AS shard, n_chars FROM r)
+      |SELECT shard, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Conditional-aggregation pivot (ClickHouse countIf/sumIf analog,
+    * readme.md:131-138's per-level dashboards): one partial-agg pass
+    * emitting a column per event class — the wide dashboard row shape.
+    * No Spark `pivot()` (which needs a values-discovery job or a
+    * hardcoded list anyway); when/sum compiles to the same conditional
+    * partial aggregates with zero extra passes.
+    */
+  private def pivotDailyEvents(s: SparkSession, dir: String): DataFrame = {
+    def cntIf(tpe: String) = sum(when(col("event_type") === tpe, 1L).otherwise(0L))
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        cntIf("click").as("clicks"),
+        cntIf("view").as("views"),
+        cntIf("signup").as("signups"),
+        cntIf("error").as("errors"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
+          .as("purchase_value"))
+      .orderBy("day")
+  }
+
+  private val pivotDailyEventsSql =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       count(*) FILTER (event_type = 'click') AS clicks,
+      |       count(*) FILTER (event_type = 'view') AS views,
+      |       count(*) FILTER (event_type = 'signup') AS signups,
+      |       count(*) FILTER (event_type = 'error') AS errors,
+      |       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4) AS purchase_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Per-source adaptive quality threshold — corpus calibration: a
+    * fixed global cutoff over-prunes clean sources and under-prunes
+    * noisy ones, so each document is kept iff its quality sits in the
+    * top half OF ITS OWN SOURCE (percent_rank within source ≥ 0.5).
+    * One shuffle on the source key; the per-source window sorts
+    * shard-locally. Deterministic: ranks break ties by doc_id.
+    */
+  private def qualityAdaptive(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats.{stopwordHits, words}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("stopword_ratio"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(stopwordHits(col("text")) / size(words(col("text"))), 4).as("stopword_ratio"))
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .where(col("pr") >= 0.5)
+      .select(col("doc_id"), col("source"), col("stopword_ratio"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityAdaptiveSql =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |         round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) AS stopword_ratio
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, stopword_ratio,
+      |         round(percent_rank() OVER (PARTITION BY source ORDER BY stopword_ratio, doc_id), 4) AS pr
+      |  FROM q)
+      |SELECT doc_id, source, stopword_ratio, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2381,6 +2526,11 @@ object SparkEntry {
     "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
     "inverted_index" -> Q(invertedIndex, Some(invertedIndexSql)),
+    "knn_classify" -> Q(knnClassify, Some(knnClassifySql)),
+    "dedup_containment" -> Q(dedupContainment, Some(dedupContainmentSql)),
+    "shard_balance" -> Q(shardBalance, Some(shardBalanceSql)),
+    "pivot_daily_events" -> Q(pivotDailyEvents, Some(pivotDailyEventsSql)),
+    "quality_adaptive" -> Q(qualityAdaptive, Some(qualityAdaptiveSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

@@ -118,6 +118,39 @@ object Sampling {
     * The positions equal the global sort rank wherever the boundaries
     * fall, so output is reproducible run to run.
     */
+  /** Balanced shard assignment — the output-writing op of a training
+    * pipeline: spread documents across `nShards` output shards so
+    * per-shard byte/token totals are near-equal (a skewed shard
+    * stalls the epoch's slowest reader). Serpentine LPT: rows sorted
+    * by size DESCENDING get dealt in boustrophedon order
+    * (0..n-1, n-1..0, …), so each block of 2n rows adds one large+one
+    * small item per shard — the classic longest-processing-time
+    * balance without any sequential state.
+    *
+    * The global rank is computed distributed exactly like
+    * [[deterministicShuffle]]: a range-partitioned sort, then RDD
+    * `zipWithIndex` (per-partition counts + offset arithmetic — never
+    * a single-partition window). Deterministic: ties in size break by
+    * key, so the assignment is reproducible across runs, partitionings,
+    * and engines.
+    */
+  def balancedShards(df: DataFrame, keyCol: String, sizeCol: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val sorted = df
+      .withColumn("_graft_sz", sizeCol.cast("long"))
+      .orderBy(col("_graft_sz").desc, col(keyCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    val n = lit(nShards.toLong)
+    df.sparkSession.createDataFrame(indexed,
+      sorted.schema.add("_graft_rk", org.apache.spark.sql.types.LongType, nullable = false))
+      .withColumn("shard",
+        when(pmod(floor(col("_graft_rk") / n), lit(2L)) === 0, pmod(col("_graft_rk"), n))
+          .otherwise(n - lit(1L) - pmod(col("_graft_rk"), n)))
+      .drop("_graft_sz", "_graft_rk")
+  }
+
   def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame = {
     val sorted = df.orderBy(keyHash(col(keyCol)), col(keyCol))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>

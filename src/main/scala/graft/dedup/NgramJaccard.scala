@@ -115,6 +115,52 @@ object NgramJaccard {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Directed shingle-containment pairs: emits (a, b, containment)
+    * where `containment = |A∩B| / |A| ≥ t` — "a is (near-)contained in
+    * b". Jaccard misses subsumption (a short doc fully quoted inside a
+    * long one scores low symmetric overlap), so containment is the
+    * dedup signal for page-with-chrome vs body, quote inclusion, and
+    * partial scrapes.
+    *
+    * Same capped inverted-index join as [[pairs]]. Containment admits
+    * NO Jaccard-style length filter (a tiny doc can sit inside an
+    * arbitrarily large one — size ratio prunes nothing), so the
+    * stop-shingle `maxDf` cap is the scale control; per-doc sizes are
+    * computed from the UNCAPPED shingle sets so the emitted ratio is
+    * exact w.r.t. the true |A|. Both directions derive from ONE
+    * undirected intersection count (the join runs once on `a < b`;
+    * the union just re-labels it).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
+    val index = maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+        sh.join(rare, "s")
+      case None => sh
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = index.as("a")
+      .join(index.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a"), col("b.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .select(col("a"), col("b"), col("inter"), col("sa.n").as("na"), col("sb.n").as("nb"))
+    inter.select(col("a"), col("b"), round(col("inter") / col("na"), 4).as("containment"))
+      .unionByName(
+        inter.select(col("b").as("a"), col("a").as("b"),
+          round(col("inter") / col("nb"), 4).as("containment")))
+      .where(col("containment") >= minContainment)
+  }
+
   /** Capped (default) or naive-uncapped inverted-index Jaccard join.
     * `maxDf = None` is the NAIVE exhaustive join — it exists as the
     * straight-line reference implementation that [[pairsExhaustive]]'s

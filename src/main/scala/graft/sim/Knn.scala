@@ -77,6 +77,36 @@ object Knn {
       .select(col("q"), col("neighbor"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** k-NN majority-vote classification — the weak-supervision /
+    * quality-classifier shape of a training-data pipeline (label a
+    * probe set from its nearest labeled exemplars): each probe takes
+    * the label held by the most of its k nearest corpus vectors by
+    * cosine. Ties break by higher best-similarity within the label,
+    * then smaller label — fully deterministic, so the exact-kNN
+    * oracle reproduces the vote bit for bit.
+    *
+    * Same "small probe batch" contract as [[topK]] (one corpus pass,
+    * no join operator); the vote tail is a |probes|·k-row aggregate —
+    * driver-scale — joined back to labels with the TINY side
+    * broadcast. For probe sets too large to inline, generate
+    * candidates with IvfAnn/LshAnn and reuse this vote tail shape.
+    *
+    * @param queries (qid, qvec array<double>) — small, inlined
+    * @param corpus  (id, vec array<double>, label)
+    */
+  def classify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val top = topK(queries, corpus.select("id", "vec"), k)
+    val votes = corpus.select(col("id").as("neighbor"), col("label"))
+      .join(broadcast(top), "neighbor")
+      .groupBy(col("q"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("votes").desc, col("best_sim").desc, col("label"))
+    votes.withColumn("_vr", row_number().over(w))
+      .where(col("_vr") === 1)
+      .select(col("q"), col("label").as("pred"), col("votes"), col("best_sim"))
+  }
+
   /** @param queries (qid, qvec array<double>) — small, inlined
     * @param corpus  (id, vec array<double>)
     */

@@ -26,6 +26,34 @@ class AnnTextSpec extends AnyFunSuite {
     }
   }
 
+  test("knn classify: majority vote, deterministic tie-breaks, label-disjoint probes") {
+    // probe (1,0): top-3 by cosine are 10 (1.0), 11 (~.994), 14 (~.919)
+    // → two votes label 1 vs one vote label 3
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0), 1), (11L, Seq(0.9, 0.1), 1),
+      (12L, Seq(0.0, 1.0), 2), (13L, Seq(0.1, 0.9), 2),
+      (14L, Seq(0.7, 0.3), 3)).toDF("id", "vec", "label")
+    val probe = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qvec")
+    val out = Knn.classify(probe, corpus, k = 3)
+      .select("q", "pred", "votes").as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((1L, 1, 2L)))
+    // exact vote tie AND best-sim tie → smallest label wins
+    val sym = Seq((10L, Seq(1.0, 0.0), 5), (12L, Seq(0.0, 1.0), 3)).toDF("id", "vec", "label")
+    val mid = Seq((1L, Seq(0.5, 0.5))).toDF("qid", "qvec")
+    val tie = Knn.classify(mid, sym, k = 2)
+      .select("pred", "votes").as[(Int, Long)].collect().toSeq
+    assert(tie == Seq((3, 1L)))
+    // real-table determinism: two evaluations agree exactly
+    val e = emb.join(Tables(spark, TestSpark.SfDir, "embeddings").select("vec_id", "label"), "vec_id")
+    val probes = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corp = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("v").as("vec"), col("label"))
+    val a = Knn.classify(probes, corp, 7).collect().map(_.toString).sorted
+    val b = Knn.classify(probes, corp, 7).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.length == 10)
+  }
+
   test("LSH ANN reaches >=0.9 recall vs brute force on testdata") {
     val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
     val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))

@@ -134,6 +134,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 0.5)))
   }
 
+  test("containment pairs: directed subsumption found where jaccard misses it") {
+    // doc 2 = doc 1 plus a long tail: containment(1→2) = 1.0 but
+    // jaccard is far below any dedup threshold — the case the operator
+    // exists for. doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (3L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val out = NgramJaccard.containmentPairs(docs, "doc_id", "text", n = 3, minContainment = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(out.contains((1L, 2L, 1.0)), s"1⊂2 missed: $out")
+    assert(!out.exists(p => p._1 == 2L && p._2 == 1L), "2 is not contained in 1")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), "3 shares no 3-gram with 1 or 2")
+    // the same pair is invisible to jaccard at the same threshold
+    val j = NgramJaccard.pairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(!j.exists(p => p._1 == 1L && p._2 == 2L))
+    // near-identical docs surface in BOTH directions
+    val twins = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val both = NgramJaccard.containmentPairs(twins, "doc_id", "text", n = 3, minContainment = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(both == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    // stop-shingle cap drops pairs whose only shared shingles are hot
+    val hot = (1L to 10L).map(i => (i, "x y z common")) :+ (99L, "x y z common")
+    val capped = NgramJaccard.containmentPairs(
+      hot.toDF("doc_id", "text"), "doc_id", "text", n = 3, minContainment = 0.8, maxDf = Some(4))
+    assert(capped.count() == 0L, "hot-shingle pairs must be pruned by the cap")
+  }
+
   test("native shingle hashing is bit-identical to the builtin shingle+xxhash64 chain") {
     import org.apache.spark.sql.functions._
     import graft.dedup.Shingles

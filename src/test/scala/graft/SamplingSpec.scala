@@ -255,6 +255,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
   }
 
+  test("balanced shards: full cover, tight size balance, serpentine order, reproducible") {
+    val n = 8
+    val out = Sampling.balancedShards(docs.select("doc_id", "n_chars"), "doc_id", col("n_chars"), n)
+    val rows = out.select("doc_id", "n_chars", "shard")
+      .as[(Long, Long, Long)].collect().toSeq
+    // every document assigned exactly once, to a valid shard
+    assert(rows.map(_._1).toSet.size == docs.count())
+    assert(rows.forall(r => r._3 >= 0 && r._3 < n))
+    // balance: serpentine LPT keeps shard char totals within one
+    // max-document of each other (block of 2n deals one large + one
+    // small per shard)
+    val totals = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).values.toSeq
+    val maxDoc = rows.map(_._2).max
+    assert(totals.max - totals.min <= maxDoc,
+      s"imbalance ${totals.max - totals.min} exceeds one max doc ($maxDoc)")
+    // serpentine: the 2n largest docs cover every shard exactly twice
+    val firstTwoBlocks = rows.sortBy(r => (-r._2, r._1)).take(2 * n).map(_._3)
+    assert(firstTwoBlocks.groupBy(identity).values.forall(_.size == 2))
+    // reproducible under a different input partitioning
+    val again = Sampling.balancedShards(
+      docs.select("doc_id", "n_chars").repartition(7), "doc_id", col("n_chars"), n)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == again)
+  }
+
   test("deterministic shuffle is a reproducible permutation, not id order") {
     val out = Sampling.deterministicShuffle(docs, "doc_id").select("pos", "doc_id")
       .as[(Long, Long)].collect().sortBy(_._1)
