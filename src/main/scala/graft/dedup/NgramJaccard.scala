@@ -122,14 +122,89 @@ object NgramJaccard {
     * dedup signal for page-with-chrome vs body, quote inclusion, and
     * partial scrapes.
     *
-    * Same capped inverted-index join as [[pairs]]. Containment admits
-    * NO Jaccard-style length filter (a tiny doc can sit inside an
-    * arbitrarily large one — size ratio prunes nothing), so the
-    * stop-shingle `maxDf` cap is the scale control; per-doc sizes are
-    * computed from the UNCAPPED shingle sets so the emitted ratio is
-    * exact w.r.t. the true |A|. Both directions derive from ONE
-    * undirected intersection count (the join runs once on `a < b`;
-    * the union just re-labels it).
+    * PREFIX-FILTERED on the probe side (the containment member of the
+    * AllPairs/PPJoin family): with shingles in the global rarest-first
+    * canonical order, a qualifying direction a→b needs
+    * i ≥ ⌈t·|A|⌉ shared shingles, so a's globally-smallest shared
+    * shingle sits within its first mᶜ − ⌈t·|A|⌉ + 1 entries — only
+    * that PREFIX of the probe doc joins the (full) index, and the
+    * positional bound min(mᶜₐ−rₐ, mᶜᵦ−rᵦ) ≥ t·|A| prunes late-prefix
+    * collisions row-wise (the first shared shingle always passes, so
+    * recall cost is zero — equivalence vs [[containmentPairs]] is
+    * spec-tested). Containment admits NO Jaccard-style length filter
+    * (a tiny doc sits inside any huge one — size ratio prunes
+    * nothing), so prefix + positional filtering is what bounds the
+    * candidate volume: Σ dfₚᵣₑ(s)·df(s), never Σ df², with hot
+    * shingles sorting OUT of prefixes entirely. `maxDf` additionally
+    * caps the index (intersections then count capped shingles only —
+    * mirrored in the oracle); |A| in the ratio is always the true
+    * UNCAPPED size.
+    *
+    * Both directions fall out of the same probe-side explode (every
+    * doc is probe once and target in the full index once); the doc-set
+    * store is materialized once and reused by prefix, index, and both
+    * verify probes, the [[pairsExhaustive]] discipline.
+    */
+  def containmentPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val tEff = minContainment - 0.00005 // absorb round(c, 4) at the emitted filter
+    val sh = docs
+      .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nfull"))
+    val capped = maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+        sh.join(rare, "s")
+      case None => sh
+    }
+    val dfCounts = capped.groupBy("s").agg(count(lit(1)).as("df"))
+    val docSets = capped.join(dfCounts, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("id"), transform(col("arr"), x => x.getField("s")).as("set"),
+        size(col("arr")).as("mc"))
+      .join(sizes, "id")
+      .localCheckpoint(true)
+    // probe prefix: the first mc - ceil(t*nfull) + 1 canonical shingles
+    // (empty when mc < t*nfull — such a doc can never reach the bound)
+    val prefix = docSets.select(
+      col("id"), col("mc"), col("nfull"),
+      posexplode(slice(col("set"), lit(1),
+        greatest(lit(0), (col("mc") - ceil(lit(tEff) * col("nfull")) + 1).cast("int")))))
+      .select(col("id"), col("mc"), col("nfull"), col("pos").as("rk"), col("col").as("s"))
+    val full = docSets.select(col("id").as("bid"), col("mc").as("bmc"), posexplode(col("set")))
+      .select(col("bid"), col("bmc"), col("pos").as("brk"), col("col").as("s"))
+    val cand = prefix.join(full,
+        prefix("s") === full("s") && col("id") =!= col("bid") &&
+          least(col("mc") - col("rk"), col("bmc") - col("brk")) >= lit(tEff) * col("nfull"))
+      .select(col("id").as("a"), col("bid").as("b"))
+      .distinct()
+    cand
+      .join(docSets.select(col("id"), col("set").as("sa"), col("nfull").as("na")), col("a") === col("id")).drop("id")
+      .join(docSets.select(col("id"), col("set").as("sb")), col("b") === col("id")).drop("id")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("sa"), col("sb"))) / col("na"), 4).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
+  /** Capped inverted-index containment join — the DEFAULT containment
+    * operator: candidate volume is Σ df² over CAP-BOUNDED dfs, i.e. at
+    * most `maxDf · Σ df` — linear in corpus shingles with the cap as
+    * the constant — which on real (Zipfian) corpora is what makes the
+    * join affordable; intersection counts see capped shingles only,
+    * |A| in the ratio is always the true uncapped size, and both
+    * directions derive from ONE undirected join (materialized once —
+    * both union branches read the checkpoint, not the join subtree).
+    * Containment admits NO Jaccard-style length filter (a tiny doc
+    * sits inside any huge one), so the cap carries the whole scale
+    * load here; [[containmentPairsPrefix]] is the zero-recall-cost
+    * exhaustive alternative (equivalence spec-tested against this
+    * one) for when the cap's documented recall cost is unacceptable.
     */
   def containmentPairs(
       docs: DataFrame,
@@ -154,6 +229,7 @@ object NgramJaccard {
       .join(sizes.as("sa"), col("a") === col("sa.id"))
       .join(sizes.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"), col("inter"), col("sa.n").as("na"), col("sb.n").as("nb"))
+      .localCheckpoint(true)
     inter.select(col("a"), col("b"), round(col("inter") / col("na"), 4).as("containment"))
       .unionByName(
         inter.select(col("b").as("a"), col("a").as("b"),

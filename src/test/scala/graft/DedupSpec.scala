@@ -164,6 +164,20 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0L, "hot-shingle pairs must be pruned by the cap")
   }
 
+  test("prefix-filtered containment is value-identical to the naive capped join") {
+    val real = Tables(spark, TestSpark.SfDir, "documents").select("doc_id", "text")
+    for (t <- Seq(0.6, 0.8); cap <- Seq(Some(64), None)) {
+      val prefix = NgramJaccard.containmentPairsPrefix(real, "doc_id", "text", n = 3,
+        minContainment = t, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val capped = NgramJaccard.containmentPairs(real, "doc_id", "text", n = 3,
+        minContainment = t, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(prefix == capped, s"t=$t cap=$cap: ${prefix.size} vs ${capped.size} pairs")
+      assert(prefix.nonEmpty, s"t=$t cap=$cap: planted near-dups must surface")
+    }
+  }
+
   test("native shingle hashing is bit-identical to the builtin shingle+xxhash64 chain") {
     import org.apache.spark.sql.functions._
     import graft.dedup.Shingles
