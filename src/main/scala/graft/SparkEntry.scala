@@ -2429,6 +2429,182 @@ object SparkEntry {
       |  FROM q)
       |SELECT doc_id, source, stopword_ratio, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin
 
+  /** ANALYZE-style table statistics (the warehouse maintenance op
+    * behind CBO/data cards): nulls, distinct-count estimate, min/max
+    * per column, ONE scan for all columns — per-column exact distincts
+    * would each multiply the pass (Spark plans multi-distinct via
+    * expand), so ndv is the HLL sketch estimate (rsd 0.01 — 16k
+    * registers, a fixed few hundred KB for all five sketches) and the
+    * oracle is a precision oracle: DuckDB recomputes exact stats and
+    * re-admits each emitted row only if nulls/min/max match exactly
+    * and ndv_est is within max(3, 5%) of exact. The stack() unpivot
+    * runs on the 1-row agg result.
+    */
+  private def tableStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def nul(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    def ndv(c: String) = approx_count_distinct(col(c), 0.01)
+    val num = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val str = Seq("l_returnflag", "l_linestatus")
+    val aggs =
+      num.flatMap(c => Seq(nul(c).as(s"${c}_nul"), ndv(c).as(s"${c}_ndv"),
+        round(min(col(c)), 4).as(s"${c}_min"), round(max(col(c)), 4).as(s"${c}_max"))) ++
+      str.flatMap(c => Seq(nul(c).as(s"${c}_nul"), ndv(c).as(s"${c}_ndv"),
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val stacked =
+      num.map(c => s"'$c', ${c}_nul, ${c}_ndv, ${c}_min, ${c}_max, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+      str.map(c => s"'$c', ${c}_nul, ${c}_ndv, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ${c}_min, ${c}_max")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${num.size + str.size}, ${stacked.mkString(", ")}) AS (col, nulls, ndv_est, min_num, max_num, min_str, max_str)"))
+      .orderBy("col")
+  }
+
+  private val tableStatsSql =
+    """WITH exact AS (
+      |  SELECT 'l_quantity' AS col, count(*) - count(l_quantity) AS nulls, count(DISTINCT l_quantity) AS ndv, round(min(l_quantity), 4) AS mn, round(max(l_quantity), 4) AS mx, CAST(NULL AS VARCHAR) AS mns, CAST(NULL AS VARCHAR) AS mxs FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice), round(min(l_extendedprice), 4), round(max(l_extendedprice), 4), NULL, NULL FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', count(*) - count(l_discount), count(DISTINCT l_discount), round(min(l_discount), 4), round(max(l_discount), 4), NULL, NULL FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', count(*) - count(l_returnflag), count(DISTINCT l_returnflag), NULL, NULL, min(l_returnflag), max(l_returnflag) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linestatus', count(*) - count(l_linestatus), count(DISTINCT l_linestatus), NULL, NULL, min(l_linestatus), max(l_linestatus) FROM lineitem)
+      |SELECT g.col, g.nulls, g.ndv_est, g.min_num, g.max_num, g.min_str, g.max_str
+      |FROM graft_result g JOIN exact e ON g.col = e.col
+      |WHERE g.nulls = e.nulls
+      |  AND abs(g.ndv_est - e.ndv) <= greatest(3, 0.05 * e.ndv)
+      |  AND g.min_num IS NOT DISTINCT FROM e.mn AND g.max_num IS NOT DISTINCT FROM e.mx
+      |  AND g.min_str IS NOT DISTINCT FROM e.mns AND g.max_str IS NOT DISTINCT FROM e.mxs
+      |ORDER BY g.col""".stripMargin
+
+  /** Declarative data-quality audit (the Deequ / dbt-test shape run
+    * before a corpus ships): range rules fold into ONE conditional-agg
+    * scan per table; referential rules are LEFT ANTI joins (one
+    * key-shuffle each, the dim side broadcast when it fits). Emitting
+    * zeros is the point — the query certifies cleanliness, and the
+    * oracle re-derives every count.
+    */
+  private def dataQualityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val rangeRules = li.agg(
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("lineitem_quantity_range"),
+      sum(when(!col("l_discount").between(0, 0.1), 1L).otherwise(0L)).as("lineitem_discount_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("lineitem_shipdate_null"))
+    val ordRules = ord.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("orders_custkey_null"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("orders_totalprice_positive"))
+    val orphanLi = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations")).select(lit("lineitem_order_fk").as("rule"), col("violations"))
+    val childlessOrd = ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations")).select(lit("orders_has_lineitem").as("rule"), col("violations"))
+    val orphanOrd = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations")).select(lit("orders_customer_fk").as("rule"), col("violations"))
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(expr(
+        s"stack(${cols.length}, ${cols.map(c => s"'$c', $c").mkString(", ")}) AS (rule, violations)"))
+    }
+    unpivot(rangeRules).unionByName(unpivot(ordRules))
+      .unionByName(orphanLi).unionByName(childlessOrd).unionByName(orphanOrd)
+      .orderBy("rule")
+  }
+
+  private val dataQualityAuditSql =
+    """SELECT 'lineitem_quantity_range' AS rule, count(*) FILTER (l_quantity NOT BETWEEN 1 AND 50) AS violations FROM lineitem
+      |UNION ALL SELECT 'lineitem_discount_range', count(*) FILTER (l_discount NOT BETWEEN 0 AND 0.1) FROM lineitem
+      |UNION ALL SELECT 'lineitem_shipdate_null', count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+      |UNION ALL SELECT 'orders_custkey_null', count(*) FILTER (o_custkey IS NULL) FROM orders
+      |UNION ALL SELECT 'orders_totalprice_positive', count(*) FILTER (o_totalprice <= 0) FROM orders
+      |UNION ALL SELECT 'lineitem_order_fk', count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL SELECT 'orders_has_lineitem', count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |ORDER BY rule""".stripMargin
+
+  /** Snapshot diff — dataset versioning's core op (what changed
+    * between corpus v1 and v2): FULL OUTER join on the key, rows
+    * classified added / removed / changed / unchanged by null-side and
+    * value comparison. One key-shuffle at any scale (co-located with
+    * bucketed snapshots); the two synthetic snapshots are
+    * deterministic key-arithmetic slices of `orders` so the oracle
+    * rebuilds both sides exactly.
+    */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val old = ord.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+    val neu = ord.where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+    old.as("a").join(neu.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(
+        when(col("a.o_orderkey").isNull, lit("added"))
+          .when(col("b.o_orderkey").isNull, lit("removed"))
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("key"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min(col("key")).as("first_key"), max(col("key")).as("last_key"))
+      .orderBy("change_type")
+  }
+
+  private val snapshotDiffSql =
+    """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0),
+      |neu AS (SELECT o_orderkey,
+      |               CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+      |        FROM orders WHERE o_orderkey % 89 <> 0),
+      |d AS (
+      |  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |              WHEN b.o_orderkey IS NULL THEN 'removed'
+      |              WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |         coalesce(a.o_orderkey, b.o_orderkey) AS key
+      |  FROM old a FULL OUTER JOIN neu b ON a.o_orderkey = b.o_orderkey)
+      |SELECT change_type, count(*) AS n, min(key) AS first_key, max(key) AS last_key
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  /** PMI collocations — corpus-linguistics mining (multi-word
+    * expressions for tokenizer/vocab decisions): pointwise mutual
+    * information over adjacent token pairs, `ln(c_ab·N / (c_a·c_b))`.
+    * Pair counts are one partial-agg shuffle; unigram tables are
+    * vocab-sized (auto-broadcast); N is a collected scalar; top-k on
+    * the ROUNDED score plans as TakeOrderedAndProject. The integer
+    * ratio is formed before the single ln, so both engines round the
+    * same double.
+    */
+  private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(split(col("text"), " ").as("tk"))
+    val bg = toks.select(posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as(Seq("i", "w1")),
+        col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+    val nTotal = bg.count()
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")).where(col("c") >= 5)
+    val u1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val u2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    cb.join(u1, "w1").join(u2, "w2")
+      .select(col("w1"), col("w2"), col("c"),
+        round(log(col("c") * lit(nTotal) / (col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val pmiCollocationsSql =
+    """WITH toks AS (SELECT string_split(text, ' ') tk FROM documents),
+      |bg0 AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) b FROM toks),
+      |bg AS (SELECT b.w1 w1, b.w2 w2 FROM bg0),
+      |cb AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+      |u1 AS (SELECT w1 w, count(*) c1 FROM bg GROUP BY 1),
+      |u2 AS (SELECT w2 w, count(*) c2 FROM bg GROUP BY 1),
+      |n AS (SELECT count(*) n FROM bg)
+      |SELECT cb.w1, cb.w2, cb.c, round(ln(cb.c * n.n / (u1.c1 * u2.c2)), 4) AS pmi
+      |FROM cb, n
+      |JOIN u1 ON cb.w1 = u1.w JOIN u2 ON cb.w2 = u2.w
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2534,6 +2710,10 @@ object SparkEntry {
     "shard_balance" -> Q(shardBalance, Some(shardBalanceSql)),
     "pivot_daily_events" -> Q(pivotDailyEvents, Some(pivotDailyEventsSql)),
     "quality_adaptive" -> Q(qualityAdaptive, Some(qualityAdaptiveSql)),
+    "table_stats" -> Q(tableStats, Some(tableStatsSql)),
+    "data_quality_audit" -> Q(dataQualityAudit, Some(dataQualityAuditSql)),
+    "snapshot_diff" -> Q(snapshotDiff, Some(snapshotDiffSql)),
+    "pmi_collocations" -> Q(pmiCollocations, Some(pmiCollocationsSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
