@@ -59,7 +59,17 @@ object Plans {
       "zorder_scan" -> "morton interleave is five shift/AND builtins per dim inside the write projection; the read side scans ONLY the zone-surviving files (file-list pruning happens before the plan exists)",
       "text_bigram_nll" -> "bigram explode feeds BOTH the frequency partial-agg and the scoring side; token-keyed joins auto-broadcast at vocab scale; V is a collected literal",
       "scd2_history" -> "both windows and the grouped agg share ONE user-keyed sort exchange (lag-change running sum -> island agg -> lead)",
-      "retention_cohorts" -> "cohort min-agg and activity distinct share the user key; one shuffle join + one grouped count, all partial-agg shapes")
+      "retention_cohorts" -> "cohort min-agg and activity distinct share the user key; one shuffle join + one grouped count, all partial-agg shapes",
+      "dedup_containment" -> "capped inverted-index containment: stop-shingle cap bounds candidates at maxDf * corpus-shingles; ONE undirected pair join materialized (checkpoint), both directions read it",
+      "knn_classify" -> "literal-probe Generate over one corpus pass (no join operator); vote tail is a tiny aggregate joined back to labels with the small side broadcast",
+      "shard_balance" -> "range-sort by size + RDD zipWithIndex for the global rank (never a single-partition window); serpentine shard arithmetic is row-local",
+      "pivot_daily_events" -> "conditional when/sum aggregates: ONE partial-agg pass emits every pivot column, no values-discovery job",
+      "quality_adaptive" -> "one exchange on the source key; per-source percent_rank window sorts shard-locally",
+      "table_stats" -> "all five columns' nulls/HLL-ndv/min/max in ONE scan's partial agg; stack() unpivot runs on the 1-row result",
+      "data_quality_audit" -> "range rules fold into one conditional-agg scan per table; referential rules are LEFT ANTI joins with the dim side broadcast",
+      "snapshot_diff" -> "FULL OUTER key join (single shuffle, co-locatable when snapshots are bucketed) + grouped classification counts",
+      "pmi_collocations" -> "pair-count partial agg; vocab-sized unigram sides broadcast back; top-k on the rounded score is TakeOrderedAndProject",
+      "fuzzy_join_names" -> "PassJoin segment index: equi hash join on (segment, substring) keys, bounded levenshtein verify — no cartesian anywhere")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")
