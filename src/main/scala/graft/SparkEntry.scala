@@ -2605,6 +2605,66 @@ object SparkEntry {
       |JOIN u1 ON cb.w1 = u1.w JOIN u2 ON cb.w2 = u2.w
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Market-basket co-occurrence pairs (the association-mining /
+    * co-retrieval kernel): parts bought together in one order. The
+    * pair join is WITHIN the order key — candidate volume is
+    * Σ basket² with baskets bounded by order size (≤13 here), i.e.
+    * linear in orders, and the self-join's two sides shuffle on the
+    * same key so AQE plans one co-partitioned exchange pair. Top-k on
+    * (count, pair) plans as TakeOrderedAndProject.
+    */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  private val basketPairsSql =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, count(*) c
+      |          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2)
+      |SELECT pa, pb, c FROM pairs ORDER BY c DESC, pa, pb LIMIT 20""".stripMargin
+
+  /** Winsorization bounds + tail counts — the clip-before-training
+    * cleaning op: per-group exact interpolated p01/p99 (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the `pctl_value`
+    * equivalence) and how many rows each tail would clip. The bounds
+    * table is groups-sized (auto-broadcast back); bounds are ROUNDED
+    * before the comparison so both engines filter on the identical
+    * double.
+    */
+  private def winsorizeBounds(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val bounds = ord.groupBy(col("o_orderpriority").as("prio"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.01D)"), 4).as("lo"),
+        round(expr("percentile(o_totalprice, 0.99D)"), 4).as("hi"))
+    ord.join(bounds, col("o_orderpriority") === col("prio"))
+      .groupBy("prio", "lo", "hi")
+      .agg(
+        sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy("prio")
+  }
+
+  private val winsorizeBoundsSql =
+    """WITH s AS (
+      |  SELECT o_orderpriority AS prio,
+      |         round(quantile_cont(o_totalprice, 0.01), 4) lo,
+      |         round(quantile_cont(o_totalprice, 0.99), 4) hi
+      |  FROM orders GROUP BY 1)
+      |SELECT s.prio, s.lo, s.hi,
+      |       count(*) FILTER (o.o_totalprice < s.lo) AS n_below,
+      |       count(*) FILTER (o.o_totalprice > s.hi) AS n_above
+      |FROM orders o JOIN s ON o.o_orderpriority = s.prio
+      |GROUP BY 1, 2, 3 ORDER BY prio""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2714,6 +2774,8 @@ object SparkEntry {
     "data_quality_audit" -> Q(dataQualityAudit, Some(dataQualityAuditSql)),
     "snapshot_diff" -> Q(snapshotDiff, Some(snapshotDiffSql)),
     "pmi_collocations" -> Q(pmiCollocations, Some(pmiCollocationsSql)),
+    "basket_pairs" -> Q(basketPairs, Some(basketPairsSql)),
+    "winsorize_bounds" -> Q(winsorizeBounds, Some(winsorizeBoundsSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
