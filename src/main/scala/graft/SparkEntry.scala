@@ -2665,6 +2665,100 @@ object SparkEntry {
       |FROM orders o JOIN s ON o.o_orderpriority = s.prio
       |GROUP BY 1, 2, 3 ORDER BY prio""".stripMargin
 
+  /** Log-template mining (the observability "log patterns" feature —
+    * Drain-style, reduced to its Spark-native core): variable parts
+    * masked row-locally (digit runs → `<NUM>`), templates grouped with
+    * occurrence and distinct-variant counts. Composes ON TOP of the
+    * parse pipeline (templates over `parseMonolog`'s message column);
+    * the oracle re-derives messages and masking independently from
+    * `events`. Row-local masking + one partial-agg shuffle on
+    * (level, template) — template cardinality, not log volume.
+    */
+  private def logTemplates(s: SparkSession, dir: String): DataFrame =
+    parseMonolog(s, dir)
+      .select(col("level"),
+        regexp_replace(col("message"), "[0-9]+", "<NUM>").as("template"),
+        col("message"))
+      .groupBy("level", "template")
+      .agg(count(lit(1)).as("n"), countDistinct(col("message")).as("variants"))
+      .orderBy("level", "template")
+
+  private val logTemplatesSql =
+    """WITH m AS (
+      |  SELECT upper(event_type) AS level,
+      |         'user ' || user_id || ' event ' || event_id AS message
+      |  FROM events)
+      |SELECT level, regexp_replace(message, '[0-9]+', '<NUM>', 'g') AS template,
+      |       count(*) AS n, count(DISTINCT message) AS variants
+      |FROM m GROUP BY 1, 2 ORDER BY level, template""".stripMargin
+
+  /** Time-series gap filling (dashboard densification: a missing
+    * bucket must render as zero, not be skipped): per-key daily spine
+    * from `sequence(min, max)`, LEFT join of the sparse aggregate onto
+    * it, `coalesce(c, 0)`. Spine volume = keys × buckets (independent
+    * of event volume); both join sides shuffle on the same
+    * (key, bucket) pair. The value > 260 filter makes the series
+    * genuinely sparse (89 of 136 buckets are gaps at sf0.01).
+    */
+  private def gapfillSeries(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "events").where(col("value") > 260)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val agg = f.groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+    val spine = f.groupBy("event_type").agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("d"))
+    spine.join(agg, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("event_type", "d")
+  }
+
+  private val gapfillSeriesSql =
+    """WITH f AS (SELECT event_type, CAST(ts AS DATE) d FROM events WHERE value > 260),
+      |agg AS (SELECT event_type, d, count(*) cnt FROM f GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, CAST(unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM f GROUP BY event_type)
+      |SELECT s.event_type AS event_type, s.d AS d, coalesce(a.cnt, 0) AS cnt
+      |FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.d = a.d
+      |ORDER BY s.event_type, s.d""".stripMargin
+
+  /** Sketch set algebra — audience-overlap estimation without a
+    * distinct-pair join: |A∩B| by inclusion–exclusion over three HLL
+    * sketches (A, B, A∪B) computed in ONE conditional-agg scan.
+    * Entities are user-days (user × activity date), so the overlap is
+    * non-trivial even on a small user universe. Precision oracle: the
+    * exact sets are recomputed in DuckDB; each single-set estimate
+    * must land within max(5, 5%), the differenced intersection within
+    * max(5, 15%) (inclusion–exclusion compounds three sketch errors).
+    */
+  private def approxOverlap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        concat_ws("|", col("user_id"), to_date(col("ts"))).as("e"))
+      .agg(
+        approx_count_distinct(when(col("event_type") === "click", col("e")), 0.01).as("est_a"),
+        approx_count_distinct(when(col("event_type") === "purchase", col("e")), 0.01).as("est_b"),
+        approx_count_distinct(col("e"), 0.01).as("est_union"))
+      .select(lit("click_x_purchase_userdays").as("pair"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"))
+
+  private val approxOverlapSql =
+    """WITH ud AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) d FROM events
+      |            WHERE event_type IN ('click', 'purchase')),
+      |exact AS (
+      |  SELECT count(*) FILTER (event_type = 'click') AS ea,
+      |         count(*) FILTER (event_type = 'purchase') AS eb,
+      |         (SELECT count(DISTINCT (user_id, d)) FROM ud) AS eu
+      |  FROM ud)
+      |SELECT g.pair, g.est_a, g.est_b, g.est_union, g.est_inter
+      |FROM graft_result g, exact e
+      |WHERE abs(g.est_a - e.ea) <= greatest(5, 0.05 * e.ea)
+      |  AND abs(g.est_b - e.eb) <= greatest(5, 0.05 * e.eb)
+      |  AND abs(g.est_union - e.eu) <= greatest(5, 0.05 * e.eu)
+      |  AND abs(g.est_inter - (e.ea + e.eb - e.eu)) <= greatest(5, 0.15 * (e.ea + e.eb - e.eu))""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2776,6 +2870,9 @@ object SparkEntry {
     "pmi_collocations" -> Q(pmiCollocations, Some(pmiCollocationsSql)),
     "basket_pairs" -> Q(basketPairs, Some(basketPairsSql)),
     "winsorize_bounds" -> Q(winsorizeBounds, Some(winsorizeBoundsSql)),
+    "log_templates" -> Q(logTemplates, Some(logTemplatesSql)),
+    "gapfill_series" -> Q(gapfillSeries, Some(gapfillSeriesSql)),
+    "approx_overlap" -> Q(approxOverlap, Some(approxOverlapSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
