@@ -69,7 +69,12 @@ object Plans {
       "data_quality_audit" -> "range rules fold into one conditional-agg scan per table; referential rules are LEFT ANTI joins with the dim side broadcast",
       "snapshot_diff" -> "FULL OUTER key join (single shuffle, co-locatable when snapshots are bucketed) + grouped classification counts",
       "pmi_collocations" -> "pair-count partial agg; vocab-sized unigram sides broadcast back; top-k on the rounded score is TakeOrderedAndProject",
-      "fuzzy_join_names" -> "PassJoin segment index: equi hash join on (segment, substring) keys, bounded levenshtein verify — no cartesian anywhere")
+      "fuzzy_join_names" -> "PassJoin segment index: equi hash join on (segment, substring) keys, bounded levenshtein verify — no cartesian anywhere",
+      "basket_pairs" -> "within-order pair self-join: both sides shuffle on the order key, candidate volume bounded by basket size; top-k is TakeOrderedAndProject",
+      "winsorize_bounds" -> "groups-sized percentile bounds broadcast back onto the fact scan; tail counts are conditional partial aggs",
+      "log_templates" -> "row-local digit masking over the parse pipeline's output; one partial-agg shuffle on (level, template)",
+      "gapfill_series" -> "sequence() spine explode LEFT-joined with the sparse aggregate on the same (key, bucket) pair",
+      "approx_overlap" -> "three HLL sketches (A, B, union) in ONE conditional-agg scan; inclusion-exclusion is driver-side arithmetic on the 1-row result")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")
