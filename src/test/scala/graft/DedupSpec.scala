@@ -221,6 +221,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment prefix bound holds on randomized dense-vocab corpora") {
+    // the prefix/positional bounds are the subtle part — sweep random
+    // corpora over a TINY vocabulary (maximal shingle sharing, the
+    // adversarial case for pruning proofs) at two thresholds and
+    // require exact agreement with the straight-line capped join
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(777)
+    val docs = (1 to 120).map { i =>
+      val n = 4 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.85); cap <- Seq(Some(6), None)) {
+      val prefix = NgramJaccard.containmentPairsPrefix(docs, "doc_id", "text", n = 2,
+        minContainment = t, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val capped = NgramJaccard.containmentPairs(docs, "doc_id", "text", n = 2,
+        minContainment = t, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(prefix == capped,
+        s"t=$t cap=$cap: prefix ${prefix.size} vs capped ${capped.size} pairs")
+    }
+  }
+
   test("prefix-filtered exhaustive jaccard is value-identical to the naive join") {
     // the AllPairs prefix filter is an exact optimization: same pairs,
     // same jaccard values, on real testdata and at a threshold low

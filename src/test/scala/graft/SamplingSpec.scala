@@ -280,6 +280,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._3).toMap == again)
   }
 
+  test("balanced shards bound imbalance on adversarial size distributions") {
+    // power-law + constant + spike mixes — the distributions real
+    // corpora throw at a shard writer; serpentine LPT must keep the
+    // spread within one max item on each
+    val rnd = new scala.util.Random(1234)
+    val dists = Seq(
+      ("powerlaw", (1 to 500).map(i => (i.toLong, math.pow(rnd.nextDouble(), -1.2).min(1e6).toLong + 1))),
+      ("constant", (1 to 500).map(i => (i.toLong, 100L))),
+      ("spike", (1 to 500).map(i => (i.toLong, if (i <= 3) 100000L else 10L))))
+    for ((name, rows) <- dists; n <- Seq(4, 16)) {
+      val out = Sampling.balancedShards(rows.toDF("id", "sz"), "id", col("sz"), n)
+        .select("sz", "shard").as[(Long, Long)].collect().toSeq
+      val totals = (0L until n).map(s => out.filter(_._2 == s).map(_._1).sum)
+      val maxItem = rows.map(_._2).max
+      assert(out.size == rows.size && out.forall(r => r._2 >= 0 && r._2 < n))
+      assert(totals.max - totals.min <= maxItem,
+        s"$name n=$n: spread ${totals.max - totals.min} > max item $maxItem")
+    }
+  }
+
   test("deterministic shuffle is a reproducible permutation, not id order") {
     val out = Sampling.deterministicShuffle(docs, "doc_id").select("pos", "doc_id")
       .as[(Long, Long)].collect().sortBy(_._1)
