@@ -2759,6 +2759,43 @@ object SparkEntry {
       |  AND abs(g.est_union - e.eu) <= greatest(5, 0.05 * e.eu)
       |  AND abs(g.est_inter - (e.ea + e.eb - e.eu)) <= greatest(5, 0.15 * (e.ea + e.eb - e.eu))""".stripMargin
 
+  /** Targeted user erasure with proof of absence — the
+    * right-to-be-forgotten op a training-data pipeline must support:
+    * rewrite-without (one row-local anti filter — at scale, rewritten
+    * per partition-pruned slice), then PROVE absence by recounting the
+    * target users against the ERASED relation (a left join against
+    * the target list, zero-filled), not by trusting the filter. The
+    * target list rides as a broadcast literal; both counts are
+    * partial-agg passes.
+    */
+  private def userErasure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targets = Seq(7L, 13L, 42L)
+    val ev = t(s, dir, "events")
+    val targetDf = targets.toDF("user_id")
+    val erased = ev.where(!col("user_id").isin(targets: _*))
+    val before = ev.where(col("user_id").isin(targets: _*))
+      .groupBy("user_id").agg(count(lit(1)).as("rows_before"))
+    val after = erased.where(col("user_id").isin(targets: _*))
+      .groupBy("user_id").agg(count(lit(1)).as("rows_after"))
+    targetDf
+      .join(before, Seq("user_id"), "left")
+      .join(after, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("rows_before"), lit(0L)).as("rows_before"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"))
+      .orderBy("user_id")
+  }
+
+  private val userErasureSql =
+    """WITH t(user_id) AS (VALUES (7), (13), (42)),
+      |erased AS (SELECT * FROM events WHERE user_id NOT IN (7, 13, 42)),
+      |b AS (SELECT user_id, count(*) rows_before FROM events WHERE user_id IN (7, 13, 42) GROUP BY 1),
+      |a AS (SELECT user_id, count(*) rows_after FROM erased WHERE user_id IN (7, 13, 42) GROUP BY 1)
+      |SELECT t.user_id, coalesce(b.rows_before, 0) AS rows_before, coalesce(a.rows_after, 0) AS rows_after
+      |FROM t LEFT JOIN b ON t.user_id = b.user_id LEFT JOIN a ON t.user_id = a.user_id
+      |ORDER BY t.user_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2873,6 +2910,7 @@ object SparkEntry {
     "log_templates" -> Q(logTemplates, Some(logTemplatesSql)),
     "gapfill_series" -> Q(gapfillSeries, Some(gapfillSeriesSql)),
     "approx_overlap" -> Q(approxOverlap, Some(approxOverlapSql)),
+    "user_erasure" -> Q(userErasure, Some(userErasureSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
