@@ -631,4 +631,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(mgr.activeQueries.isEmpty)
     assert(spark.streams.active.isEmpty)
   }
+
+  test("heartbeat loss alerts on the silent source via event-time timeout, resumes cleanly") {
+    import graft.streaming.StreamingHeartbeat
+    import graft.streaming.StreamingHeartbeat.{Beat, SilenceAlert}
+    val ck = tmp("hb_ck")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Beat](spark)
+    val MIN = 60000L
+    // t0 sits well past the initial watermark of 0: a row AT the
+    // watermark is dropped as late before it ever reaches state
+    val t0 = 60 * MIN
+    val q = StreamingHeartbeat.alerts(in.toDS(), gapMillis = 5 * MIN).writeStream
+      .format("memory").queryName("hb_alerts")
+      .outputMode(StreamingHeartbeat.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    // batch 1: both sources beat at t0
+    in.addData(Beat("a", t0), Beat("b", t0))
+    q.processAllAvailable()
+    // batch 2: only a beats; the watermark advances to t0+10min at
+    // batch end and processAllAvailable drains the follow-up timeout
+    // batch -> exactly one silence alert for b, none for a
+    in.addData(Beat("a", t0 + 10 * MIN))
+    q.processAllAvailable()
+    val alerts = spark.table("hb_alerts").as[SilenceAlert].collect().toSeq
+    assert(alerts == Seq(SilenceAlert("b", t0)), s"got $alerts")
+    // a keeps beating: its own watch renews, still just the one alert
+    in.addData(Beat("a", t0 + 20 * MIN))
+    q.processAllAvailable()
+    assert(spark.table("hb_alerts").count() == 1, "live source must not alert")
+    // b resumes: no immediate re-alert, fresh watch from the new beat
+    in.addData(Beat("b", t0 + 21 * MIN))
+    q.processAllAvailable()
+    assert(spark.table("hb_alerts").count() == 1, "resume must not re-alert")
+    // b goes silent again while a keeps beating -> a SECOND alert with
+    // the resumed last-seen
+    in.addData(Beat("a", t0 + 30 * MIN))
+    q.processAllAvailable()
+    in.addData(Beat("a", t0 + 40 * MIN))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("hb_alerts").as[SilenceAlert].collect().toSeq.sortBy(_.lastSeenMillis)
+    assert(all == Seq(SilenceAlert("b", t0), SilenceAlert("b", t0 + 21 * MIN)), s"got $all")
+  }
 }
