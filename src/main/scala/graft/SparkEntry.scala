@@ -2796,6 +2796,37 @@ object SparkEntry {
       |FROM t LEFT JOIN b ON t.user_id = b.user_id LEFT JOIN a ON t.user_id = a.user_id
       |ORDER BY t.user_id""".stripMargin
 
+  /** Frequent event sequences (behavioral path mining — what users DO
+    * in order, where funnels ask whether a FIXED order happened):
+    * per-user event-type trigrams via two `lead` windows sharing ONE
+    * user-keyed sort exchange, then a corpus-wide partial-agg count;
+    * top-k plans as TakeOrderedAndProject. Ordering ties break on the
+    * unique event_id, so the sequence set is engine-reproducible.
+    */
+  private def eventSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("e2").as("s2"), col("e3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(15)
+  }
+
+  private val eventSequencesSql =
+    """WITH seq AS (
+      |  SELECT event_type AS s1,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      |  FROM events)
+      |SELECT s1, s2, s3, count(*) AS n FROM seq
+      |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2911,6 +2942,7 @@ object SparkEntry {
     "gapfill_series" -> Q(gapfillSeries, Some(gapfillSeriesSql)),
     "approx_overlap" -> Q(approxOverlap, Some(approxOverlapSql)),
     "user_erasure" -> Q(userErasure, Some(userErasureSql)),
+    "event_sequences" -> Q(eventSequences, Some(eventSequencesSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
