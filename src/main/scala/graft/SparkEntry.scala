@@ -2827,6 +2827,278 @@ object SparkEntry {
       |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
       |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin
 
+  /** Population-stability drift (SURVEY §2 B74): PSI of the order-value
+    * distribution, early years (< 1998) as reference vs later years as
+    * current. Grid + binning scale shape documented on
+    * [[graft.ops.Stats]]. A PSI term table; Σ ≥ 0.2 is the classic
+    * "investigate before retraining" alarm.
+    */
+  private def driftPsi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.psi(
+      t(s, dir, "orders").select(
+        col("o_totalprice").as("v"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("is_ref")))
+
+  private val driftPsiSql =
+    """WITH d AS (
+      |  SELECT o_totalprice AS v, o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+      |  FROM orders),
+      |b AS (
+      |  SELECT round(unnest(quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])), 4) AS q
+      |  FROM d WHERE is_ref),
+      |binned AS (
+      |  SELECT v, is_ref, (SELECT count(*) FROM b WHERE b.q < d.v) AS bin FROM d),
+      |c AS (
+      |  SELECT bin, count(*) FILTER (is_ref) AS ref_n,
+      |         count(*) FILTER (NOT is_ref) AS cur_n
+      |  FROM binned GROUP BY 1),
+      |sh AS (
+      |  SELECT bin, ref_n, cur_n,
+      |         CAST(ref_n AS DOUBLE) / (SELECT sum(ref_n) FROM c) AS rs,
+      |         CAST(cur_n AS DOUBLE) / (SELECT sum(cur_n) FROM c) AS cs
+      |  FROM c)
+      |SELECT bin, ref_n, cur_n, round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
+      |       round((greatest(rs, 1e-6) - greatest(cs, 1e-6)) *
+      |             ln(greatest(rs, 1e-6) / greatest(cs, 1e-6)), 6) AS psi_term
+      |FROM sh ORDER BY bin""".stripMargin
+
+  /** Grid-CDF Kolmogorov–Smirnov drift (SURVEY §2 B74): train vs val
+    * split of order values (hash-split on the key), CDFs probed at 101
+    * evenly spaced points — the scale-safe KS (exact KS needs a global
+    * sort; the grid form is one partial-agg pass, see
+    * [[graft.ops.Stats.ksGrid]]).
+    */
+  private def driftKs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.ksGrid(
+      t(s, dir, "orders").select(
+        col("o_totalprice").as("v"),
+        (col("o_orderkey") % 10 < 8).as("is_l")))
+
+  private val driftKsSql =
+    """WITH d AS (
+      |  SELECT o_totalprice AS v, (o_orderkey % 10) < 8 AS is_l FROM orders),
+      |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+      |probes AS (
+      |  SELECT mn + CAST(j AS DOUBLE) * ((mx - mn) / 100.0) AS p
+      |  FROM mm, generate_series(0, 100) g(j)),
+      |binned AS (
+      |  SELECT v, is_l, (SELECT count(*) FROM probes WHERE probes.p < d.v) AS bin FROM d),
+      |c AS (
+      |  SELECT bin, count(*) FILTER (is_l) AS n_l,
+      |         count(*) FILTER (NOT is_l) AS n_r
+      |  FROM binned GROUP BY 1),
+      |cd AS (
+      |  SELECT bin, n_l, n_r,
+      |         CAST(sum(n_l) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |           / CAST((SELECT sum(n_l) FROM c) AS DOUBLE) AS cl,
+      |         CAST(sum(n_r) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |           / CAST((SELECT sum(n_r) FROM c) AS DOUBLE) AS cr
+      |  FROM c)
+      |SELECT bin, n_l, n_r, round(cl, 6) AS cdf_l, round(cr, 6) AS cdf_r,
+      |       round(abs(cl - cr), 6) AS ks_diff
+      |FROM cd ORDER BY bin""".stripMargin
+
+  /** Per-series OLS trend (SURVEY §2 B75): slope/intercept of daily
+    * event counts per type, computed from the five EXACT integer sums
+    * (n, Σx, Σy, Σxy, Σx²) so the closed-form division is the only
+    * floating-point op — bit-identical in any engine and any partition
+    * order, unlike a streamed covar/var whose accumulation order
+    * drifts. Two partial-agg shuffles (day buckets, then 5 series
+    * rows); x is days-since-epoch so no data-dependent anchor.
+    */
+  private def trendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        col("cnt").as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_raw",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("event_type"), col("n_days"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy").cast("double") - col("slope_raw") * col("sx").cast("double")) /
+          col("n_days").cast("double"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val trendSlopeSql =
+    """WITH daily AS (
+      |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM daily GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n_days, sx, sy,
+      |         CAST(n_days * sxy - sx * sy AS DOUBLE) /
+      |           CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_raw
+      |  FROM s)
+      |SELECT event_type, n_days, round(slope_raw, 6) AS slope,
+      |       round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) /
+      |             CAST(n_days AS DOUBLE), 6) AS intercept
+      |FROM r ORDER BY event_type""".stripMargin
+
+  /** Chi-square distribution-shift test (SURVEY §2 B74): event-type
+    * mix, first half of the month vs second, with per-type χ²
+    * contributions. Contingency cells are one partial-agg pass;
+    * expected counts divide exact BIGINT products, so the statistic is
+    * engine-exact before the final rounding.
+    */
+  private def chisqShift(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("obs_a"),
+        sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("obs_b"))
+      .withColumn("tot_a", sum("obs_a").over(wAll))
+      .withColumn("tot_b", sum("obs_b").over(wAll))
+      .withColumn("grand", col("tot_a") + col("tot_b"))
+      .withColumn("exp_a",
+        ((col("obs_a") + col("obs_b")) * col("tot_a")).cast("double") / col("grand").cast("double"))
+      .withColumn("exp_b",
+        ((col("obs_a") + col("obs_b")) * col("tot_b")).cast("double") / col("grand").cast("double"))
+      .withColumn("da", col("obs_a").cast("double") - col("exp_a"))
+      .withColumn("db", col("obs_b").cast("double") - col("exp_b"))
+      .select(col("event_type"), col("obs_a"), col("obs_b"),
+        round(col("exp_a"), 4).as("exp_a"),
+        round(col("exp_b"), 4).as("exp_b"),
+        round(col("da") * col("da") / col("exp_a") + col("db") * col("db") / col("exp_b"), 6)
+          .as("chi2_term"))
+      .orderBy("event_type")
+  }
+
+  private val chisqShiftSql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |         count(*) FILTER (day(ts) <= 15) AS obs_a,
+      |         count(*) FILTER (day(ts) > 15) AS obs_b
+      |  FROM events GROUP BY 1),
+      |e AS (
+      |  SELECT event_type, obs_a, obs_b,
+      |         sum(obs_a) OVER () AS tot_a, sum(obs_b) OVER () AS tot_b
+      |  FROM c),
+      |x AS (
+      |  SELECT event_type, obs_a, obs_b,
+      |         CAST((obs_a + obs_b) * tot_a AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE) AS exp_a,
+      |         CAST((obs_a + obs_b) * tot_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE) AS exp_b
+      |  FROM e)
+      |SELECT event_type, obs_a, obs_b, round(exp_a, 4) AS exp_a, round(exp_b, 4) AS exp_b,
+      |       round((CAST(obs_a AS DOUBLE) - exp_a) * (CAST(obs_a AS DOUBLE) - exp_a) / exp_a +
+      |             (CAST(obs_b AS DOUBLE) - exp_b) * (CAST(obs_b AS DOUBLE) - exp_b) / exp_b, 6)
+      |         AS chi2_term
+      |FROM x ORDER BY event_type""".stripMargin
+
+  /** Time-weighted average of a step-function gauge (SURVEY §2 B76):
+    * each event's `value` holds until the user's next event; the mean
+    * weights each value by its hold duration in micros (exact BIGINT
+    * from the timestamp pair). The standard gauge-rollup for
+    * irregularly sampled metrics — a plain AVG over-weights busy
+    * periods. One key-partitioned window + one partial-agg shuffle.
+    */
+  private def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .where(col("user_id") % 7 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("w_us",
+        unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")))
+      .where(col("w_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_holds"),
+        round(sum(col("value") * col("w_us")) / sum(col("w_us")), 4).as("twa"))
+      .orderBy("user_id")
+  }
+
+  private val timeWeightedAvgSql =
+    """WITH o AS (
+      |  SELECT user_id, value,
+      |         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) -
+      |           epoch_us(ts) AS w_us
+      |  FROM events WHERE user_id % 7 = 0)
+      |SELECT user_id, count(*) AS n_holds,
+      |       round(sum(value * w_us) / sum(w_us), 4) AS twa
+      |FROM o WHERE w_us IS NOT NULL
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Deterministic k-per-key sampling (SURVEY §2 B77): the per-source
+    * inspection sample every corpus dashboard needs — rank by a salted
+    * MD5 of the key and keep the first 5 per source. Reproducible
+    * across runs/engines (vs reservoir sampling's RNG state), one
+    * key-partitioned window, no global sort.
+    */
+  private def samplePerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("spk:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  private val samplePerKeySql =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5('spk:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+      |  FROM h)
+      |SELECT doc_id, source, rk FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  /** Last-touch marketing attribution (SURVEY §2 B78): each purchase
+    * credits the user's most recent preceding click/view. The as-of
+    * carry is the same union-and-window shape as [[graft.ops.AsOfJoin]]
+    * (one key-partitioned window, `last(_, ignoreNulls)` over preceding
+    * rows) — no per-purchase range join.
+    */
+  private def attrLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "events")
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("touch",
+        when(col("event_type").isin("click", "view"), col("event_type")))
+      .withColumn("attr", last(col("touch"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  private val attrLastTouchSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |a AS (
+      |  SELECT event_type, value,
+      |         last_value(touch IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr
+      |  FROM e)
+      |SELECT coalesce(attr, 'none') AS channel, count(*) AS purchases,
+      |       round(sum(value), 2) AS revenue
+      |FROM a WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2943,6 +3215,13 @@ object SparkEntry {
     "approx_overlap" -> Q(approxOverlap, Some(approxOverlapSql)),
     "user_erasure" -> Q(userErasure, Some(userErasureSql)),
     "event_sequences" -> Q(eventSequences, Some(eventSequencesSql)),
+    "drift_psi" -> Q(driftPsi, Some(driftPsiSql)),
+    "drift_ks" -> Q(driftKs, Some(driftKsSql)),
+    "trend_slope" -> Q(trendSlope, Some(trendSlopeSql)),
+    "chisq_shift" -> Q(chisqShift, Some(chisqShiftSql)),
+    "time_weighted_avg" -> Q(timeWeightedAvg, Some(timeWeightedAvgSql)),
+    "sample_per_key" -> Q(samplePerKey, Some(samplePerKeySql)),
+    "attr_last_touch" -> Q(attrLastTouch, Some(attrLastTouchSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

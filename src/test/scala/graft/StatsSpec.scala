@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Stats
+
+/** Drift statistics (PSI / grid-KS) — behavioral invariants beyond the
+  * oracle value check: null shift scores zero, real shift alarms, CDFs
+  * are monotone and complete, bins partition the input.
+  */
+class StatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkPsi(ref: Seq[Double], cur: Seq[Double]) =
+    Stats.psi(
+      (ref.map((_, true)) ++ cur.map((_, false))).toDF("v", "is_ref"))
+
+  private def mkKs(l: Seq[Double], r: Seq[Double]) =
+    Stats.ksGrid(
+      (l.map((_, true)) ++ r.map((_, false))).toDF("v", "is_l"))
+
+  private val base = (1 to 1000).map(_.toDouble)
+
+  test("PSI is zero for an unshifted distribution and partitions the counts") {
+    val rows = mkPsi(base, base).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("psi_term")) < 1e-9))
+    assert(rows.map(_.getAs[Long]("ref_n")).sum === 1000L)
+    assert(rows.map(_.getAs[Long]("cur_n")).sum === 1000L)
+    // decile edges on 1..1000 give ~100 per bin on both sides
+    assert(rows.forall(r => math.abs(r.getAs[Long]("ref_n") - 100L) <= 1))
+  }
+
+  test("PSI alarms on a strong mean shift") {
+    val total = mkPsi(base, base.map(_ + 500.0)).collect()
+      .map(_.getAs[Double]("psi_term")).sum
+    assert(total > 0.2, s"shifted PSI $total should exceed the 0.2 alarm bar")
+  }
+
+  test("grid-KS is zero for identical samples and ~1 for disjoint ones") {
+    val same = mkKs(base, base).collect()
+    assert(same.forall(_.getAs[Double]("ks_diff") < 1e-9))
+
+    val far = mkKs(base, base.map(_ + 10000.0)).collect()
+    assert(far.map(_.getAs[Double]("ks_diff")).max > 0.99)
+  }
+
+  test("grid-KS CDFs are monotone and reach 1.0") {
+    val rows = mkKs(base, base.map(_ * 2.0)).collect()
+    val cl = rows.map(_.getAs[Double]("cdf_l"))
+    val cr = rows.map(_.getAs[Double]("cdf_r"))
+    assert(cl.zip(cl.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(cr.zip(cr.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(cl.last - 1.0) < 1e-9 && math.abs(cr.last - 1.0) < 1e-9)
+    // grid-KS lower-bounds exact KS; for a 2x scale on uniform data the
+    // exact statistic is 0.5 and the 101-point grid must get close
+    assert(rows.map(_.getAs[Double]("ks_diff")).max > 0.45)
+  }
+}
