@@ -3099,6 +3099,113 @@ object SparkEntry {
       |FROM a WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Exact weighted percentiles (SURVEY §2 B79): smallest value whose
+    * cumulative WEIGHT reaches q·Σw — the latency-percentile-weighted-
+    * by-request-count shape plain `percentile` can't express. One
+    * key-partitioned sort window; weights are exact BIGINTs, the
+    * crossing test compares a double threshold both engines derive
+    * identically, and the answer is a SELECTED value (no interpolation
+    * arithmetic) so it is engine-exact with no rounding at all.
+    */
+  private def weightedPctl(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("v", "l_orderkey", "l_linenumber")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"), col("l_quantity").cast("long").as("wt"))
+      .withColumn("cw", sum("wt").over(w))
+      .withColumn("tot", sum("wt").over(wAll))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("cw").cast("double") >= lit(0.5) * col("tot").cast("double"), col("v")))
+          .as("p50_w"),
+        min(when(col("cw").cast("double") >= lit(0.95) * col("tot").cast("double"), col("v")))
+          .as("p95_w"))
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedPctlSql =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt,
+      |         sum(CAST(l_quantity AS BIGINT)) OVER (
+      |           PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |       min(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE) THEN v END) AS p50_w,
+      |       min(CASE WHEN CAST(cw AS DOUBLE) >= 0.95 * CAST(tot AS DOUBLE) THEN v END) AS p95_w
+      |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** MAD robust outlier detection (SURVEY §2 B80): median absolute
+    * deviation flags tails without the mean/stddev's own sensitivity to
+    * the outliers it hunts (one far point drags μ±3σ, not med±k·MAD).
+    * Two grouped exact-percentile passes (group-cardinality state, the
+    * `winsorize_bounds` shape) with the groups-sized median table
+    * auto-broadcast back; med/MAD are ROUNDED before the threshold
+    * compare so both engines flag on the identical double.
+    */
+  private def outliersMad(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val med = ord.groupBy(col("o_orderpriority").as("prio"))
+      .agg(round(expr("percentile(o_totalprice, 0.5D)"), 4).as("med"))
+    val mad = ord.join(med, col("o_orderpriority") === col("prio"))
+      .groupBy("prio", "med")
+      .agg(round(expr("percentile(abs(o_totalprice - med), 0.5D)"), 4).as("mad"))
+    ord.join(mad, col("o_orderpriority") === col("prio"))
+      .groupBy("prio", "med", "mad")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col("o_totalprice") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+      .orderBy("prio")
+  }
+
+  private val outliersMadSql =
+    """WITH med AS (
+      |  SELECT o_orderpriority AS prio, round(quantile_cont(o_totalprice, 0.5), 4) AS med
+      |  FROM orders GROUP BY 1),
+      |mad AS (
+      |  SELECT m.prio, m.med,
+      |         round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 4) AS mad
+      |  FROM orders o JOIN med m ON o.o_orderpriority = m.prio
+      |  GROUP BY 1, 2)
+      |SELECT d.prio, d.med, d.mad, count(*) AS n,
+      |       count(*) FILTER (abs(o.o_totalprice - d.med) > 3.0 * 1.4826 * d.mad) AS n_out
+      |FROM orders o JOIN mad d ON o.o_orderpriority = d.prio
+      |GROUP BY 1, 2, 3 ORDER BY prio""".stripMargin
+
+  /** Tombstone-aware CDC log compaction (SURVEY §2 B81): latest event
+    * per key wins, `error` acts as the delete tombstone — the Kafka
+    * log-compaction / Delta-MERGE-latest snapshot semantics. One
+    * key-partitioned window (ties broken on the unique event id), then
+    * a row-local tombstone filter; values pass through unselected by
+    * arithmetic, so the result is engine-exact unrounded.
+    */
+  private def cdcCompact(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  private val cdcCompactSql =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type AS last_type, value AS last_value,
+      |       CAST(ts AS TIMESTAMP) AS last_ts
+      |FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3222,6 +3329,9 @@ object SparkEntry {
     "time_weighted_avg" -> Q(timeWeightedAvg, Some(timeWeightedAvgSql)),
     "sample_per_key" -> Q(samplePerKey, Some(samplePerKeySql)),
     "attr_last_touch" -> Q(attrLastTouch, Some(attrLastTouchSql)),
+    "weighted_pctl" -> Q(weightedPctl, Some(weightedPctlSql)),
+    "outliers_mad" -> Q(outliersMad, Some(outliersMadSql)),
+    "cdc_compact" -> Q(cdcCompact, Some(cdcCompactSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

@@ -674,4 +674,41 @@ class StreamingSpec extends AnyFunSuite {
     val all = spark.table("hb_alerts").as[SilenceAlert].collect().toSeq.sortBy(_.lastSeenMillis)
     assert(all == Seq(SilenceAlert("b", t0), SilenceAlert("b", t0 + 21 * MIN)), s"got $all")
   }
+
+  test("streaming drift monitor stays quiet on-distribution, alarms on shift, agrees with batch PSI") {
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.BatchDrift
+    val base = (1 to 1000).map(_.toDouble)
+    val ref = StreamingDrift.reference(base.toDF("v"), "v")
+    assert(ref.shares.length == 10 && math.abs(ref.shares.sum - 1.0) < 1e-9)
+
+    val ck = tmp("drift_ck")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[BatchDrift]
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double](spark)
+    val q = StreamingDrift.attach(in.toDF(), "value", ref, threshold = 0.2,
+      checkpoint = ck.toString) { d => seen.synchronized { seen += d } }
+
+    // batch 1: a fresh sample from the reference distribution — no alarm
+    in.addData(base: _*)
+    q.processAllAvailable()
+    // batch 2: the feed shifts hard — alarm fires on that batch alone
+    in.addData(base.map(_ + 500.0): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val byBatch = seen.sortBy(_.batchId)
+    assert(byBatch.map(_.n) == Seq(1000L, 1000L), s"got $byBatch")
+    assert(!byBatch(0).alarm && byBatch(0).psi < 1e-9,
+      s"on-distribution batch must score ~0, got ${byBatch(0)}")
+    assert(byBatch(1).alarm && byBatch(1).psi > 0.2, s"shifted batch must alarm, got ${byBatch(1)}")
+
+    // stream/batch agreement: the micro-batch score equals the batch
+    // operator's psi_term sum on the same data against the same reference
+    val shifted = base.map(_ + 500.0)
+    val batchPsi = graft.ops.Stats.psi(
+      (base.map((_, true)) ++ shifted.map((_, false))).toDF("v", "is_ref"))
+      .collect().map(_.getAs[Double]("psi_term")).sum
+    assert(math.abs(byBatch(1).psi - batchPsi) < 1e-4,
+      s"stream ${byBatch(1).psi} vs batch $batchPsi")
+  }
 }
