@@ -3206,6 +3206,72 @@ object SparkEntry {
       |       CAST(ts AS TIMESTAMP) AS last_ts
       |FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
 
+  /** Hybrid retrieval fusion (SURVEY §2 B83): reciprocal-rank fusion
+    * (RRF, Cormack et al. SIGIR'09) of a lexical BM25 ranking and a
+    * semantic cosine ranking — the standard two-tower retrieval merge
+    * (each mode finds documents the other misses; RRF needs no score
+    * calibration between them, only ranks). Lexical side: the
+    * `bm25_search` term query; semantic side: query-by-example on
+    * vector 0. Both lists are k-bounded, so the fusion join and the
+    * rank windows run on k-sized inputs at ANY corpus size — the
+    * corpus-scaled work is exactly the two underlying retrievals.
+    * RRF scores derive from integer ranks (two fixed-order double
+    * terms), engine-exact before rounding.
+    */
+  private def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val wl = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.text.Bm25
+      .search(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "merge", "window"), k = 50)
+      .withColumn("r_lex", row_number().over(wl).cast("long"))
+      .select("doc_id", "r_lex")
+    val e = embDouble(s, dir)
+    val sem = graft.sim.Knn.topK(
+        e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("v").as("qvec")),
+        e.select(col("vec_id").as("id"), col("v").as("vec")), 50)
+      .select(col("neighbor").as("doc_id"), col("rank").cast("long").as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("r_sem")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val hybridSearchSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+      |d AS (SELECT
+      |  sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+      |  sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS df2,
+      |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df3 FROM t),
+      |sc AS (SELECT doc_id, round(
+      |    ln(1 + (s.n - d.df1 + 0.5)/(d.df1 + 0.5)) * tf1 * 2.2/(tf1 + 1.2*(0.25 + 0.75*len(toks)/s.avgdl))
+      |  + ln(1 + (s.n - d.df2 + 0.5)/(d.df2 + 0.5)) * tf2 * 2.2/(tf2 + 1.2*(0.25 + 0.75*len(toks)/s.avgdl))
+      |  + ln(1 + (s.n - d.df3 + 0.5)/(d.df3 + 0.5)) * tf3 * 2.2/(tf3 + 1.2*(0.25 + 0.75*len(toks)/s.avgdl)), 4) AS score
+      | FROM t, s, d,
+      | LATERAL (SELECT len(list_filter(toks, x -> x = 'spark')) AS tf1,
+      |                 len(list_filter(toks, x -> x = 'merge')) AS tf2,
+      |                 len(list_filter(toks, x -> x = 'window')) AS tf3) l),
+      |lex0 AS (SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+      |lex AS (SELECT doc_id,
+      |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+      |        FROM lex0),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+      |sem0 AS (SELECT c.vec_id AS doc_id, list_cosine_similarity(q.qv, c.ve) AS sim
+      |         FROM v c, q WHERE c.vec_id <> 0),
+      |sem AS (SELECT doc_id,
+      |          CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_sem
+      |        FROM sem0 QUALIFY r_sem <= 50),
+      |f AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.r_lex, m.r_sem
+      |      FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id)
+      |SELECT doc_id, r_lex, r_sem,
+      |       round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3332,6 +3398,7 @@ object SparkEntry {
     "weighted_pctl" -> Q(weightedPctl, Some(weightedPctlSql)),
     "outliers_mad" -> Q(outliersMad, Some(outliersMadSql)),
     "cdc_compact" -> Q(cdcCompact, Some(cdcCompactSql)),
+    "hybrid_search" -> Q(hybridSearch, Some(hybridSearchSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
