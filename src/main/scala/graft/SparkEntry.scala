@@ -3272,6 +3272,313 @@ object SparkEntry {
       |       round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Peak concurrency per day (SURVEY §2 A19s) — "how many sessions
+    * were open at once", the capacity-planning number ClickHouse users
+    * derive with runningAccumulate over +1/−1 deltas. Sessions are the
+    * 30-minute-gap reconstruction (the `sessionize` algebra: lag flag +
+    * running sum on ONE user-keyed sort exchange), swept end-exclusive:
+    * each session emits (+1 at start, −1 at end), deltas ordered by
+    * (ts, delta, user) so a session ending at instant T never overlaps
+    * one starting at T and the total order is engine-reproducible. The
+    * global running sum is NOT a single-partition window: within-day
+    * prefix sums run under a day-partitioned window and the cross-day
+    * carry is a window over the days-sized per-day totals (the
+    * distributed two-phase prefix-sum shape of `pack_chunks`) — the
+    * oracle's single global window over the same total order proves the
+    * decomposition exact. Integer counts end to end: engine-exact.
+    */
+  private def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wu = W.partitionBy("user_id").orderBy("ts")
+    val sec = (c: org.apache.spark.sql.Column) => unix_timestamp(c.cast("timestamp"))
+    val sess = t(s, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("new_sess",
+        when(lag("ts", 1).over(wu).isNull ||
+          (sec(col("ts")) - sec(lag("ts", 1).over(wu))) > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(wu.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
+    val deltas = sess.select(col("user_id"), col("start_ts").as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("user_id"), col("end_ts").as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(col("ts")))
+    val wd = W.partitionBy("day").orderBy(col("ts"), col("delta"), col("user_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val run = deltas.withColumn("run", sum("delta").over(wd))
+    val dayAgg = run.groupBy("day")
+      .agg(max("run").as("day_max"), sum("delta").as("day_tot"))
+    // cross-day carry: a window over day-cardinality rows (30 at any SF
+    // measured in days, never event volume)
+    val wc = W.orderBy("day").rowsBetween(Long.MinValue, -1)
+    dayAgg
+      .withColumn("carry", coalesce(sum("day_tot").over(wc), lit(0L)))
+      .select(col("day"), (col("day_max") + col("carry")).as("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  private val concurrencyPeakSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN prev IS NULL OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, sess_id, min(ts) AS start_ts, max(ts) AS end_ts
+      |  FROM g GROUP BY 1, 2),
+      |d AS (
+      |  SELECT user_id, start_ts AS ts, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT user_id, end_ts AS ts, -1 AS delta FROM sess),
+      |r AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         sum(delta) OVER (ORDER BY ts, delta, user_id
+      |                          ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM d)
+      |SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Equi-depth histogram (SURVEY §2 B84) — the CBO statistic
+    * `table_stats` (B62) doesn't carry: 8 equal-population buckets over
+    * order totals. Boundaries are exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`), ROUNDED before use
+    * so both engines cut at the identical double (the `winsorize_bounds`
+    * discipline), collected to the driver (7 doubles — statistics-sized,
+    * the grid-pass shape of the drift family) and re-applied as a
+    * row-local CASE in one counting scan: two passes total, no join.
+    * Bucket membership is `v <= bound` with ties to the lower bucket.
+    */
+  private def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val qs = (1 to 7).map(_ / 8.0)
+    val bounds = ord
+      .select(expr(s"percentile(o_totalprice, array(${qs.mkString("D,")}D))").as("b"))
+      .select((1 to 7).map(i => round(element_at(col("b"), i), 4).as(s"b$i")): _*)
+      .head()
+    val b = (1 to 7).map(i => bounds.getDouble(i - 1))
+    // fold 7→1 so the SMALLEST bound ends up outermost: the final chain
+    // is when(v<=b1,1).otherwise(when(v<=b2,2)...) — first match wins
+    val bucket = (1 to 7).reverse.foldLeft(lit(8L)) { (acc, i) =>
+      when(col("o_totalprice") <= b(i - 1), i.toLong).otherwise(acc)
+    }
+    ord.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", (1 to 7).foldLeft(lit(Double.PositiveInfinity)) {
+        (acc, i) => when(col("bucket") === i.toLong, b(i - 1)).otherwise(acc)
+      })
+      .select(col("bucket"), round(col("hi"), 4).as("hi_bound"), col("cnt"))
+      .orderBy("bucket")
+  }
+
+  private val histogramEquidepthSql =
+    """WITH b AS (
+      |  SELECT list_transform(
+      |           quantile_cont(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+      |           x -> round(x, 4)) AS bs
+      |  FROM orders),
+      |a AS (
+      |  SELECT coalesce((SELECT min(i) FROM range(1, 8) r(i) WHERE o.o_totalprice <= b.bs[CAST(i AS INT)]), 8) AS bucket
+      |  FROM orders o, b)
+      |SELECT a.bucket, CASE WHEN a.bucket = 8 THEN CAST('inf' AS DOUBLE)
+      |                      ELSE b.bs[CAST(a.bucket AS INT)] END AS hi_bound,
+      |       count(*) AS cnt
+      |FROM a, b GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
+  /** Two-proportion experiment readout (SURVEY §2 B85) — the A/B-test
+    * z-statistic over deterministically hash-assigned arms (the
+    * `sample_hash` MD5 bucket, so arm membership is reproducible across
+    * engines and appends — the property a real experiment assignment
+    * needs). Unit = user: one user-keyed distinct-agg shuffle collapses
+    * events to (exposed, converted), one conditional-agg pass yields
+    * the four BIGINT counts, and the z formula is a single fixed-order
+    * double expression over them — engine-exact before the display
+    * rounding, like `trend_slope`.
+    */
+  private def abExperiment(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .select(
+        when(graft.data.Sampling.bucketOf(col("user_id")) < 50, "A").otherwise("B").as("arm"),
+        col("converted"))
+    // nullif guards: an empty arm (no lift) or a pooled rate of 0 or 1
+    // (zero variance) makes the statistic undefined — both engines then
+    // emit NULL instead of dividing by zero (Spark ANSI would throw).
+    users.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        """round(CAST(conv_b AS DOUBLE) / nullif(n_b, 0)
+          |  - CAST(conv_a AS DOUBLE) / nullif(n_a, 0), 6) AS lift""".stripMargin,
+        """round((CAST(conv_b AS DOUBLE) / nullif(n_b, 0) - CAST(conv_a AS DOUBLE) / nullif(n_a, 0))
+          |  / sqrt(nullif(CAST(conv_a + conv_b AS DOUBLE) / nullif(n_a + n_b, 0)
+          |    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / nullif(n_a + n_b, 0))
+          |    * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0)), 0.0)), 6) AS z""".stripMargin)
+  }
+
+  private val abExperimentSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50
+      |              THEN 'A' ELSE 'B' END AS arm,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT count(*) FILTER (arm = 'A') AS n_a,
+      |         sum(converted) FILTER (arm = 'A') AS conv_a,
+      |         count(*) FILTER (arm = 'B') AS n_b,
+      |         sum(converted) FILTER (arm = 'B') AS conv_b
+      |  FROM u)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+      |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+      |       round(CAST(conv_b AS DOUBLE) / nullif(n_b, 0)
+      |         - CAST(conv_a AS DOUBLE) / nullif(n_a, 0), 6) AS lift,
+      |       round((CAST(conv_b AS DOUBLE) / nullif(n_b, 0) - CAST(conv_a AS DOUBLE) / nullif(n_a, 0))
+      |         / sqrt(nullif(CAST(conv_a + conv_b AS DOUBLE) / nullif(n_a + n_b, 0)
+      |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / nullif(n_a + n_b, 0))
+      |           * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0)), 0.0)), 6) AS z
+      |FROM c""".stripMargin
+
+  /** Source-distinctive vocabulary (SURVEY §2 B86) — smoothed log-odds
+    * keyness: which terms does `src0` over-use relative to the rest of
+    * the corpus (the data-card "what is IN this source" question, and
+    * the token-level companion of the distribution-drift family). One
+    * (term)-keyed partial-agg shuffle with conditional sums carries the
+    * corpus-scaled work; the two token totals and the vocabulary size
+    * are collected scalars (statistics-sized, like B44's corpus total);
+    * scoring is then row-local over vocab-sized input and top-k plans
+    * as TakeOrderedAndProject. Counts are BIGINT; the score casts to
+    * double BEFORE multiplying so no intermediate overflows at scale,
+    * and the single `ln` rounds identically in both engines.
+    */
+  private def sourceKeyness(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_s"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("c_r"))
+    val tot = counts.agg(sum("c_s"), sum("c_r"), count(lit(1))).head()
+    val (nS, nR, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    counts.where(col("c_s") >= 3)
+      .select(col("term"), col("c_s"), col("c_r"),
+        round(log(
+          ((col("c_s") + lit(1L)).cast("double") * lit(nR + v))
+            / ((col("c_r") + lit(1L)).cast("double") * lit(nS + v))), 6).as("keyness"))
+      .orderBy(col("keyness").desc, col("term"))
+      .limit(20)
+  }
+
+  private val sourceKeynessSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (
+      |  SELECT term,
+      |         count(*) FILTER (source = 'src0') AS c_s,
+      |         count(*) FILTER (source <> 'src0') AS c_r
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(c_s) AS n_s, sum(c_r) AS n_r, count(*) AS v FROM c)
+      |SELECT term, CAST(c_s AS BIGINT) AS c_s, CAST(c_r AS BIGINT) AS c_r,
+      |       round(ln((CAST(c_s + 1 AS DOUBLE) * (tot.n_r + tot.v))
+      |                / (CAST(c_r + 1 AS DOUBLE) * (tot.n_s + tot.v))), 6) AS keyness
+      |FROM c, tot WHERE c_s >= 3
+      |ORDER BY keyness DESC, term LIMIT 20""".stripMargin
+
+  /** Join-key skew profile (SURVEY §2 B87) — the pre-flight diagnostic
+    * behind every skew mitigation this library ships (SaltedJoin, AQE
+    * skew splits, the dedup df caps): per-key counts in one partial-agg
+    * shuffle, then the two corpus scalars (total rows, key ndv) reduced
+    * from the key-cardinality counts — never a second scan — and the
+    * hottest keys ranked with their share and hot-factor (multiples of
+    * the mean key load; >> 1 means a plain hash join puts that key's
+    * whole load on one task). Top-k plans as TakeOrderedAndProject.
+    */
+  private def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val totRow = counts.agg(sum("cnt"), count(lit(1))).head()
+    val (total, ndv) = (totRow.getLong(0), totRow.getLong(1))
+    counts
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / lit(total), 6).as("share"),
+        round(col("cnt").cast("double") * lit(ndv) / lit(total), 4).as("hot_factor"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(10)
+  }
+
+  private val skewProfileSql =
+    """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total, count(*) AS ndv FROM c)
+      |SELECT key, cnt,
+      |       round(CAST(cnt AS DOUBLE) / tot.total, 6) AS share,
+      |       round(CAST(cnt AS DOUBLE) * tot.ndv / tot.total, 4) AS hot_factor
+      |FROM c, tot ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+
+  /** Cluster-representative selection (SURVEY §2 B88) — dedup's last
+    * mile: B37 finds the duplicate clusters, this picks WHICH member
+    * survives, by quality rather than min-id (keep the cleanest copy,
+    * not the arbitrarily-first one — the choice that matters when near
+    * duplicates differ by OCR noise or boilerplate). Quality is the
+    * engine-exact stopword-density score of B61, rounded BEFORE the
+    * argmax so both engines rank the identical doubles; ties break to
+    * the smaller doc_id via one cluster-keyed rank window (cluster-
+    * sized groups). The pair set and transitive closure are exactly
+    * those of `dedup_clusters`, so the full value oracle re-derives
+    * everything: pairs, closure, quality, and the winner.
+    */
+  private def clusterBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats.{stopwordHits, words}
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.NgramJaccard.pairsExhaustive(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.6)
+    val clusters = graft.dedup.DupClusters.resolve(pairs, "a", "b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val qual = docs.select(col("doc_id"),
+      round(stopwordHits(col("text")) / size(words(col("text"))), 4).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("best_doc"),
+        max(when(col("rn") === 1, col("quality"))).as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
+  private val clusterBestSql =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s FROM t),
+      |sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY 1),
+      |inter AS (SELECT ea.doc_id a, eb.doc_id b, count(*) i FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id GROUP BY 1, 2),
+      |p AS (SELECT i.a, i.b FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      |      WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.6),
+      |ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM ed),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, ed.dst FROM reach JOIN ed ON ed.src = reach.r),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |q AS (SELECT doc_id,
+      |        round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) AS quality
+      |      FROM documents),
+      |r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+      |        row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rn
+      |      FROM cl JOIN q ON cl.doc_id = q.doc_id)
+      |SELECT cluster_id, count(*) AS n_members,
+      |       max(CASE WHEN rn = 1 THEN doc_id END) AS best_doc,
+      |       max(CASE WHEN rn = 1 THEN quality END) AS best_quality
+      |FROM r GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3399,6 +3706,12 @@ object SparkEntry {
     "outliers_mad" -> Q(outliersMad, Some(outliersMadSql)),
     "cdc_compact" -> Q(cdcCompact, Some(cdcCompactSql)),
     "hybrid_search" -> Q(hybridSearch, Some(hybridSearchSql)),
+    "concurrency_peak" -> Q(concurrencyPeak, Some(concurrencyPeakSql)),
+    "histogram_equidepth" -> Q(histogramEquidepth, Some(histogramEquidepthSql)),
+    "ab_experiment" -> Q(abExperiment, Some(abExperimentSql)),
+    "source_keyness" -> Q(sourceKeyness, Some(sourceKeynessSql)),
+    "skew_profile" -> Q(skewProfile, Some(skewProfileSql)),
+    "cluster_best" -> Q(clusterBest, Some(clusterBestSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
