@@ -3579,6 +3579,154 @@ object SparkEntry {
       |       max(CASE WHEN rn = 1 THEN quality END) AS best_quality
       |FROM r GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  /** Functional-dependency profiling (SURVEY §2 B89) — the schema-
+    * discovery side of data profiling (B62 profiles values, this
+    * profiles RELATIONSHIPS): does lhs determine rhs? Each candidate is
+    * one lhs-keyed partial-agg shuffle (`countDistinct` rides the
+    * two-phase distinct expansion) reduced to (distinct-lhs,
+    * violating-lhs) counts; a key candidate reports 0 violations, a
+    * false FD reports how broken it is — the input to both CBO
+    * uniqueness hints and MERGE-key selection. Candidates over two
+    * tables union into one result; all counts BIGINT, engine-exact.
+    */
+  private def fdProfile(s: SparkSession, dir: String): DataFrame = {
+    def cand(df: DataFrame, tbl: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_violating"))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    cand(o, "orders", "o_orderkey", "o_custkey")
+      .unionByName(cand(o, "orders", "o_custkey", "o_orderpriority"))
+      .unionByName(cand(c, "customer", "c_custkey", "c_nationkey"))
+      .unionByName(cand(c, "customer", "c_nationkey", "c_mktsegment"))
+      .orderBy("tbl", "lhs", "rhs")
+  }
+
+  private val fdProfileSql =
+    """WITH c1 AS (SELECT count(*) n_lhs, count(*) FILTER (nd > 1) n_violating
+      |            FROM (SELECT o_orderkey, count(DISTINCT o_custkey) nd FROM orders GROUP BY 1)),
+      |c2 AS (SELECT count(*) n_lhs, count(*) FILTER (nd > 1) n_violating
+      |       FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) nd FROM orders GROUP BY 1)),
+      |c3 AS (SELECT count(*) n_lhs, count(*) FILTER (nd > 1) n_violating
+      |       FROM (SELECT c_custkey, count(DISTINCT c_nationkey) nd FROM customer GROUP BY 1)),
+      |c4 AS (SELECT count(*) n_lhs, count(*) FILTER (nd > 1) n_violating
+      |       FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) nd FROM customer GROUP BY 1))
+      |SELECT 'orders' tbl, 'o_orderkey' lhs, 'o_custkey' rhs, n_lhs, n_violating FROM c1
+      |UNION ALL SELECT 'orders', 'o_custkey', 'o_orderpriority', n_lhs, n_violating FROM c2
+      |UNION ALL SELECT 'customer', 'c_custkey', 'c_nationkey', n_lhs, n_violating FROM c3
+      |UNION ALL SELECT 'customer', 'c_nationkey', 'c_mktsegment', n_lhs, n_violating FROM c4
+      |ORDER BY tbl, lhs, rhs""".stripMargin
+
+  /** Per-group z-score normalization (SURVEY §2 B90) — feature
+    * standardization before training, per event class (a global μ/σ
+    * would let the dominant class set every class's scale). Group
+    * μ/σ_samp are ROUNDED before use (the winsorize discipline: both
+    * engines then subtract/divide the identical doubles), carried back
+    * by a groups-sized auto-broadcast join; the rewrite itself is
+    * row-local. `nullif` guards the σ=0 degenerate group (constant
+    * feature → NULL, not an ANSI throw).
+    */
+  private def normalizeZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(round(avg("value"), 6).as("mu"), round(stddev_samp("value"), 6).as("sd"))
+    ev.join(stats, "event_type")
+      .selectExpr("event_id", "event_type",
+        "round((value - mu) / nullif(sd, 0.0), 4) AS z")
+      .orderBy("event_id")
+  }
+
+  private val normalizeZscoreSql =
+    """WITH s AS (
+      |  SELECT event_type, round(avg(value), 6) mu, round(stddev_samp(value), 6) sd
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type,
+      |       round((e.value - s.mu) / nullif(s.sd, 0.0), 4) AS z
+      |FROM events e JOIN s USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
+  /** Embedding corpus QA (SURVEY §2 B91) — the health check that
+    * catches a broken encoder batch BEFORE it poisons ANN indexes and
+    * dedup: per label, vector count, zero-vector count, and the norm
+    * range. Corruption is planted deterministically (every 97th vector
+    * zeroed) so the check has something to find. Norms fold
+    * element-wise in array order on both engines (the `Cosine.dot`
+    * agreement), per-row and shuffle-free; the label rollup is one
+    * partial-agg pass. A zero vector is exactly norm 0.0 — no epsilon.
+    */
+  private def embeddingQa(s: SparkSession, dir: String): DataFrame = {
+    val planted = embDouble(s, dir)
+      .withColumn("v",
+        when(col("vec_id") % 97 === 0, expr("transform(v, x -> 0.0d)")).otherwise(col("v")))
+    planted
+      .select(col("label"),
+        sqrt(expr("aggregate(v, 0.0d, (a, x) -> a + x * x)")).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"))
+      .orderBy("label")
+  }
+
+  private val embeddingQaSql =
+    """WITH v AS (
+      |  SELECT label,
+      |         CASE WHEN vec_id % 97 = 0
+      |              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+      |              ELSE CAST(embedding AS DOUBLE[]) END AS ve
+      |  FROM embeddings),
+      |n AS (SELECT label, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v)
+      |SELECT label, count(*) AS n_vecs,
+      |       CAST(count(*) FILTER (nrm = 0) AS BIGINT) AS n_zero,
+      |       round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+      |FROM n GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** Cross-source boilerplate overlap matrix (SURVEY §2 B92) — which
+    * sources share phrasing (syndication / scraper-overlap /
+    * contamination provenance), measured as shared distinct word
+    * 4-grams per source pair. The inverted-index discipline of the
+    * dedup family at SOURCE granularity: distinct (source, gram) rows,
+    * a ≤10-source df cap on the gram (stop-phrases out — the
+    * containment-dedup scale control; pair work per gram is then ≤
+    * C(10,2), linear in grams overall), pairs from one self-equi-join
+    * on the gram. Grams travel as strings here because the oracle
+    * regroups them in SQL; the hashed `shingle_hashes` kernel is the
+    * scale path (same plan shape).
+    */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),
+          |          i -> concat_ws(' ', slice(split(text, ' '), i, 4)))""".stripMargin)))
+        .as("g"))
+      .distinct()
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("ns")).where(col("ns") <= 10)
+    val capped = grams.join(rare.select("g"), "g")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(countDistinct(col("a.g")).as("shared"))
+      .where(col("shared") >= 5)
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH t0 AS (SELECT source, string_split(text, ' ') toks FROM documents),
+      |t AS (SELECT source, unnest(list_distinct([array_to_string(toks[i:i+3], ' ') FOR i IN range(1, len(toks) - 2)])) AS g FROM t0),
+      |e AS (SELECT DISTINCT source, g FROM t),
+      |caps AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 10),
+      |ec AS (SELECT e.source, e.g FROM e JOIN caps USING (g)),
+      |p AS (SELECT a.source src_a, b.source src_b, count(DISTINCT a.g) shared
+      |      FROM ec a JOIN ec b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared FROM p WHERE shared >= 5
+      |ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3712,6 +3860,10 @@ object SparkEntry {
     "source_keyness" -> Q(sourceKeyness, Some(sourceKeynessSql)),
     "skew_profile" -> Q(skewProfile, Some(skewProfileSql)),
     "cluster_best" -> Q(clusterBest, Some(clusterBestSql)),
+    "fd_profile" -> Q(fdProfile, Some(fdProfileSql)),
+    "normalize_zscore" -> Q(normalizeZscore, Some(normalizeZscoreSql)),
+    "embedding_qa" -> Q(embeddingQa, Some(embeddingQaSql)),
+    "source_overlap" -> Q(sourceOverlap, Some(sourceOverlapSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
