@@ -3653,10 +3653,12 @@ object SparkEntry {
     * catches a broken encoder batch BEFORE it poisons ANN indexes and
     * dedup: per label, vector count, zero-vector count, and the norm
     * range. Corruption is planted deterministically (every 97th vector
-    * zeroed) so the check has something to find. Norms fold
-    * element-wise in array order on both engines (the `Cosine.dot`
-    * agreement), per-row and shuffle-free; the label rollup is one
-    * partial-agg pass. A zero vector is exactly norm 0.0 — no epsilon.
+    * zeroed) so the check has something to find. Norm =
+    * sqrt(array_dot(v, v)) — the codegen'd single-loop kernel, folding
+    * element-wise in array order exactly like DuckDB's list fold (the
+    * `Cosine.dot` agreement), per-row and shuffle-free; the label
+    * rollup is one partial-agg pass. A zero vector is exactly norm
+    * 0.0 — no epsilon.
     */
   private def embeddingQa(s: SparkSession, dir: String): DataFrame = {
     val planted = embDouble(s, dir)
@@ -3664,7 +3666,7 @@ object SparkEntry {
         when(col("vec_id") % 97 === 0, expr("transform(v, x -> 0.0d)")).otherwise(col("v")))
     planted
       .select(col("label"),
-        sqrt(expr("aggregate(v, 0.0d, (a, x) -> a + x * x)")).as("nrm"))
+        sqrt(graft.functions.ArrayDot(col("v"), col("v"))).as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
@@ -3726,6 +3728,96 @@ object SparkEntry {
       |      FROM ec a JOIN ec b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
       |SELECT src_a, src_b, shared FROM p WHERE shared >= 5
       |ORDER BY src_a, src_b""".stripMargin
+
+  /** Time-to-convert funnel latency (SURVEY §2 B93) — `funnel_levels`
+    * says WHETHER users converted; this says HOW FAST: seconds from
+    * first signup to the first strictly-later purchase, percentiled by
+    * signup-week cohort (the activation-latency readout product teams
+    * drive launches with). Two user-keyed partial-agg shuffles (first
+    * signup, first qualifying purchase) that co-partition on the join,
+    * deltas as exact BIGINT epoch seconds, exact interpolated
+    * percentiles per cohort (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) — cohort groups are week-cardinality, never
+    * event volume.
+    */
+  private def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sec = (c: org.apache.spark.sql.Column) => unix_timestamp(c.cast("timestamp"))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .where(col("ts") > col("signup_ts"))
+      .groupBy("user_id", "signup_ts").agg(min("ts").as("purchase_ts"))
+    conv
+      .select(
+        to_date(date_trunc("week", col("signup_ts"))).as("cohort_week"),
+        (sec(col("purchase_ts")) - sec(col("signup_ts"))).as("delta_s"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta_s, 0.5D)"), 4).as("p50_s"),
+        round(expr("percentile(delta_s, 0.9D)"), 4).as("p90_s"))
+      .orderBy("cohort_week")
+  }
+
+  private val timeToConvertSql =
+    """WITH su AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |cv AS (
+      |  SELECT e.user_id, su.signup_ts, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN su USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week,
+      |         floor(epoch(purchase_ts)) - floor(epoch(signup_ts)) AS delta_s
+      |  FROM cv)
+      |SELECT cohort_week, count(*) AS n_converted,
+      |       round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
+      |       round(quantile_cont(delta_s, 0.9), 4) AS p90_s
+      |FROM d GROUP BY 1 ORDER BY cohort_week""".stripMargin
+
+  /** DAU/WAU stickiness (SURVEY §2 B94) — the engagement ratio, with
+    * the trailing 7-day distinct computed WITHOUT a range join (a
+    * between-join against a day spine would plan the banned
+    * BroadcastNestedLoopJoin): each distinct (user, day) row explodes
+    * into the 7 trailing windows it contributes to — a fixed 7× row
+    * multiplier, zero joins on the heavy side — then one distinct-agg
+    * shuffle per window day. The final DAU⋈WAU join is day-keyed and
+    * days-sized. First 6 days carry their partial trailing windows,
+    * as dashboards do.
+    */
+  private def stickinessRatio(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val r = ud.agg(min("day"), max("day")).head()
+    val (minD, maxD) = (r.getDate(0), r.getDate(1))
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"))
+      .where(col("day") >= lit(minD) && col("day") <= lit(maxD))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val stickinessRatioSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |bounds AS (SELECT min(day) mn, max(day) mx FROM ud),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      |c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |                       CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+      |                       INTERVAL 1 DAY)) AS DATE) AS day
+      |      FROM ud),
+      |wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau
+      |        FROM c, bounds WHERE c.day BETWEEN bounds.mn AND bounds.mx GROUP BY 1)
+      |SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------- //
   // Registry                                                          //
@@ -3864,6 +3956,8 @@ object SparkEntry {
     "normalize_zscore" -> Q(normalizeZscore, Some(normalizeZscoreSql)),
     "embedding_qa" -> Q(embeddingQa, Some(embeddingQaSql)),
     "source_overlap" -> Q(sourceOverlap, Some(sourceOverlapSql)),
+    "time_to_convert" -> Q(timeToConvert, Some(timeToConvertSql)),
+    "stickiness_ratio" -> Q(stickinessRatio, Some(stickinessRatioSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
