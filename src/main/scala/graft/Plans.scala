@@ -74,7 +74,20 @@ object Plans {
       "winsorize_bounds" -> "groups-sized percentile bounds broadcast back onto the fact scan; tail counts are conditional partial aggs",
       "log_templates" -> "row-local digit masking over the parse pipeline's output; one partial-agg shuffle on (level, template)",
       "gapfill_series" -> "sequence() spine explode LEFT-joined with the sparse aggregate on the same (key, bucket) pair",
-      "approx_overlap" -> "three HLL sketches (A, B, union) in ONE conditional-agg scan; inclusion-exclusion is driver-side arithmetic on the 1-row result")
+      "approx_overlap" -> "three HLL sketches (A, B, union) in ONE conditional-agg scan; inclusion-exclusion is driver-side arithmetic on the 1-row result",
+      "hybrid_search" -> "both retrievals are k-bounded BEFORE the fusion join, so the outer join + rank windows run on k-sized inputs; corpus-scaled work is exactly the two underlying retrievals",
+      "concurrency_peak" -> "distributed two-phase prefix sum: day-partitioned within-day running windows + a days-sized carry window — the global running sum never plans a single-partition window over events",
+      "histogram_equidepth" -> "two passes: percentile boundaries collected as 7 doubles, then one row-local CASE counting scan — no join",
+      "ab_experiment" -> "one user-keyed distinct-agg shuffle collapses events to (arm, converted); the z statistic is one conditional-agg row + row-local arithmetic",
+      "source_keyness" -> "term-keyed conditional-sum partial agg; token totals are collected scalars; scoring row-local; top-k is TakeOrderedAndProject",
+      "skew_profile" -> "per-key partial-agg counts; total/ndv reduced FROM the counts (no second scan); TakeOrderedAndProject top-k",
+      "cluster_best" -> "label-propagation clusters joined to row-local quality scores; the winner falls out of one cluster-keyed rank window",
+      "fd_profile" -> "each candidate FD is one lhs-keyed distinct-expansion partial agg reduced to two counts; candidates union into one result",
+      "normalize_zscore" -> "groups-sized mu/sigma broadcast back onto the event scan; the rewrite itself is row-local",
+      "embedding_qa" -> "row-local ArrayDot norm kernel (codegen'd single loop); one partial-agg label rollup",
+      "source_overlap" -> "distinct (source, gram) inverted index with a df cap; ONE self-equi-join on the gram — pair work bounded per gram",
+      "time_to_convert" -> "two user-keyed partial aggs co-partitioned on the join; percentile groups are week-cardinality",
+      "stickiness_ratio" -> "trailing 7-day distinct via a fixed 7x explode — no range join, no BNLJ; the final DAU-WAU join is day-keyed and days-sized")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")
