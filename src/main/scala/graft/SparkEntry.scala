@@ -1409,6 +1409,22 @@ object SparkEntry {
       .orderBy("q", "rank")
   }
 
+  /** Product-quantization ANN (SURVEY §2 row 26a): codebooks trained
+    * in-query (the self-contained bench shape), ADC scoring over the
+    * compressed corpus, exact re-rank of the shortlist — emitted sim
+    * is true cosine, so the shared ANN precision oracle re-derives it.
+    * m=4 x 16 codes compresses the 64-dim corpus 64x; the shortlist
+    * (50 of 500) bounds what ADC's approximation can cost.
+    */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    graft.sim.PqAnn.topK(queries, corpus, 5, m = 4, kCodes = 16, shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
@@ -1453,6 +1469,92 @@ object SparkEntry {
       |       round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) AS stopword_ratio,
       |       round(len(regexp_extract_all(text, '[^\w\s]')) / length(text), 4) AS punct_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Unicode-script mix per document (SURVEY §2 row 28a): row-local
+    * char-class counts, zero shuffle; the oracle recomputes every
+    * count with RE2's `\x{...}` spelling of the same codepoint ranges
+    * — two regex engines must agree on every class.
+    */
+  private def textScripts(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val textScriptsSql =
+    """WITH c AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+      |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS space,
+      |    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+      |    length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS greek,
+      |    length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+      |  FROM documents)
+      |SELECT doc_id, n_chars, latin, digit, space, cyrillic, greek, cjk,
+      |       n_chars - latin - digit - space - cyrillic - greek - cjk AS other,
+      |       CASE WHEN greatest(latin, cyrillic, greek, cjk) = 0 THEN 'none'
+      |            WHEN latin = greatest(latin, cyrillic, greek, cjk) THEN 'latin'
+      |            WHEN cyrillic = greatest(latin, cyrillic, greek, cjk) THEN 'cyrillic'
+      |            WHEN greek = greatest(latin, cyrillic, greek, cjk) THEN 'greek'
+      |            ELSE 'cjk' END AS dominant
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Curriculum ordering (SURVEY §2 row 75): ntile-sized easy-to-hard
+    * phases over doc length with a deterministic MD5-hash shuffle
+    * within each phase; both ranks computed distributed (sort +
+    * zipWithIndex, never a single-partition window). Full value
+    * oracle: DuckDB's `ntile` reproduces the phase split and the hash
+    * order bit for bit.
+    */
+  private def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    graft.data.Sampling.curriculumOrder(
+      t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id", col("n_chars"), 4)
+      .select(col("doc_id"), col("phase").cast("long").as("phase"), col("pos"))
+      .orderBy("pos")
+
+  private val curriculumOrderSql =
+    """WITH ranked AS (
+      |  SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id) - 1 AS phase,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, phase, row_number() OVER (ORDER BY phase, h, doc_id) AS pos
+      |FROM ranked ORDER BY pos""".stripMargin
+
+  /** Chat-format validation (SURVEY §2 row 76): per-conversation
+    * structural QA for instruction-tuning data — start/end roles,
+    * alternation violations, the `valid` verdict. Conversations here
+    * are (user, day) event streams with a deterministic role mapping;
+    * the oracle rebuilds the full report in DuckDB.
+    */
+  private def chatValidate(s: SparkSession, dir: String): DataFrame =
+    graft.text.ChatFormat.validate(
+      t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+      Seq("user_id", "day"),
+      Seq(col("ts"), col("event_id")),
+      when(col("event_type").isin("view", "click", "signup"), "user")
+        .otherwise("assistant"))
+      .orderBy("user_id", "day")
+
+  private val chatValidateSql =
+    """WITH t AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+      |         CASE WHEN event_type IN ('view','click','signup')
+      |              THEN 'user' ELSE 'assistant' END AS role
+      |  FROM events),
+      |o AS (
+      |  SELECT *,
+      |         lag(role) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS prev,
+      |         row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn
+      |  FROM t)
+      |SELECT user_id, day, count(*) AS n_turns,
+      |       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+      |       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+      |       min_by(role, rn) = 'user' AS starts_ok,
+      |       max_by(role, rn) = 'assistant' AS ends_ok,
+      |       CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |       (min_by(role, rn) = 'user' AND max_by(role, rn) = 'assistant'
+      |        AND sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+      |        AND count(*) >= 2) AS valid
+      |FROM o GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
 
   private def textLangId(s: SparkSession, dir: String): DataFrame =
     graft.text.TextStats.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
@@ -3916,6 +4018,7 @@ object SparkEntry {
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
     "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
     "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
+    "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
     "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
     "inverted_index" -> Q(invertedIndex, Some(invertedIndexSql)),
@@ -3958,6 +4061,9 @@ object SparkEntry {
     "source_overlap" -> Q(sourceOverlap, Some(sourceOverlapSql)),
     "time_to_convert" -> Q(timeToConvert, Some(timeToConvertSql)),
     "stickiness_ratio" -> Q(stickinessRatio, Some(stickinessRatioSql)),
+    "text_scripts" -> Q(textScripts, Some(textScriptsSql)),
+    "curriculum_order" -> Q(curriculumOrder, Some(curriculumOrderSql)),
+    "chat_validate" -> Q(chatValidate, Some(chatValidateSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

@@ -16,9 +16,11 @@ object Verify {
     * test data — calibrated like the sketch tolerance bands.)
     * Returns the failed query names.
     */
-  def failEmptyPrecisionDumps(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
+  def failEmptyPrecisionDumps(
+      spark: SparkSession, sfDir: String, outDir: String,
+      selected: String => Boolean = _ => true): Seq[String] = {
     val outAbs = new java.io.File(outDir).getAbsolutePath
-    SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).filter(kv => selected(kv._1)).flatMap { case (name, sql) =>
       if (("\\bgraft_result\\b").r.findFirstIn(sql).isEmpty) None
       else {
         val dumped =
@@ -52,7 +54,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration subset filter (mirrors SPARK_GRAFT_BENCH_ONLY);
+    // unset = full registry, which is what the driver runs.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // coalesce(1) keeps the queries' deterministic ORDER BY intact in
       // the dump (range-ordered partitions concatenate in order; a
       // repartition would shuffle it away). Oracle-dump path only —
@@ -63,7 +70,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    failEmptyPrecisionDumps(spark, sfDir, outDir)
+    failEmptyPrecisionDumps(spark, sfDir, outDir, selected)
     // Make each oracle self-contained: prepend CTEs binding every
     // referenced table name to its parquet file, so the SQL runs in any
     // DuckDB session regardless of which views the driver registered
@@ -107,7 +114,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(withSources(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -159,4 +159,51 @@ object Sampling {
     df.sparkSession.createDataFrame(indexed,
       sorted.schema.add("pos", org.apache.spark.sql.types.LongType, nullable = false))
   }
+
+  /** Curriculum ordering — easy-to-hard phased training order with a
+    * reproducible shuffle WITHIN each phase (ordering a corpus by raw
+    * difficulty would correlate adjacent batches; curriculum training
+    * wants phase-level progression with in-phase randomness).
+    *
+    * `phases` equal-sized buckets over the ascending `scoreCol` order
+    * (ties by key), sized exactly like SQL `ntile`: the first
+    * `N mod phases` buckets get one extra row — so the DuckDB oracle's
+    * `ntile(p) OVER (ORDER BY score, key)` reproduces the assignment
+    * bit for bit. Both the phase rank and the final position are
+    * computed distributed (range-partitioned sort + `zipWithIndex`,
+    * the [[deterministicShuffle]] recipe — never a single-partition
+    * window, which is what a naive global `ntile` window would plan).
+    * The in-phase order is the MD5 [[keyHash]], so the full output
+    * sequence `(phase asc, hash, key)` is reproducible across runs,
+    * partitionings, and engines.
+    *
+    * Cost: one count job + two sort-and-index passes — the price of a
+    * dense global position, same as [[deterministicShuffle]].
+    */
+  def curriculumOrder(
+      df: DataFrame, keyCol: String, scoreCol: Column, phases: Int): DataFrame = {
+    require(phases > 0, "phases must be positive")
+    val n = df.count()
+    val sorted = df.withColumn("_graft_score", scoreCol).orderBy(col("_graft_score"), col(keyCol))
+    val ranked = df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      },
+      sorted.schema.add("_graft_rk", org.apache.spark.sql.types.LongType, nullable = false))
+    // ntile sizing: base = N/p rows per bucket, first N%p buckets +1
+    val base = n / phases
+    val rem = n % phases
+    val cut = (base + 1) * rem
+    val phase = when(col("_graft_rk") < cut, floor(col("_graft_rk") / (base + 1)))
+      .otherwise(lit(rem) + floor((col("_graft_rk") - cut) / math.max(base, 1L)))
+    val phased = ranked
+      .withColumn("phase", phase.cast("int"))
+      .drop("_graft_score", "_graft_rk")
+      .orderBy(col("phase"), keyHash(col(keyCol)), col(keyCol))
+    df.sparkSession.createDataFrame(
+      phased.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
+      },
+      phased.schema.add("pos", org.apache.spark.sql.types.LongType, nullable = false))
+  }
 }

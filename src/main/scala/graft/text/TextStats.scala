@@ -119,4 +119,44 @@ object TextStats {
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Unicode-script profile — the script-mix signal a multilingual
+    * corpus pipeline routes on (CJK text through a CJK tokenizer,
+    * mixed-script spam flagged, wrong-script docs dropped from a
+    * monolingual mix). Counts per script class are row-local
+    * `length(text) - length(regexp_replace(text, class, ''))` — one
+    * codegen'd pass, zero shuffle at any scale. The char-class ranges
+    * are plain codepoint ranges, so the DuckDB oracle recomputes every
+    * count with RE2's `\x{...}` spelling of the same classes.
+    *
+    * `dominant` is the argmax over the four letter-script counts with
+    * ties broken in fixed order (latin > cyrillic > greek > cjk), or
+    * `none` when no letter of any counted script occurs.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    def cnt(clazz: String): Column =
+      (length(text) - length(regexp_replace(text, clazz, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val space = cnt("\\s")
+    val cyr = cnt("[Ѐ-ӿ]")
+    val greek = cnt("[Ͱ-Ͽ]")
+    val cjk = cnt("[一-鿿]")
+    // argmax with fixed-order ties: the first script holding the max
+    val maxCnt = greatest(latin, cyr, greek, cjk)
+    val dom =
+      when(maxCnt === 0, lit("none"))
+        .when(latin === maxCnt, lit("latin"))
+        .when(cyr === maxCnt, lit("cyrillic"))
+        .when(greek === maxCnt, lit("greek"))
+        .otherwise(lit("cjk"))
+    docs.select(
+      col(idCol),
+      length(text).cast("long").as("n_chars"),
+      latin.as("latin"), digit.as("digit"), space.as("space"),
+      cyr.as("cyrillic"), greek.as("greek"), cjk.as("cjk"),
+      (length(text).cast("long") - latin - digit - space - cyr - greek - cjk).as("other"),
+      dom.as("dominant"))
+  }
 }

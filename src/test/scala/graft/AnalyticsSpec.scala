@@ -329,4 +329,75 @@ class AnalyticsSpec extends AnyFunSuite {
       ZoneMap.prunedRead(spark, manifest, "id", lit(100L), lit(200L))
     }
   }
+
+  // --------------------------------------------------- chat validation
+
+  test("chat format: valid alternation passes, each structural defect is caught") {
+    // turns: (conv, seq, role)
+    val rows = Seq(
+      // valid 4-turn conversation
+      (1L, 1, "user"), (1L, 2, "assistant"), (1L, 3, "user"), (1L, 4, "assistant"),
+      // double user turn (retry) -> violation
+      (2L, 1, "user"), (2L, 2, "user"), (2L, 3, "assistant"),
+      // assistant-first fragment
+      (3L, 1, "assistant"), (3L, 2, "user"), (3L, 3, "assistant"),
+      // dangling user turn at the end
+      (4L, 1, "user"), (4L, 2, "assistant"), (4L, 3, "user"),
+      // single-turn conversation: starts ok but too short + no reply
+      (5L, 1, "user"))
+    val df = rows.toDF("conv", "seq", "role")
+    val out = graft.text.ChatFormat.validate(df, Seq("conv"), Seq(col("seq")), col("role"))
+      .collect().map(r => r.getAs[Long]("conv") -> r).toMap
+
+    def bools(c: Long) = {
+      val r = out(c)
+      (r.getAs[Boolean]("starts_ok"), r.getAs[Boolean]("ends_ok"),
+        r.getAs[Long]("violations"), r.getAs[Boolean]("valid"))
+    }
+    assert(bools(1L) == ((true, true, 0L, true)))
+    assert(bools(2L) == ((true, true, 1L, false)))
+    assert(bools(3L) == ((false, true, 0L, false)))
+    assert(bools(4L) == ((true, false, 0L, false)))
+    assert(bools(5L) == ((true, false, 0L, false)))
+    assert(out(1L).getAs[Long]("n_turns") == 4)
+    assert(out(1L).getAs[Long]("n_user") == 2 && out(1L).getAs[Long]("n_assistant") == 2)
+  }
+
+  // ------------------------------------------------------ script profile
+
+  test("script profile: planted scripts counted exactly, dominance ties break in order") {
+    val docs = Seq(
+      (1L, "hello world 42"),            // latin + digits + spaces
+      (2L, "привет мир"),                // cyrillic
+      (3L, "αβγ δε"),                    // greek
+      (4L, "你好世界"),                   // cjk
+      (5L, "abcабв"),                    // latin==cyrillic tie -> latin
+      (6L, "!!! ???"),                   // punctuation only -> none
+      (7L, "")                           // empty
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextStats.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Long]("latin") == 10)
+    assert(out(1L).getAs[Long]("digit") == 2)
+    assert(out(1L).getAs[Long]("space") == 2)
+    assert(out(1L).getAs[String]("dominant") == "latin")
+    assert(out(2L).getAs[Long]("cyrillic") == 9)
+    assert(out(2L).getAs[String]("dominant") == "cyrillic")
+    assert(out(3L).getAs[Long]("greek") == 5)
+    assert(out(3L).getAs[String]("dominant") == "greek")
+    assert(out(4L).getAs[Long]("cjk") == 4)
+    assert(out(4L).getAs[String]("dominant") == "cjk")
+    assert(out(5L).getAs[String]("dominant") == "latin", "tie breaks latin-first")
+    assert(out(6L).getAs[String]("dominant") == "none")
+    assert(out(6L).getAs[Long]("other") == 6)
+    assert(out(7L).getAs[Long]("n_chars") == 0)
+    assert(out(7L).getAs[String]("dominant") == "none")
+    // counts partition the text: other picks up exactly the rest
+    out.values.foreach { r =>
+      val sum = Seq("latin", "digit", "space", "cyrillic", "greek", "cjk", "other")
+        .map(r.getAs[Long]).sum
+      assert(sum == r.getAs[Long]("n_chars"))
+    }
+  }
 }

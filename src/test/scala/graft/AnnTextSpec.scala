@@ -321,6 +321,50 @@ class AnnTextSpec extends AnyFunSuite {
     (bf.keySet & qz.keySet).foreach { p => assert(bf(p) == qz(p), s"sim mismatch at $p") }
   }
 
+  test("PQ ANN: ADC shortlist reaches recall, degenerate config reproduces exact search") {
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val bf = Knn.topK(queries, corpus, 5).collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("neighbor")) -> r.getAs[Double]("sim")).toMap
+    val pq = graft.sim.PqAnn.topK(queries, corpus, 5, m = 4, kCodes = 16, shortlist = 50).collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("neighbor")) -> r.getAs[Double]("sim")).toMap
+    val recall = (bf.keySet & pq.keySet).size.toDouble / bf.size
+    // near-uniform synthetic vectors are PQ's worst case (codes carry
+    // little cluster signal); the 10x shortlist margin still recovers
+    // most of the exact top-5, and real clustered embeddings do better
+    assert(recall >= 0.6, s"pq recall $recall")
+    // emitted sims are TRUE cosine (phase 2): equal on shared pairs
+    (bf.keySet & pq.keySet).foreach { p => assert(bf(p) == pq(p), s"sim mismatch at $p") }
+
+    // degenerate config = exact search: one code per vector (kCodes=n,
+    // iters=0 seeds every vector as its own centroid -> ADC dot is the
+    // EXACT dot product), full shortlist -> identical to brute force
+    val tiny = corpus.where(col("id") < 40)
+    val tinyQ = queries.where(col("qid") < 3)
+    val exact = graft.sim.PqAnn.topK(tinyQ, tiny, 5, m = 4, kCodes = 40, shortlist = 40, iters = 0)
+      .select("q", "neighbor", "sim", "rank").collect().map(_.toString).sorted
+    val bfTiny = Knn.topK(tinyQ, tiny, 5)
+      .select("q", "neighbor", "sim", "rank").collect().map(_.toString).sorted
+    assert(exact.sameElements(bfTiny))
+  }
+
+  test("PQ codes: m entries, in-range, deterministic, encode0/encode agree") {
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val cb = graft.sim.PqAnn.train(corpus, m = 4, kCodes = 16, iters = 2)
+    assert(cb.books.length == 4 && cb.books.forall(_.length == 16))
+    assert(cb.subDim == 16)
+    val codes = corpus.select(col("id"), graft.sim.PqAnn.encode(col("vec"), cb).as("c"))
+      .orderBy("id").collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](1))
+    assert(codes.forall(_._2.length == 4))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // training is deterministic: a second train from the same corpus
+    // produces bit-identical codebooks
+    val cb2 = graft.sim.PqAnn.train(corpus, m = 4, kCodes = 16, iters = 2)
+    val flat = cb.books.map(_.map(_.toSeq).toSeq).toSeq
+    val flat2 = cb2.books.map(_.map(_.toSeq).toSeq).toSeq
+    assert(flat == flat2)
+  }
+
   test("quantize: int8 range, scale round-trips the max component") {
     val d = Seq((1L, Seq(0.5, -1.0, 0.25, 0.0))).toDF("id", "vec")
     val r = d.select(graft.sim.Quantized.quantize(col("vec")).as("qv"))

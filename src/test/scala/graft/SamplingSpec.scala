@@ -311,4 +311,42 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == again.toSeq, "shuffle must be reproducible")
   }
+
+  test("curriculum order: ntile-sized phases, easy-to-hard, shuffled within, dense pos") {
+    val out = Sampling.curriculumOrder(docs, "doc_id", col("n_chars"), 4)
+      .select("doc_id", "phase", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    val n = docs.count().toInt
+    assert(out.map(_._3).toSeq == (1L to n).toSeq, "pos must be dense 1..n")
+    assert(out.map(_._1).toSet.size == n, "every doc exactly once")
+    // pos order is phase-major: phases appear as 0..3 non-decreasing
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq, "pos must sort by phase")
+    // ntile sizing: first n%4 phases hold one extra row
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val base = n / 4
+    (0 until 4).foreach { p =>
+      val want = if (p < n % 4) base + 1 else base
+      assert(sizes(p) == want, s"phase $p size ${sizes(p)} != $want")
+    }
+    // easy-to-hard: every doc in phase p is <= every doc in phase p+1
+    // under the (n_chars, doc_id) order
+    val lens = docs.select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val keyOf = out.map(r => r._2 -> (lens(r._1), r._1))
+    (0 until 3).foreach { p =>
+      val maxP = keyOf.filter(_._1 == p).map(_._2).max
+      val minN = keyOf.filter(_._1 == p + 1).map(_._2).min
+      assert(implicitly[Ordering[(Long, Long)]].lteq(maxP, minN))
+    }
+    // within-phase order is the hash shuffle, not score or id order
+    val phase0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(phase0.toSeq != phase0.sorted.toSeq, "in-phase order must not be id order")
+    // reproducible
+    val again = Sampling.curriculumOrder(docs, "doc_id", col("n_chars"), 4)
+      .select("doc_id", "phase", "pos").as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == again.toSeq)
+    // n < phases degenerates to one row per phase (ntile semantics)
+    val tiny = Sampling.curriculumOrder(docs.limit(3), "doc_id", col("n_chars"), 4)
+      .select("phase").as[Int].collect().sorted.toSeq
+    assert(tiny == Seq(0, 1, 2))
+  }
 }
