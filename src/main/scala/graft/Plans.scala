@@ -87,7 +87,14 @@ object Plans {
       "embedding_qa" -> "row-local ArrayDot norm kernel (codegen'd single loop); one partial-agg label rollup",
       "source_overlap" -> "distinct (source, gram) inverted index with a df cap; ONE self-equi-join on the gram — pair work bounded per gram",
       "time_to_convert" -> "two user-keyed partial aggs co-partitioned on the join; percentile groups are week-cardinality",
-      "stickiness_ratio" -> "trailing 7-day distinct via a fixed 7x explode — no range join, no BNLJ; the final DAU-WAU join is day-keyed and days-sized")
+      "stickiness_ratio" -> "trailing 7-day distinct via a fixed 7x explode — no range join, no BNLJ; the final DAU-WAU join is day-keyed and days-sized",
+      "ann_pq" -> "ADC scoring is one pass over the coded corpus (codes + query LUTs are literals — no join); exact re-rank joins the broadcast shortlist back by id",
+      "text_scripts" -> "row-local regexp-class counting; the only exchange is the gate ORDER BY",
+      "curriculum_order" -> "two range-sort + zipWithIndex passes (phase rank, then final position) — never a single-partition ntile window",
+      "chat_validate" -> "one conversation-keyed exchange shared by the lag window and the grouped report",
+      "q18_big_orders" -> "HAVING survivors broadcast into a LEFT SEMI join; the only corpus-sized shuffle is the l_orderkey partial agg",
+      "calibration_bins" -> "10 fixed bins in one conditional partial-agg pass; no join",
+      "kappa_agreement" -> "single conditional-agg scan to a 1-row contingency; kappa is row-local arithmetic")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

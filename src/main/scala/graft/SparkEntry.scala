@@ -674,6 +674,118 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H q18 shape (SURVEY §2.A row 19q): large-volume orders via a
+    * HAVING subquery, joined back to customers. The qualifying-key set
+    * (the aggregate's survivors — a tiny fraction of orders) is
+    * BROADCAST into a LEFT SEMI join, so the only corpus-sized shuffle
+    * is the l_orderkey partial agg; AQE would pick the same shape from
+    * the runtime size, the hint just pins it. Deterministic tie-break
+    * on o_orderkey keeps the LIMIT stable across engines.
+    */
+  private def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 250)
+    val o = t(s, dir, "orders")
+      .join(broadcast(big.select(col("l_orderkey"))),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+    o.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(big, col("o_orderkey") === big("l_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18BigOrdersSql =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       round(sum_qty, 2) AS sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
+  /** Classifier calibration (SURVEY §2 row 99): reliability-diagram
+    * bins for a score/label pair — the QA step behind every learned
+    * quality or safety filter in a data pipeline (a miscalibrated
+    * filter silently shifts the corpus mix). Score here is the
+    * stopword density, label is the recorded `lang == 'en'`; one
+    * partial-agg pass over 10 fixed bins, plus each bin's |avg score −
+    * positive rate| gap — the ECE summand — computed in place.
+    */
+  private def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val score = graft.text.TextStats.stopwordHits(col("text")).cast("double") /
+      size(split(col("text"), " "))
+    d.select(col("lang"), score.as("score"))
+      .withColumn("bin", least(floor(col("score") * 10), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("score")), 4).as("avg_score"),
+        round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 4).as("pos_rate"))
+      .withColumn("gap", round(abs(col("avg_score") - col("pos_rate")), 4))
+      .orderBy("bin")
+  }
+
+  private val calibrationBinsSql =
+    """WITH s AS (
+      |  SELECT lang,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the','a','of','and','to','in','is'))) /
+      |           len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |b AS (SELECT lang, score, least(CAST(floor(score * 10) AS BIGINT), 9) AS bin FROM s)
+      |SELECT bin, count(*) AS n,
+      |       round(avg(score), 4) AS avg_score,
+      |       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS pos_rate,
+      |       round(abs(round(avg(score), 4) - round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)), 4) AS gap
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Inter-labeler agreement (SURVEY §2 row 100): Cohen's kappa
+    * between two row-local pseudo-labelers (the structural quality
+    * gate vs the stopword-density language heuristic) — the standard
+    * sanity check before trusting weak-supervision labels. One
+    * conditional-agg scan; kappa = (po − pe) / (1 − pe) on the
+    * four collected cell counts.
+    */
+  private def kappaAgreement(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = graft.text.TextStats.qualityPredicate(col("text"))
+    val b = graft.text.TextStats.stopwordHits(col("text")).cast("double") /
+      size(split(col("text"), " ")) >= 0.05
+    graft.ops.Stats.cohenKappa(d, a, b)
+  }
+
+  private val kappaAgreementSql =
+    """WITH lab AS (
+      |  SELECT
+      |    (len(string_split(text, ' ')) >= 3 AND
+      |     len(regexp_extract_all(text, '[^\w\s]')) / length(text) <= 0.2) AS a,
+      |    (len(list_filter(string_split(text, ' '),
+      |         t -> t IN ('the','a','of','and','to','in','is'))) /
+      |       len(string_split(text, ' ')) >= 0.05) AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS DOUBLE) AS yy,
+      |         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS DOUBLE) AS yn,
+      |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE) AS ny,
+      |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS DOUBLE) AS nn
+      |  FROM lab),
+      |p AS (
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |         (yy + nn) / n AS po,
+      |         ((yy + yn) / n) * ((yy + ny) / n) + ((ny + nn) / n) * ((yn + nn) / n) AS pe
+      |  FROM c)
+      |SELECT n, round(po, 4) AS po, round(pe, 4) AS pe,
+      |       round((po - pe) / (1.0 - pe), 4) AS kappa
+      |FROM p""".stripMargin
+
   /** Round-trip through the MergeTree-style sink (SURVEY §2.A 9, 13):
     * parse → date-partitioned write → date-range read (partition
     * pruned) → per-day aggregate. The oracle computes the same
@@ -4064,6 +4176,9 @@ object SparkEntry {
     "text_scripts" -> Q(textScripts, Some(textScriptsSql)),
     "curriculum_order" -> Q(curriculumOrder, Some(curriculumOrderSql)),
     "chat_validate" -> Q(chatValidate, Some(chatValidateSql)),
+    "q18_big_orders" -> Q(q18BigOrders, Some(q18BigOrdersSql)),
+    "calibration_bins" -> Q(calibrationBins, Some(calibrationBinsSql)),
+    "kappa_agreement" -> Q(kappaAgreement, Some(kappaAgreementSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The

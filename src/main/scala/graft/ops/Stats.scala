@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,5 +96,30 @@ object Stats {
         round(col("cr"), 6).as("cdf_r"),
         round(abs(col("cl") - col("cr")), 6).as("ks_diff"))
       .orderBy("bin")
+  }
+
+  /** Cohen's kappa between two boolean labelers — chance-corrected
+    * agreement, the standard sanity check before trusting
+    * weak-supervision labels (raw agreement flatters labelers that
+    * both say "yes" to everything). One conditional-agg scan collects
+    * the 2x2 contingency cells; `kappa = (po − pe) / (1 − pe)` is
+    * row-local arithmetic on the 1-row result. Emitted values are
+    * rounded so the cross-engine oracle reproduces them exactly.
+    */
+  def cohenKappa(data: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = data.select(a.as("a"), b.as("b"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(col("a") && col("b"), 1.0).otherwise(0.0)).as("yy"),
+        sum(when(col("a") && !col("b"), 1.0).otherwise(0.0)).as("yn"),
+        sum(when(!col("a") && col("b"), 1.0).otherwise(0.0)).as("ny"),
+        sum(when(!col("a") && !col("b"), 1.0).otherwise(0.0)).as("nn"))
+    cells.select(
+      col("n").cast("long").as("n"),
+      ((col("yy") + col("nn")) / col("n")).as("po"),
+      (((col("yy") + col("yn")) / col("n")) * ((col("yy") + col("ny")) / col("n")) +
+        ((col("ny") + col("nn")) / col("n")) * ((col("yn") + col("nn")) / col("n"))).as("pe"))
+      .select(col("n"), round(col("po"), 4).as("po"), round(col("pe"), 4).as("pe"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4).as("kappa"))
   }
 }

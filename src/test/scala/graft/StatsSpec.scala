@@ -57,4 +57,24 @@ class StatsSpec extends AnyFunSuite {
     // exact statistic is 0.5 and the 101-point grid must get close
     assert(rows.map(_.getAs[Double]("ks_diff")).max > 0.45)
   }
+
+  test("Cohen's kappa: hand-computed contingency, perfect and chance-level agreement") {
+    import spark.implicits._
+    // 10 rows: yy=4, yn=2, ny=1, nn=3 -> po=0.7
+    // pe = (6/10)(5/10) + (4/10)(5/10) = 0.5 -> kappa = 0.4
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false))).toDF("x", "y")
+    val r = Stats.cohenKappa(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // perfect agreement -> kappa = 1 regardless of marginals
+    val same = Seq.fill(7)((true, true)).toDF("x", "y")
+      .union(Seq.fill(3)((false, false)).toDF("x", "y"))
+    assert(Stats.cohenKappa(same, col("x"), col("y")).head().getAs[Double]("kappa") == 1.0)
+    // independent labelers with 50/50 marginals -> po == pe -> kappa = 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false)).toDF("x", "y")
+    assert(Stats.cohenKappa(indep, col("x"), col("y")).head().getAs[Double]("kappa") == 0.0)
+  }
 }
