@@ -94,7 +94,9 @@ object Plans {
       "chat_validate" -> "one conversation-keyed exchange shared by the lag window and the grouped report",
       "q18_big_orders" -> "HAVING survivors broadcast into a LEFT SEMI join; the only corpus-sized shuffle is the l_orderkey partial agg",
       "calibration_bins" -> "10 fixed bins in one conditional partial-agg pass; no join",
-      "kappa_agreement" -> "single conditional-agg scan to a 1-row contingency; kappa is row-local arithmetic")
+      "kappa_agreement" -> "single conditional-agg scan to a 1-row contingency; kappa is row-local arithmetic",
+      "ann_ivfpq" -> "coded (id, cell, codes) index in one row-local pass; probe cells join as a broadcast literal relation; ADC lookups + broadcast shortlist re-rank — corpus touched only in the probed cells",
+      "stats_incremental" -> "per-shard partial-agg summaries (KB HLL sketches) folded by a shard-count-sized merge agg; no second data scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

@@ -1537,6 +1537,22 @@ object SparkEntry {
       .orderBy("q", "rank")
   }
 
+  /** IVF-PQ ANN (SURVEY §2 row 95a): IVF cells bound which rows are
+    * scored, PQ codes make scoring nearly free — the FAISS-style
+    * composition a 100 TB deployment actually runs. nProbe=8 of 16
+    * cells on the near-uniform testdata vectors; exact re-rank emits
+    * true cosine for the shared ANN precision oracle.
+    */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    graft.sim.PqAnn.topKIvfPq(queries, corpus, 5,
+      numCells = 16, nProbe = 8, m = 4, kCodes = 16, shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
@@ -2692,6 +2708,33 @@ object SparkEntry {
       |  AND g.min_num IS NOT DISTINCT FROM e.mn AND g.max_num IS NOT DISTINCT FROM e.mx
       |  AND g.min_str IS NOT DISTINCT FROM e.mns AND g.max_str IS NOT DISTINCT FROM e.mxs
       |ORDER BY g.col""".stripMargin
+
+  /** Incremental stats maintenance (SURVEY §2 row 62a): per-source
+    * mergeable summaries (counts/min/max + HLL ndv sketches) folded to
+    * corpus stats WITHOUT rescanning data — the update path that keeps
+    * `table_stats` current as batches land. Precision oracle: exact
+    * stats recomputed in DuckDB; counts/min/max must match exactly,
+    * the sketch ndv within max(3, 5%).
+    */
+  private def statsIncremental(s: SparkSession, dir: String): DataFrame =
+    graft.data.IncrementalStats.merge(
+      graft.data.IncrementalStats.shardSummaries(
+        t(s, dir, "documents"), "source", "n_chars"))
+      .select(col("n_rows"), col("n_nulls"),
+        col("min_v").cast("long").as("min_v"), col("max_v").cast("long").as("max_v"),
+        col("ndv_est"))
+
+  private val statsIncrementalSql =
+    """WITH exact AS (
+      |  SELECT count(*) AS n, count(*) - count(n_chars) AS nulls,
+      |         min(n_chars) AS mn, max(n_chars) AS mx,
+      |         count(DISTINCT n_chars) AS ndv
+      |  FROM documents)
+      |SELECT g.n_rows, g.n_nulls, g.min_v, g.max_v, g.ndv_est
+      |FROM graft_result g JOIN exact e
+      |  ON g.n_rows = e.n AND g.n_nulls = e.nulls
+      | AND g.min_v = e.mn AND g.max_v = e.mx
+      | AND abs(g.ndv_est - e.ndv) <= greatest(3, 0.05 * e.ndv)""".stripMargin
 
   /** Declarative data-quality audit (the Deequ / dbt-test shape run
     * before a corpus ships): range rules fold into ONE conditional-agg
@@ -4131,6 +4174,7 @@ object SparkEntry {
     "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
     "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
     "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
+    "ann_ivfpq" -> Q(annIvfPq, Some(annPrecisionSql)),
     "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
     "inverted_index" -> Q(invertedIndex, Some(invertedIndexSql)),
@@ -4140,6 +4184,7 @@ object SparkEntry {
     "pivot_daily_events" -> Q(pivotDailyEvents, Some(pivotDailyEventsSql)),
     "quality_adaptive" -> Q(qualityAdaptive, Some(qualityAdaptiveSql)),
     "table_stats" -> Q(tableStats, Some(tableStatsSql)),
+    "stats_incremental" -> Q(statsIncremental, Some(statsIncrementalSql)),
     "data_quality_audit" -> Q(dataQualityAudit, Some(dataQualityAuditSql)),
     "snapshot_diff" -> Q(snapshotDiff, Some(snapshotDiffSql)),
     "pmi_collocations" -> Q(pmiCollocations, Some(pmiCollocationsSql)),

@@ -61,6 +61,11 @@ object IvfAnn {
     -array_max(scored).getField("col2")
   }
 
+  /** Row-local nearest-cell column for composing the cell id into a
+    * wider projection (IVF-PQ's `(id, cell, codes)` index build).
+    */
+  def cellOf(vec: Column, cs: Centroids): Column = nearestCell(vec, cs)
+
   /** Row-local Voronoi cell assignment against a trained centroid set:
     * `(id, cell)` rows for every corpus vector — a row-local map over
     * the scan (the centroids ride along as a literal array), no join,

@@ -147,43 +147,139 @@ object PqAnn {
     val qRows: Array[Row] = queries.select("qid", "qvec").collect()
     require(qRows.nonEmpty, "empty probe batch")
 
-    // driver-side ADC lookup tables: lut(s)(j) = dot(q_sub_s, book(s)(j))
-    val inlined = array(qRows.map { r =>
-      val qv = r.getSeq[Double](1).toArray
-      require(qv.length == cb.m * cb.subDim, "query dim mismatch")
-      val lut = Array.tabulate(cb.m) { s =>
-        val qs = qv.slice(s * cb.subDim, (s + 1) * cb.subDim)
-        cb.books(s).map { c =>
-          var d = 0.0; var i = 0
-          while (i < qs.length) { d += qs(i) * c(i); i += 1 }
-          d
-        }
-      }
-      struct(
-        lit(r.get(0)).as("qid"),
-        array(lut.map(sub => array(sub.map(lit(_)): _*)): _*).as("lut"))
-    }: _*)
-
     // phase 1: one pass over the COMPRESSED corpus (at scale, the only
     // thing kept hot); ADC score = sum of m lut lookups per row
     val coded = corpus.select(col("id"), encode(col("vec"), cb).as("codes"))
     val scored = coded
-      .select(col("id"), col("codes"), explode(inlined).as("p"))
+      .select(col("id"), col("codes"), explode(inlineLuts(qRows, cb)).as("p"))
       .where(col("p.qid") =!= col("id"))
-      .select(
-        col("p.qid").as("q"),
-        col("id").as("neighbor"),
-        aggregate(
-          zip_with(col("codes"), col("p.lut"), (c, lut) => element_at(lut, c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc"))
-    val w1 = Window.partitionBy(col("q")).orderBy(col("adc").desc, col("neighbor"))
-    val cands = scored
-      .withColumn("crank", row_number().over(w1))
+      .select(col("p.qid").as("q"), col("id").as("neighbor"),
+        adcScore(col("codes"), col("p.lut")).as("adc"))
+    rerankExact(corpus, shortlistOf(scored, shortlist), qRows, k)
+  }
+
+  /** IVF-PQ — the canonical warehouse-scale ANN composition (the
+    * FAISS `IVFx,PQy` index family): IVF cells restrict WHICH corpus
+    * rows are scored (nProbe/numCells of the corpus per query), PQ
+    * codes make scoring them nearly free (m lookups each). At 100 TB
+    * the deployment keeps only `(id, cell, codes)` hot — with m=4
+    * that is ~16 bytes/vector against 256 for float32 — and both
+    * literal-trained models stay KB-scale on the driver.
+    *
+    * Codes here quantize the RAW vectors (cell-residual codebooks —
+    * FAISS's default refinement, one extra subtraction per encode —
+    * would cut ADC error further at the cost of per-cell query LUTs;
+    * the exact re-rank phase already absorbs the difference at these
+    * shortlist sizes). Probing every cell reproduces plain PQ search
+    * exactly (spec-tested), mirroring IvfAnn's probe-all = exact.
+    */
+  def topKIvfPq(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      kCodes: Int = 16,
+      shortlist: Int = 50,
+      iters: Int = 3): DataFrame =
+    topKIvfPqWith(queries, corpus,
+      IvfAnn.train(corpus, numCells, iters), train(corpus, m, kCodes, iters),
+      k, nProbe, shortlist)
+
+  /** Probe pre-trained IVF centroids + PQ codebooks. */
+  def topKIvfPqWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: IvfAnn.Centroids,
+      cb: Codebooks,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val qRows: Array[Row] = queries.select("qid", "qvec").collect()
+    require(qRows.nonEmpty, "empty probe batch")
+
+    // the compressed index: (id, cell, codes) — one row-local pass
+    val coded = corpus.select(
+      col("id"),
+      IvfAnn.cellOf(col("vec"), centroids).as("cell"),
+      encode(col("vec"), cb).as("codes"))
+
+    // per-query probe cells, DRIVER-side (numCells dot products per
+    // query against the tiny centroid set); one inlined (qid, lut,
+    // cell) row per probe — the join on `cell` broadcasts the literal
+    // probe side, so candidates are exactly the probed cells' rows
+    val probes = array(qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut = lutLiteral(qv, cb)
+      val cells = centroids.cells.map { case (cid, cvec) =>
+        var d = 0.0; var n = 0.0; var i = 0
+        while (i < cvec.length) { d += qv(i) * cvec(i); n += cvec(i) * cvec(i); i += 1 }
+        (d / math.max(math.sqrt(n), 1e-30), cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
+      cells.map(cid => struct(lit(r.get(0)).as("qid"), lut.as("lut"), lit(cid).as("cell")))
+    }: _*)
+
+    val scored = coded
+      .join(explodeToDf(corpus.sparkSession, probes), Seq("cell"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid").as("q"), col("id").as("neighbor"),
+        adcScore(col("codes"), col("lut")).as("adc"))
+    rerankExact(corpus, shortlistOf(scored, shortlist), qRows, k)
+  }
+
+  /** One-row DataFrame of the exploded literal probe structs — gives
+    * the optimizer a relation to broadcast for the cell equi-join.
+    */
+  private def explodeToDf(spark: org.apache.spark.sql.SparkSession, probes: Column): DataFrame =
+    spark.range(1).select(explode(probes).as("p"))
+      .select(col("p.qid").as("qid"), col("p.lut").as("lut"), col("p.cell").as("cell"))
+
+  /** Literal ADC lookup table for one query: lut(s)(j) = dot(q_sub_s,
+    * book(s)(j)), computed driver-side (m x kCodes doubles).
+    */
+  private def lutLiteral(qv: Array[Double], cb: Codebooks): Column = {
+    require(qv.length == cb.m * cb.subDim, "query dim mismatch")
+    val lut = Array.tabulate(cb.m) { s =>
+      val qs = qv.slice(s * cb.subDim, (s + 1) * cb.subDim)
+      cb.books(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < qs.length) { d += qs(i) * c(i); i += 1 }
+        d
+      }
+    }
+    array(lut.map(sub => array(sub.map(lit(_)): _*)): _*)
+  }
+
+  /** Literal array of (qid, lut) structs for the whole probe batch. */
+  private def inlineLuts(qRows: Array[Row], cb: Codebooks): Column =
+    array(qRows.map { r =>
+      struct(
+        lit(r.get(0)).as("qid"),
+        lutLiteral(r.getSeq[Double](1).toArray, cb).as("lut"))
+    }: _*)
+
+  /** ADC score: sum of one lut lookup per subspace code. */
+  private def adcScore(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Top-`shortlist` candidates per query by ADC score. */
+  private def shortlistOf(scored: DataFrame, shortlist: Int): DataFrame = {
+    val w = Window.partitionBy(col("q")).orderBy(col("adc").desc, col("neighbor"))
+    scored
+      .withColumn("crank", row_number().over(w))
       .where(col("crank") <= shortlist)
       .select(col("q"), col("neighbor"))
+  }
 
-    // phase 2: exact re-rank of the broadcast-sized shortlist against
-    // full precision — emitted sim is TRUE cosine (oracle re-derives)
+  /** Exact re-rank of the broadcast-sized shortlist against full
+    * precision — emitted sim is TRUE cosine (oracle re-derives).
+    */
+  private def rerankExact(
+      corpus: DataFrame, cands: DataFrame, qRows: Array[Row], k: Int): DataFrame = {
     val qvecCol = qRows.foldRight(lit(null).cast("array<double>")) { case (r, e) =>
       when(col("q") === lit(r.get(0)),
         array(r.getSeq[Double](1).map(lit(_)): _*)).otherwise(e)

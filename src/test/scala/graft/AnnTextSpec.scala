@@ -348,6 +348,28 @@ class AnnTextSpec extends AnyFunSuite {
     assert(exact.sameElements(bfTiny))
   }
 
+  test("IVF-PQ: probe-all equals plain PQ, probe-limited keeps recall") {
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val cents = graft.sim.IvfAnn.train(corpus, 16, iters = 2)
+    val cb = graft.sim.PqAnn.train(corpus, m = 4, kCodes = 16, iters = 2)
+    // probing every cell restricts nothing: identical to plain PQ with
+    // the same codebooks and shortlist
+    val full = graft.sim.PqAnn.topKIvfPqWith(queries, corpus, cents, cb, 5,
+      nProbe = 16, shortlist = 50).collect().map(_.toString).sorted
+    val plain = graft.sim.PqAnn.topKWith(queries, corpus, cb, 5, shortlist = 50)
+      .collect().map(_.toString).sorted
+    assert(full.sameElements(plain), "probe-all IVF-PQ must equal plain PQ")
+    // probe-limited search still recovers most of the exact top-5
+    val bf = Knn.topK(queries, corpus, 5).select("q", "neighbor")
+      .as[(Long, Long)].collect().toSet
+    val ivfpq = graft.sim.PqAnn.topKIvfPqWith(queries, corpus, cents, cb, 5,
+      nProbe = 8, shortlist = 50).select("q", "neighbor")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ivf-pq recall $recall")
+  }
+
   test("PQ codes: m entries, in-range, deterministic, encode0/encode agree") {
     val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
     val cb = graft.sim.PqAnn.train(corpus, m = 4, kCodes = 16, iters = 2)

@@ -58,6 +58,37 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("ks_diff")).max > 0.45)
   }
 
+  test("incremental stats: merged shard summaries equal a recompute, no data rescan") {
+    import spark.implicits._
+    import graft.data.IncrementalStats
+    val base = (1L to 400L).map(i => (s"shard${i % 4}", i % 97)).toDF("src", "v")
+    val delta = (1L to 100L).map(i => (s"shard9", i % 211)).toDF("src", "v")
+
+    // summaries computed per shard, then the delta's summary row is
+    // UNIONED in (the incremental path — base data never rescanned)
+    val incremental = IncrementalStats.merge(
+      IncrementalStats.shardSummaries(base, "src", "v")
+        .union(IncrementalStats.shardSummaries(delta, "src", "v"))).head()
+    // full recompute over base+delta
+    val recomputed = IncrementalStats.merge(
+      IncrementalStats.shardSummaries(base.union(delta), "src", "v")).head()
+
+    assert(incremental.getAs[Long]("n_rows") == 500)
+    assert(incremental.getAs[Long]("n_rows") == recomputed.getAs[Long]("n_rows"))
+    assert(incremental.getAs[Long]("n_nulls") == recomputed.getAs[Long]("n_nulls"))
+    assert(incremental.getAs[Long]("min_v") == recomputed.getAs[Long]("min_v"))
+    assert(incremental.getAs[Long]("max_v") == recomputed.getAs[Long]("max_v"))
+    // distinct values: exactly {0..96} ∪ {1..100} = 100-sized? no:
+    // v%97 over 1..400 covers 0..96 (97 values); delta v%211 over
+    // 1..100 covers 1..100; union = {0..100} = 101 distinct
+    val exact = 101.0
+    Seq(incremental, recomputed).foreach { r =>
+      val est = r.getAs[Long]("ndv_est").toDouble
+      assert(math.abs(est - exact) <= math.max(3.0, 0.05 * exact),
+        s"ndv est $est vs exact $exact")
+    }
+  }
+
   test("Cohen's kappa: hand-computed contingency, perfect and chance-level agreement") {
     import spark.implicits._
     // 10 rows: yy=4, yn=2, ny=1, nn=3 -> po=0.7
