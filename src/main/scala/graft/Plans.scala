@@ -96,7 +96,9 @@ object Plans {
       "calibration_bins" -> "10 fixed bins in one conditional partial-agg pass; no join",
       "kappa_agreement" -> "single conditional-agg scan to a 1-row contingency; kappa is row-local arithmetic",
       "ann_ivfpq" -> "coded (id, cell, codes) index in one row-local pass; probe cells join as a broadcast literal relation; ADC lookups + broadcast shortlist re-rank — corpus touched only in the probed cells",
-      "stats_incremental" -> "per-shard partial-agg summaries (KB HLL sketches) folded by a shard-count-sized merge agg; no second data scan")
+      "stats_incremental" -> "per-shard partial-agg summaries (KB HLL sketches) folded by a shard-count-sized merge agg; no second data scan",
+      "rfm_scores" -> "one customer-keyed partial agg; quintile thresholds are collected scalars, scoring is row-local comparisons — no global ntile window",
+      "text_readability" -> "three row-local regexp counts; the only exchange is the gate ORDER BY")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

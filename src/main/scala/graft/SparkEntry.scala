@@ -786,6 +786,108 @@ object SparkEntry {
       |       round((po - pe) / (1.0 - pe), 4) AS kappa
       |FROM p""".stripMargin
 
+  /** RFM customer scoring (SURVEY §2.A row 19r): the classical
+    * recency/frequency/monetary segmentation dashboard. Per-customer
+    * metrics are one orders-keyed partial agg; quintile boundaries are
+    * EXACT percentiles collected as 12 scalars (the ANALYZE-style
+    * threshold shape — a global ntile window would single-partition),
+    * and scoring is a row-local comparison count against them.
+    * Spark `percentile` and DuckDB `quantile_cont` interpolate
+    * identically (proven by `pctl_value`), so the oracle reproduces
+    * the buckets; comparisons only bind at thresholds that ARE data
+    * points (the integer-index case), where both engines are exact.
+    */
+  private def rfmScores(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val anchor = o.agg(max(col("o_orderdate"))).head().getAs[java.time.LocalDateTime](0)
+    val per = o.groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(anchor.toLocalDate), to_date(max(col("o_orderdate"))))
+          .cast("double").as("recency_days"),
+        count(lit(1)).cast("double").as("frequency"),
+        sum(col("o_totalprice")).as("monetary"))
+    def thresholds(c: String): Seq[Double] = {
+      val r = per.agg(expr(s"percentile($c, array(0.2D, 0.4D, 0.6D, 0.8D))")).head()
+      r.getSeq[Double](0)
+    }
+    val (tr, tf, tm) = (thresholds("recency_days"), thresholds("frequency"), thresholds("monetary"))
+    def bucket(c: org.apache.spark.sql.Column, ts: Seq[Double]): org.apache.spark.sql.Column =
+      ts.map(th => when(c >= th, 1L).otherwise(0L)).reduce(_ + _)
+    per.select(
+      col("o_custkey").as("custkey"),
+      (lit(5L) - bucket(col("recency_days"), tr)).as("r_score"), // recent = low days = best
+      (lit(1L) + bucket(col("frequency"), tf)).as("f_score"),
+      (lit(1L) + bucket(col("monetary"), tm)).as("m_score"))
+      .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("custkey")
+  }
+
+  private val rfmScoresSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |              (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS DOUBLE) AS recency_days,
+      |         CAST(count(*) AS DOUBLE) AS frequency,
+      |         sum(o_totalprice) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |th AS (
+      |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS tr,
+      |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf,
+      |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm
+      |  FROM per),
+      |sc AS (
+      |  SELECT o_custkey AS custkey,
+      |         5 - (CASE WHEN recency_days >= tr[1] THEN 1 ELSE 0 END +
+      |              CASE WHEN recency_days >= tr[2] THEN 1 ELSE 0 END +
+      |              CASE WHEN recency_days >= tr[3] THEN 1 ELSE 0 END +
+      |              CASE WHEN recency_days >= tr[4] THEN 1 ELSE 0 END) AS r_score,
+      |         1 + (CASE WHEN frequency >= tf[1] THEN 1 ELSE 0 END +
+      |              CASE WHEN frequency >= tf[2] THEN 1 ELSE 0 END +
+      |              CASE WHEN frequency >= tf[3] THEN 1 ELSE 0 END +
+      |              CASE WHEN frequency >= tf[4] THEN 1 ELSE 0 END) AS f_score,
+      |         1 + (CASE WHEN monetary >= tm[1] THEN 1 ELSE 0 END +
+      |              CASE WHEN monetary >= tm[2] THEN 1 ELSE 0 END +
+      |              CASE WHEN monetary >= tm[3] THEN 1 ELSE 0 END +
+      |              CASE WHEN monetary >= tm[4] THEN 1 ELSE 0 END) AS m_score
+      |  FROM per, th)
+      |SELECT custkey, CAST(r_score AS BIGINT) AS r_score,
+      |       CAST(f_score AS BIGINT) AS f_score, CAST(m_score AS BIGINT) AS m_score,
+      |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+      |FROM sc ORDER BY custkey""".stripMargin
+
+  /** Readability scoring (SURVEY §2 row 101): Flesch reading-ease with
+    * a vowel-run syllable proxy — the classic quality/complexity
+    * signal for audience-targeting a corpus mix. Entirely row-local
+    * regexp counts; the oracle runs the same three regexes in RE2.
+    */
+  private def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val txt = lower(col("text"))
+    val words = size(split(col("text"), " ")).cast("double")
+    val syllables = size(regexp_extract_all(txt, lit("[aeiouy]+"), lit(0))).cast("double")
+    val sentences = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+    d.select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      syllables.cast("long").as("n_syllables"),
+      sentences.cast("long").as("n_sentences"),
+      round(lit(206.835) - lit(1.015) * (words / sentences) -
+        lit(84.6) * (syllables / words), 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  private val textReadabilitySql =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_words,
+      |       len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+      |       greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |       round(206.835
+      |             - 1.015 * (len(string_split(text, ' ')) /
+      |                        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+      |             - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) /
+      |                       CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Round-trip through the MergeTree-style sink (SURVEY §2.A 9, 13):
     * parse → date-partitioned write → date-range read (partition
     * pruned) → per-day aggregate. The oracle computes the same
@@ -4222,6 +4324,8 @@ object SparkEntry {
     "curriculum_order" -> Q(curriculumOrder, Some(curriculumOrderSql)),
     "chat_validate" -> Q(chatValidate, Some(chatValidateSql)),
     "q18_big_orders" -> Q(q18BigOrders, Some(q18BigOrdersSql)),
+    "rfm_scores" -> Q(rfmScores, Some(rfmScoresSql)),
+    "text_readability" -> Q(textReadability, Some(textReadabilitySql)),
     "calibration_bins" -> Q(calibrationBins, Some(calibrationBinsSql)),
     "kappa_agreement" -> Q(kappaAgreement, Some(kappaAgreementSql)),
   )

@@ -387,6 +387,39 @@ class AnnTextSpec extends AnyFunSuite {
     assert(flat == flat2)
   }
 
+  test("PQ training and codes are invariant to input partitioning") {
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val cb1 = graft.sim.PqAnn.train(corpus.repartition(2), m = 4, kCodes = 8, iters = 2)
+    val cb32 = graft.sim.PqAnn.train(corpus.repartition(32), m = 4, kCodes = 8, iters = 2)
+    // Lloyd's means are float sums whose combine order follows the
+    // partitioning — centroids agree to ulp noise, not bit-identically
+    val flat1: Seq[Double] = cb1.books.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    val flat32: Seq[Double] = cb32.books.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    flat1.zip(flat32).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"centroid drift $a vs $b")
+    }
+    val c1 = corpus.repartition(3)
+      .select(col("id"), graft.sim.PqAnn.encode(col("vec"), cb1).as("c"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
+    val c2 = corpus.repartition(17)
+      .select(col("id"), graft.sim.PqAnn.encode(col("vec"), cb1).as("c"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2, "codes must not depend on partitioning")
+  }
+
+  test("readability inputs: vowel-run syllables and sentence runs on a hand case") {
+    // mirrors the text_readability registry query's regex counting
+    val df = Seq((1L, "Hello world. It is sunny!")).toDF("doc_id", "text")
+    val words = df.select(size(split(col("text"), " "))).head().getInt(0)
+    val syl = df.select(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))))
+      .head().getInt(0)
+    val sent = df.select(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+      .head().getInt(0)
+    assert(words == 5 && syl == 7 && sent == 2)
+    val flesch = 206.835 - 1.015 * (words.toDouble / sent) - 84.6 * (syl.toDouble / words)
+    assert(math.abs(flesch - 85.8575) < 1e-9)
+  }
+
   test("quantize: int8 range, scale round-trips the max component") {
     val d = Seq((1L, Seq(0.5, -1.0, 0.25, 0.0))).toDF("id", "vec")
     val r = d.select(graft.sim.Quantized.quantize(col("vec")).as("qv"))
