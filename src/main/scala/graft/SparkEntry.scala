@@ -4178,6 +4178,186 @@ object SparkEntry {
       |FROM dau JOIN wau USING (day)
       |ORDER BY day""".stripMargin
 
+  /** Mutual information between two categorical columns (SURVEY §2
+    * B96): how much knowing a document's source tells you about its
+    * language — the dependence scan run before trusting a stratified
+    * sampler's independence assumptions. One partial-agg pass builds
+    * the |X|x|Y| contingency cells; marginals and the total are
+    * windows over that CELLS-sized relation (never the data), so the
+    * only corpus-sized exchange is the first groupBy. Zero cells
+    * contribute 0 to MI and are exactly the absent rows. Probabilities
+    * are exact integer ratios cast once, so both engines compute
+    * identical doubles before the boundary rounding.
+    */
+  private def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wX = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val wY = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_xy"))
+      .withColumn("n_x", sum("n_xy").over(wX))
+      .withColumn("n_y", sum("n_xy").over(wY))
+      .withColumn("n", sum("n_xy").over(wAll))
+      .withColumn("pmi_raw",
+        log2((col("n_xy") * col("n")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")))
+      .withColumn("contrib_raw",
+        col("n_xy").cast("double") / col("n").cast("double") * col("pmi_raw"))
+      .select(col("source"), col("lang"), col("n_xy"),
+        round(col("pmi_raw"), 6).as("pmi_bits"),
+        round(col("contrib_raw"), 6).as("contrib_bits"),
+        round(sum(col("contrib_raw")).over(wAll), 6).as("mi_bits"))
+      .orderBy("source", "lang")
+  }
+
+  private val mutualInfoSql =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, lang, n_xy,
+      |         sum(n_xy) OVER (PARTITION BY source) AS n_x,
+      |         sum(n_xy) OVER (PARTITION BY lang) AS n_y,
+      |         sum(n_xy) OVER () AS n
+      |  FROM cells),
+      |p AS (
+      |  SELECT source, lang, n_xy,
+      |         log2(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)) AS pmi_raw,
+      |         CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE) *
+      |           log2(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)) AS contrib_raw
+      |  FROM m)
+      |SELECT source, lang, n_xy, round(pmi_raw, 6) AS pmi_bits,
+      |       round(contrib_raw, 6) AS contrib_bits,
+      |       round(sum(contrib_raw) OVER (), 6) AS mi_bits
+      |FROM p ORDER BY source, lang""".stripMargin
+
+  /** Herfindahl–Hirschman concentration index per event type (SURVEY
+    * §2 B97): is an event stream driven by a broad base or a handful
+    * of power users — the concentration audit run on a corpus before
+    * trusting per-source counts (a source where one crawler session
+    * contributes 40% of documents is one bad seed away from garbage).
+    * Two partial-agg shuffles: (type, user) counts, then per-type
+    * share-of-squares. `effective_n` = 1/HHI is the
+    * equally-weighted-user equivalent. Shares are exact integer
+    * ratios; only the final index is rounded.
+    */
+  private def concentrationHhi(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("cnt").as("n_events"),
+        sum(col("cnt") * col("cnt")).as("ss"),
+        max("cnt").as("max_cnt"))
+      .withColumn("hhi_raw",
+        col("ss").cast("double") / (col("n_events") * col("n_events")).cast("double"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        round(col("hhi_raw"), 6).as("hhi"),
+        round(lit(1.0) / col("hhi_raw"), 4).as("effective_n"),
+        round(col("max_cnt").cast("double") / col("n_events").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("event_type")
+  }
+
+  private val concentrationHhiSql =
+    """WITH c AS (
+      |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, count(*) AS n_users, sum(cnt) AS n_events,
+      |         sum(cnt * cnt) AS ss, max(cnt) AS max_cnt
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n_users, n_events,
+      |       round(CAST(ss AS DOUBLE) / CAST(n_events * n_events AS DOUBLE), 6) AS hhi,
+      |       round(1.0 / (CAST(ss AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)), 4)
+      |         AS effective_n,
+      |       round(CAST(max_cnt AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS top_share
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** Benford first-digit audit over monetary columns (SURVEY §2 B98):
+    * organic numeric populations spanning orders of magnitude follow
+    * P(d) = log10(1 + 1/d); synthetic or truncated data does not, so
+    * the digit histogram is a one-pass fabrication/cap detector for
+    * ingested numeric feeds. The first significant digit is derived
+    * WITHOUT floating-point log10: amounts are exact cents
+    * (round(v*100) as BIGINT) and the digit is the first character of
+    * the integer's decimal rendering — two engines can disagree on
+    * log10 at power-of-ten boundaries, never on integer-to-string.
+    * One union of two projected scans + one 18-cell agg.
+    */
+  private def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    def digits(df: DataFrame, colName: String): DataFrame =
+      df.where(col(colName) > 0)
+        .select(lit(colName).as("col_name"),
+          substring(round(col(colName) * 100).cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+    val wCol = org.apache.spark.sql.expressions.Window.partitionBy(col("col_name"))
+    digits(t(s, dir, "orders"), "o_totalprice")
+      .unionAll(digits(t(s, dir, "lineitem"), "l_extendedprice"))
+      .groupBy("col_name", "digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(wCol))
+      .withColumn("exp_frac", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("exp_n", col("exp_frac") * col("total").cast("double"))
+      .select(col("col_name"), col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("obs_frac"),
+        round(col("exp_frac"), 6).as("benford_frac"),
+        round((col("n").cast("double") - col("exp_n")) *
+          (col("n").cast("double") - col("exp_n")) / col("exp_n"), 6).as("chi2_term"))
+      .orderBy("col_name", "digit")
+  }
+
+  private val benfordAuditSql =
+    """WITH d AS (
+      |  SELECT 'o_totalprice' AS col_name,
+      |         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS INT) AS digit
+      |  FROM orders WHERE o_totalprice > 0
+      |  UNION ALL
+      |  SELECT 'l_extendedprice' AS col_name,
+      |         CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS INT) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |c AS (
+      |  SELECT col_name, digit, count(*) AS n FROM d GROUP BY 1, 2),
+      |w AS (
+      |  SELECT col_name, digit, n, sum(n) OVER (PARTITION BY col_name) AS total,
+      |         log10(1.0 + 1.0 / digit) AS exp_frac
+      |  FROM c)
+      |SELECT col_name, digit, n,
+      |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_frac,
+      |       round(exp_frac, 6) AS benford_frac,
+      |       round((CAST(n AS DOUBLE) - exp_frac * CAST(total AS DOUBLE)) *
+      |             (CAST(n AS DOUBLE) - exp_frac * CAST(total AS DOUBLE)) /
+      |             (exp_frac * CAST(total AS DOUBLE)), 6) AS chi2_term
+      |FROM w ORDER BY col_name, digit""".stripMargin
+
+  /** Cumulative distinct-user growth curve (SURVEY §2 B99): first-seen
+    * day per user → new users per day → running total, the
+    * user-acquisition curve every DAU dashboard opens with. Distinct
+    * days is date-range-sized, so after the two user-keyed partial
+    * aggs the running sum is a window over a DAYS-sized relation (the
+    * same carry-window shape as the concurrency sweep) — the corpus
+    * never passes through a single partition.
+    */
+  private def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(s, dir, "events")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(wCum))
+      .orderBy("day")
+  }
+
+  private val cumulativeUsersSql =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |n AS (
+      |  SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |       sum(new_users) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      |FROM n ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4328,6 +4508,10 @@ object SparkEntry {
     "text_readability" -> Q(textReadability, Some(textReadabilitySql)),
     "calibration_bins" -> Q(calibrationBins, Some(calibrationBinsSql)),
     "kappa_agreement" -> Q(kappaAgreement, Some(kappaAgreementSql)),
+    "mutual_info" -> Q(mutualInfo, Some(mutualInfoSql)),
+    "concentration_hhi" -> Q(concentrationHhi, Some(concentrationHhiSql)),
+    "benford_audit" -> Q(benfordAudit, Some(benfordAuditSql)),
+    "cumulative_users" -> Q(cumulativeUsers, Some(cumulativeUsersSql)),
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
