@@ -2396,7 +2396,9 @@ object SparkEntry {
     * 100 TB cannot afford the naive plan). Row-local, shuffle-free;
     * the oracle re-derives the sorted hit list with per-pattern
     * `contains` in DuckDB, so automaton semantics must equal plain
-    * substring containment on every row.
+    * substring containment on every row. Hits are serialized with
+    * `array_join` for the harness (its pandas compare can't sort
+    * array columns); AnalyticsSpec keeps the array-form assertions.
     */
   private def blocklistScan(s: SparkSession, dir: String): DataFrame = {
     val pats = Seq("big vector", "slow filter", "merge batch", "customer query",
@@ -2405,17 +2407,19 @@ object SparkEntry {
       .select(
         col("doc_id"),
         graft.functions.AhoCorasick
-          .multiContains(col("text"), typedlit(pats)).as("hits"))
-      .select(col("doc_id"), col("hits"), (size(col("hits")) > 0).as("flagged"))
+          .multiContains(col("text"), typedlit(pats)).as("hit_arr"))
+      .select(col("doc_id"),
+        array_join(array_sort(col("hit_arr")), "|").as("hits"),
+        (size(col("hit_arr")) > 0).as("flagged"))
       .orderBy("doc_id")
   }
 
   private val blocklistScanSql =
     """SELECT doc_id,
-      |       list_sort(list_filter(
+      |       coalesce(array_to_string(list_sort(list_filter(
       |         ['big vector', 'slow filter', 'merge batch', 'customer query',
       |          'spark', 'window table'],
-      |         p -> contains(text, p))) AS hits,
+      |         p -> contains(text, p))), '|'), '') AS hits,
       |       len(list_filter(
       |         ['big vector', 'slow filter', 'merge batch', 'customer query',
       |          'spark', 'window table'],
@@ -2929,21 +2933,28 @@ object SparkEntry {
   /** PMI collocations — corpus-linguistics mining (multi-word
     * expressions for tokenizer/vocab decisions): pointwise mutual
     * information over adjacent token pairs, `ln(c_ab·N / (c_a·c_b))`.
-    * Pair counts are one partial-agg shuffle; unigram tables are
-    * vocab-sized (auto-broadcast); N is a collected scalar; top-k on
-    * the ROUNDED score plans as TakeOrderedAndProject. The integer
-    * ratio is formed before the single ln, so both engines round the
-    * same double.
+    * ONE corpus scan: the bigram pair-count table (vocab²-bounded,
+    * corpus-independent size) is the only thing derived from
+    * `documents`; unigram margins are its row/column sums
+    * (Σ_w2 c(w1,w2) = c(w1) exactly, since every bigram occurrence
+    * lands in exactly one pair bucket) and N is Σc — so at 100 TB the
+    * corpus is read once, then all further aggs run over a KB–MB
+    * pair table. That table is cached (the scalar-N action
+    * materializes it; the returned lazy plan reuses it). Top-k on the
+    * ROUNDED score plans as TakeOrderedAndProject; the integer ratio
+    * is formed before the single ln, so both engines round the same
+    * double.
     */
   private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents").select(split(col("text"), " ").as("tk"))
     val bg = toks.select(posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as(Seq("i", "w1")),
         col("tk"))
       .select(col("w1"), expr("tk[i + 1]").as("w2"))
-    val nTotal = bg.count()
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")).where(col("c") >= 5)
-    val u1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val u2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val cbAll = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
+    val nTotal = cbAll.agg(sum("c")).head.getLong(0)
+    val cb = cbAll.where(col("c") >= 5)
+    val u1 = cbAll.groupBy("w1").agg(sum("c").as("c1"))
+    val u2 = cbAll.groupBy("w2").agg(sum("c").as("c2"))
     cb.join(u1, "w1").join(u2, "w2")
       .select(col("w1"), col("w2"), col("c"),
         round(log(col("c") * lit(nTotal) / (col("c1") * col("c2"))), 4).as("pmi"))
@@ -4262,7 +4273,8 @@ object SparkEntry {
     """WITH c AS (
       |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
       |a AS (
-      |  SELECT event_type, count(*) AS n_users, sum(cnt) AS n_events,
+      |  SELECT event_type, count(*) AS n_users,
+      |         CAST(sum(cnt) AS BIGINT) AS n_events,
       |         sum(cnt * cnt) AS ss, max(cnt) AS max_cnt
       |  FROM c GROUP BY 1)
       |SELECT event_type, n_users, n_events,
@@ -4354,8 +4366,8 @@ object SparkEntry {
       |n AS (
       |  SELECT day, count(*) AS new_users FROM f GROUP BY 1)
       |SELECT day, new_users,
-      |       sum(new_users) OVER (ORDER BY day
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      |       CAST(sum(new_users) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM n ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------- //

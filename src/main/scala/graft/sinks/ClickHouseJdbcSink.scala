@@ -177,7 +177,8 @@ object ClickHouseJdbcSink {
     * — and (b) collision-free across blocks: batchKey is unique per
     * micro-batch (TailPipeline contract), and (partition, chunk)
     * uniquely address a block within the batch. Kept to `[A-Za-z0-9_-]`
-    * so it embeds safely in the SET statement.
+    * so it embeds safely as a URL query parameter
+    * ([[urlWithSettings]] requires it).
     */
   def deduplicationToken(batchKey: String, partitionId: Int, chunk: Long): String = {
     require(batchKey.matches("[A-Za-z0-9_-]+"), s"unsafe batch key: $batchKey")

@@ -49,6 +49,29 @@ def main():
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        # Driver-parity dtype check: the driver hashes pandas frames, so
+        # a DuckDB HUGEINT (-> float64/object) vs Spark int64 mismatches
+        # even when the values are identical. Surface that here.
+        try:
+            sdf = spark_rel.df(); ddf = duck_rel.df()
+            sdt = {c: str(sdf[c].dtype) for c in sdf.columns}
+            ddt = {c: str(ddf[c].dtype) for c in ddf.columns}
+            dt_bad = [c for c in sdt if c in ddt and sdt[c] != ddt[c]]
+            if dt_bad:
+                print(f"WARN {name}: pandas dtype mismatch "
+                      + ", ".join(f"{c}: spark={sdt[c]} duck={ddt[c]}" for c in dt_bad)
+                      + " (driver hasher would FAIL this)")
+                n_bad += 1
+                continue
+            import pandas as _pd
+            for df_, side in ((sdf, 'spark'), (ddf, 'duck')):
+                for c in df_.columns:
+                    if df_[c].dtype == object and len(df_) and isinstance(df_[c].iloc[0], (list, tuple)) or                        str(df_[c].dtype) == 'object' and len(df_) and df_[c].map(lambda v: hasattr(v, '__len__') and not isinstance(v, (str, bytes))).any():
+                        print(f"WARN {name}: {side} column {c} holds arrays — driver sort_values would CRASH")
+                        raise RuntimeError('array column')
+        except RuntimeError:
+            n_bad += 1
+            continue
         sc, sr = canon(srows, scols)
         dc, dr = canon(drows, dcols)
         if sc != dc:
