@@ -674,7 +674,7 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
-  /** TPC-H q18 shape (SURVEY §2.A row 19q): large-volume orders via a
+  /** TPC-H q18 shape (SURVEY §2.A row 19t): large-volume orders via a
     * HAVING subquery, joined back to customers. The qualifying-key set
     * (the aggregate's survivors — a tiny fraction of orders) is
     * BROADCAST into a LEFT SEMI join, so the only corpus-sized shuffle
@@ -786,7 +786,7 @@ object SparkEntry {
       |       round((po - pe) / (1.0 - pe), 4) AS kappa
       |FROM p""".stripMargin
 
-  /** RFM customer scoring (SURVEY §2.A row 19r): the classical
+  /** RFM customer scoring (SURVEY §2.A row 19u): the classical
     * recency/frequency/monetary segmentation dashboard. Per-customer
     * metrics are one orders-keyed partial agg; quintile boundaries are
     * EXACT percentiles collected as 12 scalars (the ANALYZE-style
@@ -949,6 +949,66 @@ object SparkEntry {
       |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Supervision-event history round-trip (SURVEY §2.A 10a): the
+    * reference Manager writes its own operational events — worker
+    * dead / started / killed — to dated log files
+    * (ToolsTraits.php:29-37, called from Manager.php:64,92);
+    * [[graft.streaming.SupervisionLog]] makes that history first-class
+    * data in the canonical log schema through a MergeTreeSink. This
+    * query exercises the persistence round trip deterministically: one
+    * supervision "run" per (source, day) — started at the day's first
+    * event, stopped at its last — derived from `events` (a bounded
+    * sources×days relation, collected driver-side like every other
+    * calibration scalar), recorded as ONE idempotent audit batch (the
+    * sink still date-partitions every row by event_date — batch
+    * granularity is a write-amplification choice, not a layout one),
+    * read back, and re-aggregated per source.
+    * The oracle recomputes the same summary straight from `events`, so
+    * schema mapping, date partitioning, and the write/read path must
+    * preserve every supervision row to match. The LIVE wiring
+    * (TailManager → SupervisionLog on restart/shutdown) is spec-tested
+    * in StreamingSpec.
+    */
+  private def supervisionEvents(s: SparkSession, dir: String): DataFrame = {
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+    val tmp = java.nio.file.Paths.get(scratch, "graft_supervision").toAbsolutePath.toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val hfs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (hfs.exists(root)) hfs.delete(root, true) // fresh store per run
+    val log = new graft.streaming.SupervisionLog(graft.sinks.MergeTreeSink(tmp))
+    val runs = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(min("ts").as("t0"), max("ts").as("t1"))
+      .collect()
+    val rows = runs.toSeq
+      .sortBy(r => (r.getAs[java.sql.Date]("day").toString, r.getString(0)))
+      .flatMap { r =>
+        val src = r.getString(0)
+        val day = r.getAs[java.sql.Date]("day").toString
+        Seq(
+          (r.getAs[java.time.LocalDateTime]("t0"), src, "started", s"day=$day"),
+          (r.getAs[java.time.LocalDateTime]("t1"), src, "stopped", s"day=$day"))
+      }
+    log.recordWithKey(s, rows, "audit")
+    log.read(s)
+      .where(col("logger") === "manager")
+      .groupBy(col("name").as("source"))
+      .agg(
+        sum(when(col("message") === "worker started", 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("message") === "worker stopped", 1L).otherwise(0L)).as("n_stops"),
+        min(when(col("message") === "worker started", col("created_at"))).as("first_start"),
+        max(when(col("message") === "worker stopped", col("created_at"))).as("last_stop"))
+      .orderBy("source")
+  }
+
+  private val supervisionEventsSql =
+    """SELECT event_type AS source,
+      |       count(DISTINCT CAST(ts AS DATE)) AS n_starts,
+      |       count(DISTINCT CAST(ts AS DATE)) AS n_stops,
+      |       min(ts) AS first_start,
+      |       max(ts) AS last_stop
+      |FROM events GROUP BY 1 ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- //
   // B. LLM-data-pipeline operators (SURVEY §2.B)                      //
@@ -2487,8 +2547,9 @@ object SparkEntry {
       |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
       |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
 
-  /** Blocked edit-distance record linkage (PassJoin segment signatures,
-    * graft.ops.FuzzyJoin): customer ids fuzzy-matched to supplier ids at
+  /** Blocked edit-distance record linkage (SURVEY §2 B106; PassJoin
+    * segment signatures, graft.ops.FuzzyJoin): customer ids fuzzy-matched
+    * to supplier ids at
     * levenshtein <= 1 — an equi join on short segment keys, never the
     * cross product the naive predicate plans. The shared "Customer#"/
     * "Supplier#" prefixes are stripped BEFORE the join: constant
@@ -2525,7 +2586,8 @@ object SparkEntry {
       |WHERE levenshtein(cid, sid) <= 1
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
-  /** Int8 scalar-quantized ANN (graft.sim.Quantized): candidates scored
+  /** Int8 scalar-quantized ANN (SURVEY §2 B25a; graft.sim.Quantized):
+    * candidates scored
     * on 4x-smaller quantized vectors, shortlist re-ranked at full
     * precision — emitted sims are true cosine, so the shared
     * `annPrecisionSql` re-derives them exactly.
@@ -2539,7 +2601,8 @@ object SparkEntry {
       .orderBy("q", "rank")
   }
 
-  /** Temperature-scaled language rebalance (alpha = 0.5): target shares
+  /** Temperature-scaled language rebalance (SURVEY §2 B49a; alpha = 0.5):
+    * target shares
     * ∝ n^alpha — the multilingual upsample-the-tail mix. The oracle
     * recomputes counts → shares → hash thresholds with the same MD5
     * bucket hash, so selection matches row for row.
@@ -2560,7 +2623,8 @@ object SparkEntry {
       |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < thr.thr
       |ORDER BY d.doc_id""".stripMargin
 
-  /** DEFLATE compression ratio (native `deflate_size` expression) — the
+  /** DEFLATE compression ratio (SURVEY §2 B54a; native `deflate_size`
+    * expression) — the
     * LZ77-aware quality signal `byte_entropy` cannot see. zlib is not
     * re-runnable in SQL, so the oracle is precision-style: byte length
     * re-derived exactly, the compressed size held to hard information
@@ -2583,8 +2647,9 @@ object SparkEntry {
       |  AND g.ratio = round(CAST(g.deflate_len AS DOUBLE) / g.n_bytes, 4)
       |ORDER BY g.doc_id""".stripMargin
 
-  /** Inverted index with delta-encoded postings — the retrieval-side
-    * export (BM25/decontain lookups read this shape): term → document
+  /** Inverted index with delta-encoded postings (SURVEY §2 B107) — the
+    * retrieval-side export (BM25/decontain lookups read this shape):
+    * term → document
     * frequency + ascending doc-id gaps (the classic compressed posting
     * list; gaps are what varint/PForDelta codecs then pack). One
     * explode + one aggregation, partial-agg friendly; gaps are derived
@@ -2933,31 +2998,41 @@ object SparkEntry {
   /** PMI collocations — corpus-linguistics mining (multi-word
     * expressions for tokenizer/vocab decisions): pointwise mutual
     * information over adjacent token pairs, `ln(c_ab·N / (c_a·c_b))`.
-    * ONE corpus scan: the bigram pair-count table (vocab²-bounded,
-    * corpus-independent size) is the only thing derived from
-    * `documents`; unigram margins are its row/column sums
-    * (Σ_w2 c(w1,w2) = c(w1) exactly, since every bigram occurrence
-    * lands in exactly one pair bucket) and N is Σc — so at 100 TB the
-    * corpus is read once, then all further aggs run over a KB–MB
-    * pair table. That table is cached (the scalar-N action
-    * materializes it; the returned lazy plan reuses it). Top-k on the
-    * ROUNDED score plans as TakeOrderedAndProject; the integer ratio
-    * is formed before the single ln, so both engines round the same
-    * double.
+    * ONE corpus scan, one lazy plan: the bigram pair-count aggregation
+    * is the only thing derived from `documents`; unigram margins are
+    * its row/column sums (Σ_w2 c(w1,w2) = c(w1) exactly, since every
+    * bigram occurrence lands in exactly one pair bucket), and N rides
+    * the VOCAB-sized w1-marginal as a global window (vocab plateaus
+    * with corpus growth — the same bounded-relation window class as
+    * mutual_info's cells). The three consumers of the pair table (the
+    * c≥5 survivors and the two marginals) sit on an identical
+    * aggregation subtree, so ReuseExchange materializes its shuffle
+    * once — no persist (an earlier version cached the pair table for
+    * a scalar-N collect; the cache outlived the query and poisoned
+    * back-to-back sessions). Top-k on the ROUNDED score plans as
+    * TakeOrderedAndProject; the integer ratio is formed before the
+    * single ln, so both engines round the same double.
     */
   private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents").select(split(col("text"), " ").as("tk"))
     val bg = toks.select(posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as(Seq("i", "w1")),
         col("tk"))
       .select(col("w1"), expr("tk[i + 1]").as("w2"))
-    val cbAll = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
-    val nTotal = cbAll.agg(sum("c")).head.getLong(0)
+      // semantically a no-op (split tokens are never null) but load-
+      // bearing for the plan: the c>=5 branch joins on both columns and
+      // picks up inferred isnotnull filters the marginal branches lack,
+      // which would break subtree identity and with it AQE stage reuse
+      // — i.e. the corpus would be scanned three times instead of once
+      .where(col("w1").isNotNull && col("w2").isNotNull)
+    val cbAll = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val cb = cbAll.where(col("c") >= 5)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val u1 = cbAll.groupBy("w1").agg(sum("c").as("c1"))
+      .withColumn("n_total", sum("c1").over(wAll))
     val u2 = cbAll.groupBy("w2").agg(sum("c").as("c2"))
     cb.join(u1, "w1").join(u2, "w2")
       .select(col("w1"), col("w2"), col("c"),
-        round(log(col("c") * lit(nTotal) / (col("c1") * col("c2"))), 4).as("pmi"))
+        round(log(col("c") * col("n_total") / (col("c1") * col("c2"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(20)
   }
@@ -3158,7 +3233,7 @@ object SparkEntry {
   }
 
   private val userErasureSql =
-    """WITH t(user_id) AS (VALUES (7), (13), (42)),
+    """WITH t(user_id) AS (VALUES (CAST(7 AS BIGINT)), (CAST(13 AS BIGINT)), (CAST(42 AS BIGINT))),
       |erased AS (SELECT * FROM events WHERE user_id NOT IN (7, 13, 42)),
       |b AS (SELECT user_id, count(*) rows_before FROM events WHERE user_id IN (7, 13, 42) GROUP BY 1),
       |a AS (SELECT user_id, count(*) rows_after FROM erased WHERE user_id IN (7, 13, 42) GROUP BY 1)
@@ -4190,7 +4265,7 @@ object SparkEntry {
       |ORDER BY day""".stripMargin
 
   /** Mutual information between two categorical columns (SURVEY §2
-    * B96): how much knowing a document's source tells you about its
+    * B102): how much knowing a document's source tells you about its
     * language — the dependence scan run before trusting a stratified
     * sampler's independence assumptions. One partial-agg pass builds
     * the |X|x|Y| contingency cells; marginals and the total are
@@ -4242,7 +4317,7 @@ object SparkEntry {
       |FROM p ORDER BY source, lang""".stripMargin
 
   /** Herfindahl–Hirschman concentration index per event type (SURVEY
-    * §2 B97): is an event stream driven by a broad base or a handful
+    * §2 B103): is an event stream driven by a broad base or a handful
     * of power users — the concentration audit run on a corpus before
     * trusting per-source counts (a source where one crawler session
     * contributes 40% of documents is one bad seed away from garbage).
@@ -4284,7 +4359,7 @@ object SparkEntry {
       |       round(CAST(max_cnt AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS top_share
       |FROM a ORDER BY event_type""".stripMargin
 
-  /** Benford first-digit audit over monetary columns (SURVEY §2 B98):
+  /** Benford first-digit audit over monetary columns (SURVEY §2 B104):
     * organic numeric populations spanning orders of magnitude follow
     * P(d) = log10(1 + 1/d); synthetic or truncated data does not, so
     * the digit histogram is a one-pass fabrication/cap detector for
@@ -4341,7 +4416,7 @@ object SparkEntry {
       |             (exp_frac * CAST(total AS DOUBLE)), 6) AS chi2_term
       |FROM w ORDER BY col_name, digit""".stripMargin
 
-  /** Cumulative distinct-user growth curve (SURVEY §2 B99): first-seen
+  /** Cumulative distinct-user growth curve (SURVEY §2 B105): first-seen
     * day per user → new users per day → running total, the
     * user-acquisition curve every DAU dashboard opens with. Distinct
     * days is date-range-sized, so after the two user-keyed partial
@@ -4393,6 +4468,7 @@ object SparkEntry {
     "q5_join" -> Q(q5Join, Some(q5JoinSql)),
     "sink_roundtrip" -> Q(sinkRoundtrip, Some(sinkRoundtripSql)),
     "sink_replacing" -> Q(sinkReplacing, Some(sinkReplacingSql)),
+    "supervision_events" -> Q(supervisionEvents, Some(supervisionEventsSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_normalized" -> Q(dedupNormalized, Some(dedupNormalizedSql)),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard, Some(dedupNgramJaccardSql)),

@@ -19,38 +19,64 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    listing while the checkpoint keeps already-read files);
   *  - not yet started → start.
   */
-final class TailManager(pipelines: Seq[TailPipeline]) {
+final class TailManager(pipelines: Seq[TailPipeline],
+                        supervisionLog: Option[SupervisionLog] = None) {
 
   private val queries = mutable.Map.empty[String, StreamingQuery]
   private val startedDay = mutable.Map.empty[String, LocalDate]
 
   def activeQueries: Map[String, StreamingQuery] = queries.toMap
 
-  /** One supervision pass; returns the names (re)started. */
-  def superviseOnce(today: LocalDate): Seq[String] = pipelines.flatMap { p =>
-    val name = p.cfg.name
-    val dead = queries.get(name).exists(!_.isActive)
-    val rolled = graft.sources.DatePath.isDaily(p.inputPath) && startedDay.get(name).exists(_ != today)
-    queries.get(name) match {
-      case Some(q) if rolled && q.isActive => p.stopGracefully(q); queries.remove(name)
-      case _ if dead => queries.remove(name)
-      case _ => ()
+  private def logEvents(rows: Seq[(String, String, String)]): Unit =
+    supervisionLog.foreach { log =>
+      pipelines.headOption.foreach { p =>
+        val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        log.record(p.spark, rows.map { case (n, e, d) => (now, n, e, d) })
+      }
     }
-    if (!queries.contains(name)) {
-      queries(name) = p.start(today)
-      startedDay(name) = today
-      Some(name)
-    } else None
+
+  /** One supervision pass; returns the names (re)started. Each action
+    * is recorded to the supervision log (when wired) as ONE batch per
+    * pass — started / restarted-dead / restarted-rollover, the exact
+    * event set the reference Manager writes to its dated log files
+    * (Manager.php:64,92 via ToolsTraits.php:29-37).
+    */
+  def superviseOnce(today: LocalDate): Seq[String] = {
+    val actions = pipelines.flatMap { p =>
+      val name = p.cfg.name
+      val dead = queries.get(name).exists(!_.isActive)
+      val rolled = graft.sources.DatePath.isDaily(p.inputPath) && startedDay.get(name).exists(_ != today)
+      queries.get(name) match {
+        case Some(q) if rolled && q.isActive => p.stopGracefully(q); queries.remove(name)
+        case _ if dead => queries.remove(name)
+        case _ => ()
+      }
+      if (!queries.contains(name)) {
+        queries(name) = p.start(today)
+        val event =
+          if (dead) "restarted-dead"
+          else if (rolled) "restarted-rollover"
+          else "started"
+        startedDay(name) = today
+        Some((name, event, s"day=$today"))
+      } else None
+    }
+    logEvents(actions)
+    actions.map(_._1)
   }
 
   /** Graceful shutdown of every source with final flush (reference
     * Manager.php stopProcess + ToolsTraits.php:48-54).
     */
   def shutdown(): Unit = {
-    pipelines.foreach { p =>
-      queries.get(p.cfg.name).filter(_.isActive).foreach(p.stopGracefully)
+    val stopped = pipelines.flatMap { p =>
+      queries.get(p.cfg.name).filter(_.isActive).map { q =>
+        p.stopGracefully(q)
+        (p.cfg.name, "stopped", "graceful shutdown")
+      }
     }
     queries.clear()
+    logEvents(stopped)
   }
 
   /** Wire [[shutdown]] to JVM termination — the analog of the

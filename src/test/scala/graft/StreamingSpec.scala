@@ -632,6 +632,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("supervision log persists manager lifecycle events as queryable MergeTree rows") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.SupervisionLog
+    val base = tmp("sup")
+    val in = tmp("sup_in")
+    val dataSink = MergeTreeSink(base.resolve("out").toString)
+    val supSink = MergeTreeSink(base.resolve("supervision").toString)
+    val supLog = new SupervisionLog(supSink, repo = "api2", host = "testhost")
+    val pipe = TailPipeline(spark, TailConfig("supd", "api2"), in.toString,
+      base.resolve("ck").toString, dataSink)
+    val mgr = new TailManager(Seq(pipe), Some(supLog))
+    val day = LocalDate.of(2024, 1, 1)
+
+    assert(mgr.superviseOnce(day) == Seq("supd"))
+    // a pass that changes nothing writes nothing
+    assert(mgr.superviseOnce(day).isEmpty)
+    // dead worker → restarted-dead at WARNING (the alertable row)
+    mgr.activeQueries("supd").stop()
+    assert(mgr.superviseOnce(day) == Seq("supd"))
+    mgr.shutdown()
+
+    val hist = supLog.read(spark).orderBy("created_at", "message")
+    val rows = hist.select("logger", "level", "message", "name", "repo", "host")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.map(_._3).sorted.toSeq ==
+      Seq("worker restarted-dead", "worker started", "worker stopped"))
+    assert(rows.forall(_._1 == "manager"))
+    assert(rows.forall(_._4 == "supd"))
+    assert(rows.collect { case (_, lvl, "worker restarted-dead", _) => lvl }.toSeq == Seq("WARNING"))
+    assert(rows.collect { case (_, lvl, "worker started", _) => lvl }.toSeq == Seq("INFO"))
+    // the history is in the canonical log schema: any registry-style
+    // log-analytics query runs on it unchanged
+    assert(hist.columns.toSet.intersect(
+      Set("created_at", "logger", "level", "message", "context", "repo", "name", "host"))
+      .size == 8)
+    val warned = hist.where(col("level") === "WARNING").count()
+    assert(warned == 1)
+  }
+
   test("heartbeat loss alerts on the silent source via event-time timeout, resumes cleanly") {
     import graft.streaming.StreamingHeartbeat
     import graft.streaming.StreamingHeartbeat.{Beat, SilenceAlert}
