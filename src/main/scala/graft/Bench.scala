@@ -143,7 +143,9 @@ object Bench {
     // only the slowest queries.
     val fullQs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$fullQs,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"runs_per_query":$nRuns,"cpus":$cpus,"sf":"$sfDir"}"""
-    val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a BENCH_ONLY subset run must not clobber the full-surface artifact
+    val defaultOut = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FULL_subset.json"
+    val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }

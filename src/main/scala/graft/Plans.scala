@@ -68,7 +68,7 @@ object Plans {
       "table_stats" -> "all five columns' nulls/HLL-ndv/min/max in ONE scan's partial agg; stack() unpivot runs on the 1-row result",
       "data_quality_audit" -> "range rules fold into one conditional-agg scan per table; referential rules are LEFT ANTI joins with the dim side broadcast",
       "snapshot_diff" -> "FULL OUTER key join (single shuffle, co-locatable when snapshots are bucketed) + grouped classification counts",
-      "pmi_collocations" -> "pair-count partial agg; vocab-sized unigram sides broadcast back; top-k on the rounded score is TakeOrderedAndProject",
+      "pmi_collocations" -> "ONE corpus scan: the pair-count exchange is materialized once and ReusedExchange feeds both unigram marginals (AQE stage reuse; kept identical by an explicit null pre-filter); N rides the vocab-sized marginal as a bounded window; top-k is TakeOrderedAndProject",
       "fuzzy_join_names" -> "PassJoin segment index: equi hash join on (segment, substring) keys, bounded levenshtein verify — no cartesian anywhere",
       "basket_pairs" -> "within-order pair self-join: both sides shuffle on the order key, candidate volume bounded by basket size; top-k is TakeOrderedAndProject",
       "winsorize_bounds" -> "groups-sized percentile bounds broadcast back onto the fact scan; tail counts are conditional partial aggs",
@@ -98,7 +98,12 @@ object Plans {
       "ann_ivfpq" -> "coded (id, cell, codes) index in one row-local pass; probe cells join as a broadcast literal relation; ADC lookups + broadcast shortlist re-rank — corpus touched only in the probed cells",
       "stats_incremental" -> "per-shard partial-agg summaries (KB HLL sketches) folded by a shard-count-sized merge agg; no second data scan",
       "rfm_scores" -> "one customer-keyed partial agg; quintile thresholds are collected scalars, scoring is row-local comparisons — no global ntile window",
-      "text_readability" -> "three row-local regexp counts; the only exchange is the gate ORDER BY")
+      "text_readability" -> "three row-local regexp counts; the only exchange is the gate ORDER BY",
+      "dedup_semantic_hier" -> "hierarchical assignment: literal super-cell argmax + EQUI broadcast join to member-centroid arrays (no nested-loop join); ids-sized merge exchange for multi-probe; the SemDedup tail is unchanged (id-only candidates, exact verify)",
+      "mix_epochs" -> "row-local copy-count arithmetic + sequence explode: zero shuffles before the gate ORDER BY — upsampling never shuffles the corpus",
+      "k_anonymity" -> "one quasi-identifier partial agg; the k-band histogram aggregates the GROUPS-sized relation",
+      "text_dup_windows" -> "positional shingle pass -> window-hash partial agg -> hash-keyed join back; per-doc rollup on the doc key — d occurrences cost d rows, never d-squared pairs",
+      "supervision_events" -> "driver-sized (source, day) collect feeds one idempotent sink batch; the read-back aggregates the canonical log schema on the name key")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

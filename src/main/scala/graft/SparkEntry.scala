@@ -1634,6 +1634,28 @@ object SparkEntry {
 
   private val dedupSemanticSql = cosinePrecisionSql
 
+  /** Semantic dedup through the HIERARCHICAL coarse-quantized cell
+    * assignment (SURVEY §2 B24b) — the regime past
+    * `IvfAnn.LiteralAssignMaxCells` where centroids no longer inline
+    * as codegen literals: corpus vectors literal-assign to a few
+    * super-cells, an equi broadcast join attaches the member-centroid
+    * arrays, the argmax runs over members only. Forced here at small
+    * scale (4 super-cells over 16 cells) so the oracle gate exercises
+    * the same code path a 10⁵-cell corpus would take; emitted pairs
+    * still carry TRUE cosine (exact verify), so the shared precision
+    * oracle re-derives every similarity. Exactness at full super-probe
+    * and agreement bounds vs the literal path are DedupSpec asserts.
+    */
+  private def dedupSemanticHier(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec"))
+    val cs = graft.sim.IvfAnn.train(emb, 16)
+    graft.dedup.SemDedup.pairsWith(emb, cs, minCosine = 0.4, probes = 2,
+        assigner = graft.sim.IvfAnn.assignHierarchical(_, _, _, superCells = 4, superProbes = 2))
+      .orderBy("a", "b")
+  }
+
+  private val dedupSemanticHierSql = cosinePrecisionSql
+
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
@@ -2622,6 +2644,114 @@ object SparkEntry {
       |FROM documents d JOIN thr USING (lang)
       |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < thr.thr
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-document repeated-window duplication scoring (SURVEY §2
+    * B109): what FRACTION of each document's 8-token windows occurs
+    * elsewhere in the corpus — the per-doc coverage signal of exact
+    * substring duplication (Lee et al. 2022 dedup the repeated spans;
+    * this scores how much of a doc they cover, the filter-threshold
+    * input). `boilerplate_spans` names the top offenders; this grades
+    * every document. One positional-ShingleHashes pass (window count =
+    * token count, like tokenization), one partial-agg shuffle on
+    * 8-byte window hashes for global occurrence counts, one hash-keyed
+    * join back — a window repeated d times costs d rows, never d²
+    * pairs. Docs under 8 tokens have no windows and are absent (both
+    * engines derive this from the same range construction). The oracle
+    * regroups STRING windows — hash counts match modulo the repo-wide
+    * accepted xxhash64-collision caveat.
+    */
+  private def textDupWindows(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.positional(col("text"), 8)).as("h"))
+    val occ = pos.groupBy("h").agg(count(lit(1)).as("occ"))
+    pos.join(occ, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_windows").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val textDupWindowsSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+      |w AS (SELECT doc_id,
+      |             unnest([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, len(tk) - 6)]) AS g
+      |      FROM toks),
+      |occ AS (SELECT g, count(*) AS occ FROM w GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_windows,
+      |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+      |FROM w JOIN occ USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Repetition-budget mix materialization (SURVEY §2 B49b;
+    * graft.data.Mix.epochsSample): the UPSAMPLING half of mix
+    * execution — B49/B49a can only remove rows, but real pretraining
+    * mixes REPEAT scarce high-quality groups (epochs 2.5 means every
+    * doc twice plus a deterministic half of docs a third time). The
+    * oracle rebuilds copy counts from the same MD5 bucket hash and
+    * unnests a range, so floor-copies, the fractional hash cut, and
+    * the 0-based copy indexing must all match row for row.
+    */
+  private def mixEpochs(s: SparkSession, dir: String): DataFrame =
+    graft.data.Mix.epochsSample(t(s, dir, "documents"), "doc_id", "lang",
+      Seq("en" -> 1.0, "de" -> 2.5, "es" -> 3.2, "fr" -> 2.0, "zh" -> 4.0))
+      .select("doc_id", "lang", "copy")
+      .orderBy("doc_id", "copy")
+
+  private val mixEpochsSql =
+    """WITH e(lang, ep) AS (VALUES
+      |  ('en', CAST(1.0 AS DOUBLE)), ('de', CAST(2.5 AS DOUBLE)),
+      |  ('es', CAST(3.2 AS DOUBLE)), ('fr', CAST(2.0 AS DOUBLE)),
+      |  ('zh', CAST(4.0 AS DOUBLE))),
+      |b AS (
+      |  SELECT d.doc_id, d.lang,
+      |         CAST(floor(e.ep) AS BIGINT) +
+      |         CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+      |                   < floor((e.ep - floor(e.ep)) * 1000) THEN 1 ELSE 0 END AS copies
+      |  FROM documents d JOIN e USING (lang))
+      |SELECT doc_id, lang, unnest(range(copies)) AS copy
+      |FROM b WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin
+
+  /** k-anonymity profile over quasi-identifiers (SURVEY §2 B108): how
+    * re-identifiable is a release of (source, lang, length-band)
+    * metadata — the privacy audit run BEFORE publishing a data card or
+    * per-group statistics. Every row's quasi-identifier group size k
+    * is one partial-agg pass; the k-band histogram is a second agg
+    * over the GROUPS-sized relation. Rows in k=1 groups are unique in
+    * the release (the re-identification risk k-anonymity counts);
+    * BIGINT sums cast before emission (the HUGEINT-oracle discipline).
+    */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"),
+        expr("CAST(floor(size(split(text, ' ')) / 20.0) AS INT)").as("len_band"))
+      .agg(count(lit(1)).as("k"))
+    groups
+      .select(
+        when(col("k") === 1, "1").when(col("k") < 5, "2-4")
+          .when(col("k") < 10, "5-9").otherwise("10+").as("k_band"),
+        col("k"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_groups"), sum("k").as("n_rows"))
+      .orderBy("k_band")
+  }
+
+  private val kAnonymitySql =
+    """WITH g AS (
+      |  SELECT source, lang,
+      |         CAST(floor(len(string_split(text, ' ')) / 20.0) AS INT) AS len_band,
+      |         count(*) AS k
+      |  FROM documents GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+      |              WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_band, k
+      |  FROM g)
+      |SELECT k_band, count(*) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows
+      |FROM b GROUP BY 1 ORDER BY k_band""".stripMargin
 
   /** DEFLATE compression ratio (SURVEY §2 B54a; native `deflate_size`
     * expression) — the
@@ -4141,16 +4271,17 @@ object SparkEntry {
     * a ≤10-source df cap on the gram (stop-phrases out — the
     * containment-dedup scale control; pair work per gram is then ≤
     * C(10,2), linear in grams overall), pairs from one self-equi-join
-    * on the gram. Grams travel as strings here because the oracle
-    * regroups them in SQL; the hashed `shingle_hashes` kernel is the
-    * scale path (same plan shape).
+    * on the gram. Grams travel as 8-byte `shingle_hashes` values (one
+    * codegen pass, no gram-string materialization — the dedup family's
+    * hot kernel), so every exchange and the join key are fixed-width
+    * longs; the oracle regroups the STRING grams in SQL, which counts
+    * identically because hashing distinct grams preserves distinct
+    * counts (the repo-wide accepted xxhash64-collision caveat).
     */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val grams = t(s, dir, "documents")
-      .select(col("source"), explode(array_distinct(expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),
-          |          i -> concat_ws(' ', slice(split(text, ' '), i, 4)))""".stripMargin)))
-        .as("g"))
+      .select(col("source"),
+        explode(graft.functions.ShingleHashes(col("text"), 4)).as("g"))
       .distinct()
     val rare = grams.groupBy("g").agg(count(lit(1)).as("ns")).where(col("ns") <= 10)
     val capped = grams.join(rare.select("g"), "g")
@@ -4498,6 +4629,7 @@ object SparkEntry {
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
     "dedup_cosine_lsh" -> Q(dedupCosineLsh, Some(dedupCosineLshSql)),
     "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)),
+    "dedup_semantic_hier" -> Q(dedupSemanticHier, Some(dedupSemanticHierSql)),
     "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),
     "ann_lsh" -> Q(annLsh, Some(annPrecisionSql)),
     "ann_ivf" -> Q(annIvf, Some(annPrecisionSql)),
@@ -4546,6 +4678,9 @@ object SparkEntry {
     "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
     "ann_ivfpq" -> Q(annIvfPq, Some(annPrecisionSql)),
     "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
+    "mix_epochs" -> Q(mixEpochs, Some(mixEpochsSql)),
+    "k_anonymity" -> Q(kAnonymity, Some(kAnonymitySql)),
+    "text_dup_windows" -> Q(textDupWindows, Some(textDupWindowsSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
     "inverted_index" -> Q(invertedIndex, Some(invertedIndexSql)),
     "knn_classify" -> Q(knnClassify, Some(knnClassifySql)),

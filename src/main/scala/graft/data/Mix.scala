@@ -74,6 +74,49 @@ object Mix {
     applyShares(df, keyCol, groupCol, shares, counts, buckets)
   }
 
+  /** Repetition-budget mix materialization — the UPSAMPLING
+    * counterpart to [[sample]]/[[temperatureSample]] (which can only
+    * remove rows): target EPOCHS per group (e.g. web 1.0, code 3.2 —
+    * the "repeat the high-quality sources" knob every LLM pretraining
+    * mix exposes), realized as floor(e) copies of every row plus one
+    * extra copy for a deterministic hash-selected (e − floor(e))
+    * fraction of keys. Expected copies per group are exactly e at
+    * bucket granularity, and the extra-copy set is append-stable and
+    * engine-reproducible (same MD5 bucket hash as [[Sampling]] — a
+    * key's membership never flips as other rows arrive). Groups absent
+    * from `epochs` are dropped (a mix excludes what it does not list).
+    *
+    * Row-local explode, zero shuffles at any corpus size; the emitted
+    * `copy` index (0-based) keys downstream interleaving (feed
+    * [[Sampling]]'s deterministic shuffle to spread copies apart —
+    * adjacent duplicate copies are a training-order hazard, not a
+    * mix-composition one).
+    */
+  def epochsSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      epochs: Seq[(String, Double)],
+      buckets: Int = 1000): DataFrame = {
+    require(epochs.forall(_._2 > 0), "epochs must be positive")
+    val base: Column = epochs.foldRight(lit(0L): Column) { case ((g, e), acc) =>
+      when(col(groupCol) === g, lit(math.floor(e).toLong)).otherwise(acc)
+    }
+    val fracThr: Column = epochs.foldRight(lit(0.0): Column) { case ((g, e), acc) =>
+      when(col(groupCol) === g,
+        lit(math.floor((e - math.floor(e)) * buckets))).otherwise(acc)
+    }
+    val copies = base +
+      when(pmod(Sampling.keyHash(col(keyCol)), lit(buckets.toLong)) < fracThr, 1L)
+        .otherwise(0L)
+    // copies = 0 (unlisted group, or fractional-only epoch missing the
+    // hash cut) must DROP the row: explode of the null branch does
+    // exactly that, and the guard keeps sequence() away from the
+    // descending-sequence surprise at (0, -1)
+    df.withColumn("copy",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))))
+  }
+
   private def applyShares(
       df: DataFrame,
       keyCol: String,

@@ -43,14 +43,17 @@ object SemDedup {
     * [[pairsWith]]).
     *
     * `numCells <= 0` (the default) derives the cell count from the
-    * corpus size — ⌈n / TargetCellSize⌉ clamped to [4, 4096] — so the
-    * obvious API keeps candidate volume ~linear as the corpus grows
-    * instead of silently inheriting a fixed-k n²/k blowup; the one
-    * extra count job is the price of the safe default. The 4096 upper
-    * clamp is the literal-centroid-array assignment regime
-    * (numCells×dim literals codegen'd per row); beyond that, cell
-    * assignment should move to a broadcast-join argmin — a documented
-    * scale boundary, not a silent one.
+    * corpus size — ⌈n / TargetCellSize⌉ clamped to [4, 262144] — so
+    * the obvious API keeps candidate volume ~linear as the corpus
+    * grows instead of silently inheriting a fixed-k n²/k blowup; the
+    * one extra count job is the price of the safe default. Past
+    * `IvfAnn.LiteralAssignMaxCells` (4096), [[IvfAnn.assign]]
+    * auto-routes to the hierarchical coarse-quantized path
+    * ([[IvfAnn.assignHierarchical]]) — the former 4096 clamp was the
+    * literal-codegen boundary, now a regime switch instead of a cap
+    * (the adaptive default covers ~134M embeddings at the paper's
+    * 512/cell before the 262144 guard binds; explicit `numCells` goes
+    * higher).
     */
   def pairs(
       embeddings: DataFrame, // (id, vec array<double>)
@@ -62,7 +65,7 @@ object SemDedup {
       if (numCells > 0) numCells
       else {
         val n = embeddings.count()
-        math.min(4096L, math.max(4L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
+        math.min(262144L, math.max(4L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
       }
     pairsWith(embeddings, IvfAnn.train(embeddings, cells, iters), minCosine, probes)
   }
@@ -82,8 +85,9 @@ object SemDedup {
       embeddings: DataFrame,
       centroids: IvfAnn.Centroids,
       minCosine: Double,
-      probes: Int = 2): DataFrame = {
-    val cells = IvfAnn.assign(embeddings, centroids, probes)
+      probes: Int = 2,
+      assigner: (DataFrame, IvfAnn.Centroids, Int) => DataFrame = IvfAnn.assign(_, _, _)): DataFrame = {
+    val cells = assigner(embeddings, centroids, probes)
     val cand = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

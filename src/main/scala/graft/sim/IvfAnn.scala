@@ -77,7 +77,9 @@ object IvfAnn {
     * cluster-bounded candidate generation.
     */
   def assign(corpus: DataFrame, cs: Centroids, probes: Int = 1): DataFrame =
-    if (probes <= 1) corpus.select(col("id"), nearestCell(col("vec"), cs).as("cell"))
+    if (cs.cells.length > LiteralAssignMaxCells)
+      assignHierarchical(corpus, cs, probes)
+    else if (probes <= 1) corpus.select(col("id"), nearestCell(col("vec"), cs).as("cell"))
     else {
       // sort (score, -cid) ascending, take the top `probes` from the
       // tail — ties break to the lowest cid, like nearestCell
@@ -92,10 +94,161 @@ object IvfAnn {
           x => -x.getField("col2"))).as("cell"))
     }
 
+  /** Boundary of the literal-centroid assignment regime: beyond this
+    * the inlined numCells×dim literal array stresses codegen (constant
+    * pool / 64KB method limits) and [[assign]] auto-routes to the
+    * hierarchical path.
+    */
+  val LiteralAssignMaxCells = 4096
+
+  /** Two-level (coarse-quantized) cell assignment — the scale path
+    * past the literal-centroid regime, the same shape FAISS's IMI /
+    * coarse-quantizer composition uses for 10⁵⁺ cells:
+    *
+    *  1. the CENTROID SET is itself k-means-clustered into
+    *     `superCells` super-cells — driver-side Lloyd's over
+    *     numCells×dim doubles (KB–MB at any realistic cell count; no
+    *     Spark job);
+    *  2. each corpus vector literal-assigns to its `superProbes`
+    *     nearest super-centroids (≤ a few hundred literals — always
+    *     inside the literal regime by construction);
+    *  3. an EQUI broadcast join on the super-cell id attaches that
+    *     super-cell's member-centroid array (never a nested-loop
+    *     join), and the row-local argmax runs over members only —
+    *     ~numCells/superCells dot products per probe instead of
+    *     numCells.
+    *
+    * `superProbes` bounds the approximation: a vector whose true
+    * nearest centroid lives in a non-probed super-cell gets its best
+    * PROBED centroid instead (the classic coarse-quantization miss;
+    * `superProbes = superCells` is exact — spec-tested). Cost shape:
+    * hard super-assignment (`superProbes = 1`) stays a zero-shuffle
+    * row-local map like the literal path; `superProbes > 1` adds ONE
+    * ids-sized exchange (per-probe local top-`probes` structs are
+    * merged per id) — candidates still ride ids-only shuffles.
+    * Empty super-cells are dropped after the driver-side clustering,
+    * so every probed super-cell has members and the inner join loses
+    * no vectors.
+    */
+  def assignHierarchical(
+      corpus: DataFrame,
+      cs: Centroids,
+      probes: Int = 1,
+      superCells: Int = 64,
+      superProbes: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (superCs, membership) = clusterCentroids(cs, superCells)
+    val memberDf = membership.toSeq
+      .map { case (scid, members) =>
+        (scid, members.map { case (cid, v) =>
+          var n = 0.0; v.foreach(x => n += x * x)
+          (cid, v.toSeq, math.sqrt(n))
+        }.toSeq)
+      }
+      .toDF("scell", "members")
+      .select(col("scell"), col("members").cast(
+        "array<struct<cid:int,cvec:array<double>,cn:double>>").as("members"))
+
+    val sp = math.min(superProbes, superCs.cells.length)
+    val probed =
+      if (sp <= 1)
+        corpus.select(col("id"), col("vec"), nearestCell(col("vec"), superCs).as("scell"))
+      else {
+        val scored = transform(inlineCentroids(superCs), c =>
+          struct(
+            Cosine.dot(col("vec"), c.getField("cvec")) / c.getField("cn"),
+            -c.getField("cid")))
+        corpus.select(col("id"), col("vec"),
+          explode(transform(
+            slice(reverse(array_sort(scored)), 1, sp),
+            x => -x.getField("col2"))).as("scell"))
+      }
+
+    // row-local top-`probes` member cells within the probed super-cell:
+    // (score, -cid) structs sorted descending, like the literal path
+    val localTop = probed.join(broadcast(memberDf), "scell")
+      .select(col("id"),
+        slice(reverse(array_sort(transform(col("members"), c =>
+          struct(
+            Cosine.dot(col("vec"), c.getField("cvec")) / c.getField("cn"),
+            -c.getField("cid"))))), 1, probes).as("top"))
+
+    if (sp <= 1)
+      localTop.select(col("id"),
+        explode(transform(col("top"), x => -x.getField("col2"))).as("cell"))
+    else
+      localTop.groupBy("id")
+        .agg(flatten(collect_list(col("top"))).as("tops"))
+        .select(col("id"),
+          explode(transform(
+            slice(reverse(array_sort(col("tops"))), 1, probes),
+            x => -x.getField("col2"))).as("cell"))
+  }
+
+  /** Driver-side Lloyd's over the centroid SET (numCells points — tiny
+    * by construction): returns the surviving super-centroids (empty
+    * super-cells dropped, ids re-packed) and the member centroids per
+    * super-cell. Deterministic: seeds are the `k` lowest-cid
+    * centroids, ties in assignment break to the lowest super-cid.
+    */
+  private def clusterCentroids(cs: Centroids, k: Int, iters: Int = 3)
+      : (Centroids, Map[Int, Array[(Int, Array[Double])]]) = {
+    val pts = cs.cells.sortBy(_._1)
+    val kk = math.min(k, pts.length)
+    var sup: Array[Array[Double]] = pts.take(kk).map(_._2.clone())
+    def nrm(v: Array[Double]): Double = { var n = 0.0; v.foreach(x => n += x * x); math.sqrt(n) }
+    def best(v: Array[Double]): Int = {
+      var bi = 0; var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < sup.length) {
+        val s = sup(i)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += v(j) * s(j); j += 1 }
+        val den = nrm(s)
+        val score = if (den == 0.0) 0.0 else d / den
+        if (score > bs) { bs = score; bi = i }
+        i += 1
+      }
+      bi
+    }
+    var asg: Array[Int] = pts.map(p => best(p._2))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](pts.head._2.length))
+      val cnts = new Array[Int](kk)
+      pts.indices.foreach { i =>
+        val a = asg(i); cnts(a) += 1
+        var j = 0
+        while (j < pts(i)._2.length) { sums(a)(j) += pts(i)._2(j); j += 1 }
+      }
+      sup = sup.indices.map { a =>
+        if (cnts(a) == 0) sup(a)
+        else { val m = sums(a); var j = 0; while (j < m.length) { m(j) /= cnts(a); j += 1 }; m }
+      }.toArray
+      asg = pts.map(p => best(p._2))
+      it += 1
+    }
+    val byCell = pts.indices.groupBy(asg(_))
+    val live = byCell.keys.toSeq.sorted // drop empty super-cells
+    val remap = live.zipWithIndex.toMap
+    val superCs = Centroids(live.map(a => (remap(a), sup(a))).toArray)
+    val members = byCell.map { case (a, idxs) => (remap(a), idxs.map(pts(_)).toArray) }
+    (superCs, members)
+  }
+
   /** `iters` Lloyd's iterations from a deterministic seed (the
     * numCells lowest-id vectors). iters = 0 reproduces pure seed
     * sampling — kept for the trained-vs-sampled recall comparison in
     * AnnTextSpec.
+    *
+    * Past [[LiteralAssignMaxCells]] each iteration's assignment runs
+    * through the hierarchical path (one extra id-keyed join per
+    * iteration — training inherits assignment's regime switch). The
+    * per-iteration driver collect is the MODEL itself (numCells×dim
+    * means — e.g. 262144×64 ≈ 134 MB of doubles), the same
+    * "centroids are driver data" regime the literal path already
+    * assumes.
     */
   def train(corpus: DataFrame, numCells: Int, iters: Int = 3): Centroids = {
     var centroids: Centroids = Centroids(
@@ -103,8 +256,13 @@ object IvfAnn {
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) })
     var it = 0
     while (it < iters) {
-      val means = corpus
-        .select(nearestCell(col("vec"), centroids).as("cell"), posexplode(col("vec")))
+      val assigned =
+        if (centroids.cells.length > LiteralAssignMaxCells)
+          corpus.join(assignHierarchical(corpus, centroids, 1), "id")
+            .select(col("cell"), posexplode(col("vec")))
+        else corpus
+          .select(nearestCell(col("vec"), centroids).as("cell"), posexplode(col("vec")))
+      val means = assigned
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .collect()

@@ -336,6 +336,45 @@ class DedupSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet == again, "deterministic per trained set")
   }
 
+  test("hierarchical cell assignment: exact at full super-probe, high agreement at default") {
+    import org.apache.spark.sql.functions.col
+    import graft.sim.IvfAnn
+    val e = Tables(spark, TestSpark.SfDir, "embeddings")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    val cs = IvfAnn.train(e, numCells = 16)
+    val literal = IvfAnn.assign(e, cs, 1)
+      .as[(Long, Int)].collect().toMap
+    // probing EVERY super-cell removes the coarse-quantization miss:
+    // the hierarchical argmax sees all centroids → identical assignment
+    val full = IvfAnn.assignHierarchical(e, cs, 1, superCells = 4, superProbes = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(full == literal, "full super-probe must equal the literal assignment exactly")
+    // default 2-of-4 super-probes: only boundary vectors can differ
+    val default2 = IvfAnn.assignHierarchical(e, cs, 1, superCells = 4, superProbes = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(default2.keySet == literal.keySet, "no vector may be dropped by the join")
+    val agree = literal.count { case (id, c) => default2(id) == c }.toDouble / literal.size
+    assert(agree >= 0.9, s"hierarchical default agreement $agree vs literal")
+    // soft assignment (probes=2) through the hierarchical path keeps
+    // one row per (vector, cell) and no dropped ids
+    val soft = IvfAnn.assignHierarchical(e, cs, 2, superCells = 4, superProbes = 2)
+      .as[(Long, Int)].collect()
+    assert(soft.map(_._1).distinct.length == literal.size)
+    assert(soft.groupBy(_._1).values.forall(g => g.length == 2 && g.map(_._2).distinct.length == 2))
+    // SemDedup through the hierarchical assigner: still zero false
+    // positives (exact verify), recall tracks the literal path
+    val exact = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        graft.sim.Cosine.sim(col("x.vec"), col("y.vec")).as("c"))
+      .where(col("c") >= 0.4).select("a", "b").as[(Long, Long)].collect().toSet
+    val hier = graft.dedup.SemDedup.pairsWith(e, cs, minCosine = 0.4, probes = 2,
+        assigner = IvfAnn.assignHierarchical(_, _, _, superCells = 4, superProbes = 2))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(hier.subsetOf(exact), "exact verification stage must not emit false positives")
+    assert((exact & hier).size.toDouble / exact.size >= 0.6,
+      "hierarchical-assignment recall collapsed vs the literal path")
+  }
+
   test("boilerplate spans: positional windows, first occurrence, spread, ranking") {
     import org.apache.spark.sql.functions._
     // positional (non-distinct) kernel contract: index i = window at token i

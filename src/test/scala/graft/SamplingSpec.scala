@@ -132,6 +132,36 @@ class SamplingSpec extends AnyFunSuite {
     ()
   }
 
+  test("epochs mix repeats rows to the fractional budget, deterministically, dropping unlisted") {
+    import graft.data.Mix
+    val d = docs
+    val natural = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val epochs = Seq("en" -> 1.0, "de" -> 2.5, "zh" -> 3.0)
+    val out = Mix.epochsSample(d, "doc_id", "lang", epochs)
+    val by = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // unlisted groups are excluded entirely
+    assert(by.keySet == Set("en", "de", "zh"))
+    // integer epochs are exact: every row exactly e times
+    assert(by("en") == natural("en"))
+    assert(by("zh") == 3 * natural("zh"))
+    // fractional epochs land within bucket granularity of e·n
+    val want = 2.5 * natural("de")
+    assert(math.abs(by("de") - want) <= math.max(3.0, 0.15 * want),
+      s"de copies ${by("de")} far from $want")
+    // copy indices are dense 0..copies-1 per doc
+    val perDoc = out.where(col("lang") === "de")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perDoc.forall { case (_, n, mx, mn) => mn == 0 && mx == n - 1 && (n == 2 || n == 3) })
+    // the extra-copy set is deterministic across runs
+    val a = out.select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    val b = Mix.epochsSample(d, "doc_id", "lang", epochs)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](Mix.epochsSample(d, "doc_id", "lang", Seq("en" -> 0.0)))
+    ()
+  }
+
   test("bloom filter has no false negatives and a sane false-positive rate") {
     val keys = (0 until 2000).map(i => s"key_$i")
     val bloom = graft.data.Bloom.build(keys.toDF("k"), col("k"))
