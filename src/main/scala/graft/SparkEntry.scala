@@ -2645,6 +2645,106 @@ object SparkEntry {
       |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < thr.thr
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-source exact-duplicate impact report (SURVEY §2 B111): what
+    * deduplication would actually SAVE, attributed to the source that
+    * contributed the copies — the data-card row a mix planner reads
+    * next to corpus_profile (B20 dedups; this reports). Keep-one is
+    * min-doc_id over the corpus (cross-source copies count against the
+    * source holding the copy, not the original). The Spark side keys
+    * the first-occurrence window on xxhash64(text) so the exchange
+    * moves 8-byte keys, never document bodies (ExactDedup's
+    * discipline); the oracle partitions by the text itself —
+    * equivalent modulo the repo-wide accepted collision caveat.
+    */
+  private def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("text"))).orderBy("doc_id")
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"),
+        sum(when(col("rn") > 1, octet_length(col("text")).cast("long")).otherwise(0L))
+          .as("bytes_saved"))
+      .withColumn("dup_rate",
+        round(col("n_dupes").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  private val dedupImpactSql =
+    """WITH r AS (
+      |  SELECT doc_id, source, text,
+      |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+      |       CAST(sum(CASE WHEN rn > 1 THEN strlen(text) ELSE 0 END) AS BIGINT) AS bytes_saved,
+      |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_rate
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Zipf-law fit per source (SURVEY §2 B110): OLS slope of ln(freq)
+    * on ln(rank) over each source's top-100 terms — natural language
+    * sits near slope −1, so a source whose curve is much flatter
+    * (template/boilerplate floods the mid-ranks) or steeper
+    * (degenerate repetition) is a corpus-quality flag the data card
+    * should carry. One (source, term) partial-agg shuffle; the rank
+    * window is per-source (distributed); the OLS runs over ≤100 rows
+    * per source, folded in RANK ORDER via a sorted-list aggregate on
+    * both engines (the byte_entropy ordered-summation discipline —
+    * double sums are order-dependent, so the order is pinned).
+    */
+  private def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("term"))
+    val top = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 100)
+      .select(col("source"), col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    top.groupBy("source")
+      .agg(collect_list(struct(col("rank"), col("x"), col("y"))).as("pts"))
+      .select(col("source"), array_sort(col("pts")).as("pts"))
+      .select(col("source"),
+        size(col("pts")).cast("double").as("n"),
+        expr("aggregate(pts, 0d, (a, p) -> a + p.x)").as("sx"),
+        expr("aggregate(pts, 0d, (a, p) -> a + p.y)").as("sy"),
+        expr("aggregate(pts, 0d, (a, p) -> a + p.x * p.x)").as("sxx"),
+        expr("aggregate(pts, 0d, (a, p) -> a + p.x * p.y)").as("sxy"))
+      .withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("source"), col("n").cast("long").as("n_terms"),
+        round(col("slope_raw"), 4).as("zipf_slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 4).as("intercept"))
+      .orderBy("source")
+  }
+
+  private val zipfFitSql =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT source, term, cnt,
+      |             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rank
+      |      FROM c),
+      |k AS (SELECT source, rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      |      FROM r WHERE rank <= 100),
+      |a AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+      |             list_sum(list(x ORDER BY rank)) AS sx,
+      |             list_sum(list(y ORDER BY rank)) AS sy,
+      |             list_sum(list(x * x ORDER BY rank)) AS sxx,
+      |             list_sum(list(x * y ORDER BY rank)) AS sxy
+      |      FROM k GROUP BY 1),
+      |s AS (SELECT source, n, sx, sy,
+      |             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+      |      FROM a)
+      |SELECT source, CAST(n AS BIGINT) AS n_terms,
+      |       round(slope_raw, 4) AS zipf_slope,
+      |       round((sy - slope_raw * sx) / n, 4) AS intercept
+      |FROM s ORDER BY source""".stripMargin
+
   /** Per-document repeated-window duplication scoring (SURVEY §2
     * B109): what FRACTION of each document's 8-token windows occurs
     * elsewhere in the corpus — the per-doc coverage signal of exact
@@ -4681,6 +4781,8 @@ object SparkEntry {
     "mix_epochs" -> Q(mixEpochs, Some(mixEpochsSql)),
     "k_anonymity" -> Q(kAnonymity, Some(kAnonymitySql)),
     "text_dup_windows" -> Q(textDupWindows, Some(textDupWindowsSql)),
+    "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
+    "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
     "inverted_index" -> Q(invertedIndex, Some(invertedIndexSql)),
     "knn_classify" -> Q(knnClassify, Some(knnClassifySql)),

@@ -69,6 +69,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same hygiene as Bench: a query that leaks a persist() must not
+      // bleed memory pressure into the 150+ queries after it
+      spark.catalog.clearCache()
     }
     failEmptyPrecisionDumps(spark, sfDir, outDir, selected)
     // Make each oracle self-contained: prepend CTEs binding every
