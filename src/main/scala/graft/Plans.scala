@@ -103,7 +103,9 @@ object Plans {
       "mix_epochs" -> "row-local copy-count arithmetic + sequence explode: zero shuffles before the gate ORDER BY — upsampling never shuffles the corpus",
       "k_anonymity" -> "one quasi-identifier partial agg; the k-band histogram aggregates the GROUPS-sized relation",
       "text_dup_windows" -> "positional shingle pass -> window-hash partial agg -> hash-keyed join back; per-doc rollup on the doc key — d occurrences cost d rows, never d-squared pairs",
-      "supervision_events" -> "driver-sized (source, day) collect feeds one idempotent sink batch; the read-back aggregates the canonical log schema on the name key")
+      "supervision_events" -> "driver-sized (source, day) collect feeds one idempotent sink batch; the read-back aggregates the canonical log schema on the name key",
+      "zipf_fit" -> "term-count partial agg -> custom TopKPerKey bounded-heap selection (no vocabulary sort) -> rank window + ordered OLS folds over the 100 survivors per source",
+      "dedup_impact" -> "first-occurrence window keyed on xxhash64(text) — the exchange moves 8-byte keys, never bodies; one source-keyed agg after")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

@@ -2688,20 +2688,29 @@ object SparkEntry {
     * sits near slope −1, so a source whose curve is much flatter
     * (template/boilerplate floods the mid-ranks) or steeper
     * (degenerate repetition) is a corpus-quality flag the data card
-    * should carry. One (source, term) partial-agg shuffle; the rank
-    * window is per-source (distributed); the OLS runs over ≤100 rows
-    * per source, folded in RANK ORDER via a sorted-list aggregate on
-    * both engines (the byte_entropy ordered-summation discipline —
-    * double sums are order-dependent, so the order is pinned).
+    * should carry. One (source, term) partial-agg shuffle; the top-100
+    * selection runs through the custom TopKPerKey operator (bounded
+    * heaps — a 10M-term source never sorts its whole vocabulary for
+    * 100 survivors), then ranks ONLY the ≤100 survivors per source.
+    * TopKPerKey's k-th-place ties pick an arbitrary winner, which is
+    * REGRESSION-INVARIANT here: tied terms share cnt hence y, the x
+    * values are the fixed ranks 1..n, and rank assignment permutes
+    * only within tie groups — so Σy, Σxy, and the boundary survivor
+    * set's y-multiset are identical whichever tied term wins (and no
+    * term name is emitted). The OLS folds in RANK ORDER via
+    * sorted-list aggregates on both engines (the byte_entropy
+    * ordered-summation discipline — double sums are order-dependent,
+    * so the order is pinned).
     */
   private def zipfFit(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("cnt").desc, col("term"))
-    val top = t(s, dir, "documents")
+    val counts = t(s, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("score", col("cnt").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("term"))
+    val top = graft.plans.TopK.perKey(counts, Seq("source"), "score", 100)
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 100)
       .select(col("source"), col("rank"),
         log(col("rank").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
