@@ -198,6 +198,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map("u1" -> 2L, "u2" -> 1L))
   }
 
+  test("streaming SCD2 closes intervals on change, ignores re-sends, carries state across batches") {
+    import graft.streaming.StreamingScd2
+    import graft.streaming.StreamingScd2.{Change, ClosedInterval}
+    val ck = tmp("scd2_ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change](spark)
+    val closed = StreamingScd2.closedIntervals(input.toDS())
+    val q = closed.writeStream
+      .format("memory").queryName("scd2_closed")
+      .outputMode(StreamingScd2.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def table(): Set[ClosedInterval] =
+      spark.table("scd2_closed").as[ClosedInterval].collect().toSet
+    // batch 1: k1 opens at 0 then changes at 5 (same-batch close);
+    // k2 opens and stays open
+    input.addData(Change("k1", "a", 0), Change("k2", "x", 0), Change("k1", "b", 5))
+    q.processAllAvailable()
+    assert(table() == Set(ClosedInterval("k1", "a", 0, 5)))
+    // batch 2: k1 re-sends its unchanged value (CDC at-least-once —
+    // must NOT fragment history); k2 changes (closes its batch-1 open
+    // interval: state crossed the batch boundary)
+    input.addData(Change("k1", "b", 8), Change("k2", "y", 9))
+    q.processAllAvailable()
+    assert(table() == Set(
+      ClosedInterval("k1", "a", 0, 5), ClosedInterval("k2", "x", 0, 9)))
+    // batch 3: k1 changes again (the open interval started at 5, not
+    // at the re-send's 8); a stale update older than k2's open
+    // interval is dropped
+    input.addData(Change("k1", "c", 10), Change("k2", "z", 1))
+    q.processAllAvailable()
+    assert(table() == Set(
+      ClosedInterval("k1", "a", 0, 5), ClosedInterval("k2", "x", 0, 9),
+      ClosedInterval("k1", "b", 5, 10)))
+    q.stop()
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark, bounded state") {
     val ck = tmp("sdedup_ck")
     val input = org.apache.spark.sql.execution.streaming.runtime
