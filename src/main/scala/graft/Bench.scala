@@ -87,40 +87,50 @@ object Bench {
 
     // Raw parse throughput (the reference's headline metric is ingest
     // rate): monolog lines -> typed columns, no ORDER BY gate artifact.
-    // Skipped (0) when iterating on a query subset via BENCH_ONLY.
+    // Median of nRuns — the single-run numbers swung with whatever the
+    // 150-query sweep left in the JVM, which made round-over-round
+    // throughput deltas unattributable. Skipped (0) when iterating on
+    // a query subset via BENCH_ONLY.
     val events = Tables(spark, sfDir, "events")
     val nRows = events.count()
     val lines = graft.logs.LogLines.fromEvents(events)
     val cfg = graft.logs.TailConfig(name = "bench", repo = "bench")
-    val parseRowsPerSec = if (only.nonEmpty) 0.0 else {
-      val tp0 = System.nanoTime()
-      graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
-      nRows / ((System.nanoTime() - tp0) / 1e9)
-    }
+    val parseRowsPerSec = if (only.nonEmpty) 0.0 else
+      median((1 to nRuns).map { _ =>
+        val tp0 = System.nanoTime()
+        graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
+        nRows / ((System.nanoTime() - tp0) / 1e9)
+      })
 
     // Streaming ingest throughput — the reference's actual job shape:
     // file tail → parse → sink. Renders the events corpus to text
-    // files (setup, untimed), then measures the full micro-batch path
-    // end to end: file-source read + parse + idempotent batch-dir
-    // parquet write + checkpoint commit, via TailPipeline into a
-    // MergeTreeSink on scratch disk.
+    // files ONCE (setup, untimed), then measures the full micro-batch
+    // path end to end per run — file-source read + parse + idempotent
+    // batch-dir parquet write + checkpoint commit, via TailPipeline
+    // into a MergeTreeSink on scratch disk; each run gets a fresh
+    // checkpoint + sink so nothing is warm-started. Median of nRuns;
+    // every run asserts its row count (a dropped batch cannot inflate
+    // the rate).
     val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH", System.getProperty("java.io.tmpdir"))
     lazy val scratch = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(scratchRoot), "bench_stream")
     val streamRowsPerSec = if (only.nonEmpty) 0.0 else
       try {
         lines.write.text(s"$scratch/in")
-        val sink = graft.sinks.MergeTreeSink(s"$scratch/wh")
-        val pipe = graft.streaming.TailPipeline(
-          spark, graft.logs.TailConfig(name = "bench_stream", repo = "bench"),
-          s"$scratch/in", s"$scratch/ck", sink)
-        val ts0 = System.nanoTime()
-        val q = pipe.start(java.time.LocalDate.of(2024, 1, 1))
-        pipe.stopGracefully(q) // drains everything visible, then stops
-        val secs = (System.nanoTime() - ts0) / 1e9
-        val streamed = sink.read(spark).count()
-        require(streamed == nRows, s"streamed $streamed of $nRows rows")
-        streamed / secs
+        val rates = (1 to nRuns).map { i =>
+          val sink = graft.sinks.MergeTreeSink(s"$scratch/wh$i")
+          val pipe = graft.streaming.TailPipeline(
+            spark, graft.logs.TailConfig(name = s"bench_stream$i", repo = "bench"),
+            s"$scratch/in", s"$scratch/ck$i", sink)
+          val ts0 = System.nanoTime()
+          val q = pipe.start(java.time.LocalDate.of(2024, 1, 1))
+          pipe.stopGracefully(q) // drains everything visible, then stops
+          val secs = (System.nanoTime() - ts0) / 1e9
+          val streamed = sink.read(spark).count()
+          require(streamed == nRows, s"streamed $streamed of $nRows rows")
+          streamed / secs
+        }
+        median(rates)
       } finally {
         val p = new org.apache.hadoop.fs.Path(scratch.toString)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
