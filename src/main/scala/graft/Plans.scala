@@ -102,7 +102,7 @@ object Plans {
       "dedup_semantic_hier" -> "hierarchical assignment: literal super-cell argmax + EQUI broadcast join to member-centroid arrays (no nested-loop join); ids-sized merge exchange for multi-probe; the SemDedup tail is unchanged (id-only candidates, exact verify)",
       "mix_epochs" -> "row-local copy-count arithmetic + sequence explode: zero shuffles before the gate ORDER BY — upsampling never shuffles the corpus",
       "k_anonymity" -> "one quasi-identifier partial agg; the k-band histogram aggregates the GROUPS-sized relation",
-      "text_dup_windows" -> "positional shingle pass -> window-hash partial agg -> hash-keyed join back; per-doc rollup on the doc key — d occurrences cost d rows, never d-squared pairs",
+      "text_dup_windows" -> "ONE positional shingle pass -> count-over-window on the 8-byte hash (no join, no second scan) -> per-doc rollup — d occurrences cost d rows, never d-squared pairs",
       "supervision_events" -> "driver-sized (source, day) collect feeds one idempotent sink batch; the read-back aggregates the canonical log schema on the name key",
       "zipf_fit" -> "term-count partial agg -> custom TopKPerKey bounded-heap selection (no vocabulary sort) -> rank window + ordered OLS folds over the 100 survivors per source",
       "dedup_impact" -> "first-occurrence window keyed on xxhash64(text) — the exchange moves 8-byte keys, never bodies; one source-keyed agg after")

@@ -2760,21 +2760,24 @@ object SparkEntry {
     * substring duplication (Lee et al. 2022 dedup the repeated spans;
     * this scores how much of a doc they cover, the filter-threshold
     * input). `boilerplate_spans` names the top offenders; this grades
-    * every document. One positional-ShingleHashes pass (window count =
-    * token count, like tokenization), one partial-agg shuffle on
-    * 8-byte window hashes for global occurrence counts, one hash-keyed
-    * join back — a window repeated d times costs d rows, never d²
-    * pairs. Docs under 8 tokens have no windows and are absent (both
-    * engines derive this from the same range construction). The oracle
-    * regroups STRING windows — hash counts match modulo the repo-wide
-    * accepted xxhash64-collision caveat.
+    * every document. ONE positional-ShingleHashes corpus pass (window
+    * count = token count, like tokenization); global occurrence counts
+    * ride a count-over-window partitioned on the 8-byte hash — one
+    * hash-keyed exchange, NO join and no second scan (the agg+join-back
+    * form reads the corpus twice: the join side's exchange carries
+    * different payload, so not even AQE stage reuse can merge them) —
+    * then one doc-keyed rollup. A window repeated d times costs d
+    * rows, never d² pairs. Docs under 8 tokens have no windows and are
+    * absent (both engines derive this from the same range
+    * construction). The oracle regroups STRING windows — hash counts
+    * match modulo the repo-wide accepted xxhash64-collision caveat.
     */
   private def textDupWindows(s: SparkSession, dir: String): DataFrame = {
-    val pos = t(s, dir, "documents")
+    val wOcc = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    t(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes.positional(col("text"), 8)).as("h"))
-    val occ = pos.groupBy("h").agg(count(lit(1)).as("occ"))
-    pos.join(occ, "h")
+      .withColumn("occ", count(lit(1)).over(wOcc))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_windows"),

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 import graft.sinks.{ClickHouseJdbcSink, LogSink, MergeTreeSink}
-import graft.streaming.{TailManager, TailPipeline}
+import graft.streaming.{SupervisionLog, TailManager, TailPipeline}
 
 /** Config-file-driven deployment — the reference is driven entirely by
   * a config array (reference test.config.php:1-50, consumed in
@@ -74,7 +74,8 @@ object ConfigLoader {
   final case class EngineConfig(
       defaultSink: LogSink,
       checkpointRoot: String,
-      tails: Seq[TailEntry])
+      tails: Seq[TailEntry],
+      supervisionLog: Option[SupervisionLog] = None)
 
   def load(spark: SparkSession, path: String): EngineConfig = {
     val p = new Path(path)
@@ -112,7 +113,18 @@ object ConfigLoader {
         deadLetterPath = Option(t.get("dead_letter")).map(_.asText()),
         tailFromEnd = Option(t.get("tail_from_end")).exists(_.asBoolean()))
     }.toSeq
-    EngineConfig(defaultSink, checkpointRoot, tails)
+    // optional supervision-history table (the reference Manager's dated
+    // operational log files, ToolsTraits.php:29-37, as a queryable
+    // MergeTree table): {"supervision": {"path": ..., "ttl_days": ...}}
+    val supervision = Option(root.get("supervision")).map { n =>
+      new SupervisionLog(
+        MergeTreeSink(
+          require(n, "path").asText(),
+          ttlDays = Option(n.get("ttl_days")).map(_.asInt()).getOrElse(10)),
+        repo = Option(n.get("repo")).map(_.asText()).getOrElse("graft"),
+        host = Option(n.get("host")).map(_.asText()).getOrElse(TailConfig.defaultHost))
+    }
+    EngineConfig(defaultSink, checkpointRoot, tails, supervision)
   }
 
   private def sinkOf(n: JsonNode): LogSink =
@@ -137,7 +149,9 @@ object ConfigLoader {
     Option(n.get(field)).getOrElse(
       throw new IllegalArgumentException(s"config missing required field '$field'"))
 
-  /** Config → runnable pipelines under one manager. */
+  /** Config → runnable pipelines under one manager (supervision
+    * history wired when the config carries a `supervision` block).
+    */
   def manager(spark: SparkSession, conf: EngineConfig): TailManager =
     new TailManager(conf.tails.map { t =>
       TailPipeline(
@@ -146,5 +160,5 @@ object ConfigLoader {
         sink = t.sink,
         deadLetterPath = t.deadLetterPath,
         tailFromEnd = t.tailFromEnd)
-    })
+    }, conf.supervisionLog)
 }

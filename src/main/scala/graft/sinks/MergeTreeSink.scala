@@ -351,6 +351,38 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       s"batch=${CompactedBatchId}_$date")
   }
 
+  /** One background-maintenance pass — the policy loop ClickHouse's
+    * background merges + TTL run continuously, here as an explicit
+    * call an operator schedules (cron / foreachBatch hook / end of
+    * backfill): every live date whose file count exceeds
+    * `maxFilesPerDate` is compacted (crash-safe swap, manifest
+    * follows), then expired dates drop via [[applyTtl]]. Dates at or
+    * under the threshold are untouched — maintenance cost is
+    * proportional to the data that actually fragmented, and a date
+    * compacts at most once per pass regardless of how many batch dirs
+    * feed it. Returns (compacted dates, dropped partition dirs).
+    */
+  def maintain(spark: SparkSession, asOf: LocalDate,
+               maxFilesPerDate: Int = 8,
+               targetFiles: Int = 1): (Seq[String], Seq[String]) = {
+    val f = fs(spark)
+    val root = new Path(path)
+    val parts =
+      Option(f.globStatus(new Path(root, "event_date=*/*.parquet"))).getOrElse(Array.empty).toSeq ++
+        Option(f.globStatus(new Path(root, "ingest_batch=*/event_date=*/*.parquet"))).getOrElse(Array.empty).toSeq
+    val byDate = parts.groupBy(_.getPath.getParent.getName.stripPrefix("event_date="))
+    val cutoff = asOf.minusDays(ttlDays.toLong)
+    val toCompact = byDate.collect {
+      case (date, files)
+        if files.size > maxFilesPerDate &&
+          // an expired date is about to drop whole — compacting it first
+          // would be wasted I/O
+          scala.util.Try(LocalDate.parse(date)).toOption.forall(!_.isBefore(cutoff)) => date
+    }.toSeq.sorted
+    toCompact.foreach(compact(spark, _, targetFiles))
+    (toCompact, applyTtl(spark, asOf))
+  }
+
   /** Drop partitions whose date is older than `ttlDays` before `asOf`
     * (the MergeTree TTL clause), in either layout. Returns the dropped
     * partition directory names relative to the sink root.

@@ -102,6 +102,31 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(after.sameElements(before))
   }
 
+  test("maintenance pass compacts only fragmented live dates, then applies TTL") {
+    val root = Files.createTempDirectory("mt_maintain").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    // fragment every date with three appends
+    sink.write(parsedEvents); sink.write(parsedEvents); sink.write(parsedEvents)
+    val parts = root.listFiles().filter(_.getName.startsWith("event_date=")).sortBy(_.getName)
+    assert(parts.forall(_.listFiles().count(_.getName.endsWith(".parquet")) >= 3))
+    val dates = parts.map(_.getName.stripPrefix("event_date="))
+    val asOf = LocalDate.parse(dates.min).plusDays(11) // expires exactly the oldest date
+    val expected = spark.read.parquet(root.getAbsolutePath)
+      .where(col("event_date") > lit(dates.min).cast("date"))
+      .orderBy("created_at", "message").collect()
+    val (compacted, dropped) = sink.maintain(spark, asOf, maxFilesPerDate = 2)
+    // the expired date was not compacted (wasted I/O), just dropped
+    assert(!compacted.contains(dates.min) && dropped == Seq(s"event_date=${dates.min}"))
+    assert(compacted == dates.filter(_ != dates.min).toSeq.sorted)
+    val after = root.listFiles().filter(_.getName.startsWith("event_date="))
+    assert(after.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    assert(spark.read.parquet(root.getAbsolutePath)
+      .orderBy("created_at", "message").collect().sameElements(expected))
+    // an already-tidy sink is a no-op pass
+    val (c2, d2) = sink.maintain(spark, asOf, maxFilesPerDate = 2)
+    assert(c2.isEmpty && d2.isEmpty)
+  }
+
   test("within-partition sort gives parquet row-group stats the MergeTree ORDER BY role") {
     val root = Files.createTempDirectory("mt_sorted").toFile
     MergeTreeSink(root.getAbsolutePath).write(parsedEvents, SaveMode.Overwrite)

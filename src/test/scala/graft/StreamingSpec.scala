@@ -565,6 +565,7 @@ class StreamingSpec extends AnyFunSuite {
     val json =
       s"""{
          |  "sink": {"path": "${base.resolve("wh")}", "ttl_days": 7},
+         |  "supervision": {"path": "${base.resolve("sup")}", "ttl_days": 30, "repo": "ops"},
          |  "checkpoint_root": "${base.resolve("ck")}",
          |  "tails": [
          |    {"name": "access", "repo": "api2", "host": "web1",
@@ -604,6 +605,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(ch.url == "jdbc:clickhouse://ch1:8123/logs")
     assert(ch.table == "logs.monolog" && ch.user == "ingest" && ch.password == "pw")
     assert(ch.batchSize == 5000, "batch_size must map to the reference's max_sent_count")
+    // the optional supervision block wires the manager's history table
+    // (reference ToolsTraits.php:29-37 dated operational log files)
+    val sup = conf.supervisionLog.getOrElse(fail("supervision block not parsed"))
+    assert(sup.sink.path == base.resolve("sup").toString && sup.sink.ttlDays == 30)
     // the loaded config builds a runnable manager
     val mgr = graft.logs.ConfigLoader.manager(spark, conf)
     assert(mgr.activeQueries.isEmpty)
