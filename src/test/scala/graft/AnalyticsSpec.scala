@@ -296,6 +296,39 @@ class AnalyticsSpec extends AnyFunSuite {
     day1.unpersist(); day2.unpersist()
   }
 
+  test("sink manifest: footer-decoded slice is value-identical to the data-read stats pass") {
+    import graft.sinks.MergeTreeSink
+    import graft.sources.ZoneMap
+    // the streaming write path decodes manifest stats from parquet
+    // footers (metadata-only); a decode drift vs the data-read path
+    // (timestamp unit, row counts, file naming) would silently corrupt
+    // pruning — pin bit-equality of every slice column here
+    val root = java.nio.file.Files.createTempDirectory("mt_footer").toString
+    val sink = MergeTreeSink(root)
+    val parsed = graft.logs.MonologParser.parse(
+      graft.logs.LogLines.fromEvents(Tables(spark, TestSpark.SfDirSmall, "events")),
+      graft.logs.TailConfig(name = "access", repo = "api2")).cache()
+    sink.writeBatch(parsed, "fb0", filesPerDay = 3)
+    def canon(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    val fromFooters = sink.manifest(spark)
+      .select("file", "rows", "min_created_at", "max_created_at", "event_date")
+      .collect()
+      .map(r => (canon(r.getString(0)), r.getLong(1), r.get(2), r.get(3), r.get(4).toString))
+      .toSet
+    val fromData = ZoneMap
+      .build(spark.read.parquet(s"$root/ingest_batch=fb0"), Seq("created_at", "event_date"))
+      .select(col("file"), col("rows"),
+        col("min_created_at"), col("max_created_at"),
+        col("min_event_date").as("event_date"))
+      .collect()
+      .map(r => (canon(r.getString(0)), r.getLong(1), r.get(2), r.get(3), r.get(4).toString))
+      .toSet
+    assert(fromFooters.nonEmpty && fromFooters.size >= 2, "expected multiple files to compare")
+    assert(fromFooters == fromData,
+      s"footer-decoded manifest diverges from the data-read stats:\n footers=$fromFooters\n data=$fromData")
+    parsed.unpersist()
+  }
+
   test("sink manifest: unmanifested files are still read (unknown stays sound)") {
     import graft.sinks.MergeTreeSink
     val root = java.nio.file.Files.createTempDirectory("mt_manifest2").toString
