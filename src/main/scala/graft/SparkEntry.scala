@@ -1136,6 +1136,59 @@ object SparkEntry {
       |    '\d{6,}', '[NUM]', 'g') AS redacted
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Per-source PII density (SURVEY §2 B38b): the privacy row of the
+    * data card — how much PII each source carries per document, the
+    * number that decides which sources need redaction before release
+    * (B38 redacts; this prioritizes). Same deterministic injection and
+    * RE2-compatible regexes as B38 (every other doc gets PII so the
+    * per-source rates are non-trivial); counting is three row-local
+    * regexp passes folded into ONE source-keyed partial agg — no
+    * shuffle carries text. BIGINT sums cast in the oracle (the
+    * HUGEINT discipline); rates rounded after an exact integer ratio.
+    */
+  private def piiDensity(s: SparkSession, dir: String): DataFrame = {
+    val injected = t(s, dir, "documents").select(
+      col("source"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.2."),
+          col("doc_id") % 200, lit("."), col("doc_id") % 250,
+          lit(" ref 4111111111111111")))
+        .otherwise(col("text")).as("text"))
+    val text = col("text")
+    injected
+      .select(col("source"),
+        size(regexp_extract_all(text, lit(graft.text.Redact.EmailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(text, lit(graft.text.Redact.Ipv4Re), lit(0))).cast("long").as("i"),
+        size(regexp_extract_all(text, lit(graft.text.Redact.LongNumRe), lit(0))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("e").as("n_email"), sum("i").as("n_ip"), sum("n").as("n_num"),
+        sum(when(col("e") + col("i") + col("n") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+      .withColumn("pii_rate",
+        round(col("docs_with_pii").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  private val piiDensitySql =
+    """WITH d AS (SELECT source,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    text || ' contact user' || doc_id || '@example.com from 10.2.' || (doc_id % 200) || '.' || (doc_id % 250) || ' ref 4111111111111111'
+      |  ELSE text END AS text
+      |FROM documents),
+      |c AS (SELECT source,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+      |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+      |  len(regexp_extract_all(text, '\d{6,}')) AS n
+      |FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(e) AS BIGINT) AS n_email,
+      |       CAST(sum(i) AS BIGINT) AS n_ip,
+      |       CAST(sum(n) AS BIGINT) AS n_num,
+      |       CAST(sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+      |       round(CAST(sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pii_rate
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** Eval-set decontamination (SURVEY §2 B39): training docs sharing
     * any 5-gram with the held-out slice (doc_id % 97 == 0 stands in
     * for a benchmark suite). Eval grams broadcast; full value oracle —
@@ -4718,6 +4771,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_capped" -> Q(dedupNgramJaccardCapped, Some(dedupNgramJaccardCappedSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "pii_redact" -> Q(piiRedact, Some(piiRedactSql)),
+    "pii_density" -> Q(piiDensity, Some(piiDensitySql)),
     "decontaminate" -> Q(decontaminate, Some(decontaminateSql)),
     "decontaminate_bloom" -> Q(decontaminateBloom, Some(decontaminateSql)),
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),

@@ -48,7 +48,9 @@ final case class TailPipeline(
     deadLetterPath: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
     triggerInterval: String = "1 second",
-    tailFromEnd: Boolean = false) {
+    tailFromEnd: Boolean = false,
+    maintainEveryBatches: Option[Int] = None,
+    maintainMaxFilesPerDate: Int = 8) {
 
   def resolvedInput(asOf: LocalDate): String = DatePath.resolve(inputPath, asOf)
 
@@ -157,6 +159,21 @@ final case class TailPipeline(
       MonologParser.deadLetter(batch, cfg)
         .withColumn("name", org.apache.spark.sql.functions.lit(cfg.name))
         .write.mode("overwrite").parquet(s"$dl/ingest_batch=$batchKey")
+    }
+    // continuous background merging (the ClickHouse MergeTree behavior
+    // the batch-dir layout otherwise defers to an external scheduler):
+    // every Nth batch runs one maintenance policy pass INSIDE the
+    // foreachBatch hook, so it cannot race the next batch's write —
+    // micro-batch latency absorbs the compaction instead of a separate
+    // job coordinating against live writers. Maintenance is itself
+    // crash-safe (aside-swap), so a retry of this batch just re-runs a
+    // cheaper pass (already-compacted dates are under threshold).
+    for (every <- maintainEveryBatches) {
+      sink match {
+        case mt: graft.sinks.MergeTreeSink if every > 0 && batchId > 0 && batchId % every == 0 =>
+          mt.maintain(spark, asOf, maintainMaxFilesPerDate); ()
+        case _ => ()
+      }
     }
   }
 

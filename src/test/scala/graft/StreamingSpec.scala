@@ -673,6 +673,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("in-stream maintenance compacts fragmented dates between micro-batches, rows intact") {
+    val base = tmp("automaint")
+    val in = tmp("automaint_in")
+    val sink = MergeTreeSink(base.resolve("wh").toString)
+    val pipe = TailPipeline(spark, TailConfig("am", "api2"), in.toString,
+      base.resolve("ck").toString, sink,
+      maxFilesPerTrigger = Some(1), // one input file per micro-batch
+      maintainEveryBatches = Some(2), maintainMaxFilesPerDate = 2)
+    val q = pipe.start(LocalDate.of(2024, 1, 1))
+    // 6 files → 6 micro-batches → 6 one-file batch dirs on one date;
+    // the every-2nd-batch policy pass compacts once the date exceeds
+    // 2 files
+    (1 to 6).foreach { i =>
+      writeLog(in, s"f$i.log", Seq(line(i, s"m$i")))
+      q.processAllAvailable()
+    }
+    pipe.stopGracefully(q)
+    val fsDir = base.resolve("wh").toFile
+    val compacted = new java.io.File(fsDir, s"ingest_batch=${sink.CompactedBatchId}")
+    assert(compacted.isDirectory, "no compacted batch dir — in-stream maintenance never ran")
+    assert(sink.read(spark).count() == 6, "maintenance lost or duplicated rows")
+    // the date is tidy: at most threshold+fresh-batch files remain
+    val files = sink.read(spark).inputFiles.length
+    assert(files <= 3, s"date still fragmented: $files files")
+  }
+
   test("supervision log persists manager lifecycle events as queryable MergeTree rows") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.SupervisionLog
