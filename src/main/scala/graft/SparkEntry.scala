@@ -1189,6 +1189,77 @@ object SparkEntry {
       |       round(CAST(sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pii_rate
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Declared-vs-detected language confusion matrix (SURVEY §2 B28a):
+    * crossing the corpus's DECLARED lang tag with the B28 n-gram
+    * detector — the wrong-language audit (mislabeled routing is a
+    * top-3 multilingual-corpus defect; a source whose declared-en rows
+    * detect as und is a crawler bug, not a language). One row-local
+    * detection pass folded into one (declared, detected) partial agg;
+    * the share window runs over the CELLS-sized matrix (langs², never
+    * corpus). The detector expression mirrors `text_lang_id`'s oracle
+    * byte for byte, so the matrix is fully value-checked.
+    */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val ratio = round(
+      expr("size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to','in','is')))")
+        .cast("double") / size(split(col("text"), " ")).cast("double"), 4)
+    val wDecl = org.apache.spark.sql.expressions.Window.partitionBy("declared")
+    t(s, dir, "documents")
+      .select(col("lang").as("declared"),
+        when(ratio >= 0.05, "en").otherwise("und").as("detected"))
+      .groupBy("declared", "detected").agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum("n").over(wDecl).cast("double"), 4))
+      .orderBy("declared", "detected")
+  }
+
+  private val langConfusionSql =
+    """WITH p AS (
+      |  SELECT lang AS declared,
+      |         CASE WHEN round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) / len(string_split(text, ' ')), 4) >= 0.05
+      |              THEN 'en' ELSE 'und' END AS detected
+      |  FROM documents),
+      |m AS (SELECT declared, detected, count(*) AS n FROM p GROUP BY 1, 2)
+      |SELECT declared, detected, n,
+      |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY declared) AS DOUBLE), 4) AS share
+      |FROM m ORDER BY declared, detected""".stripMargin
+
+  /** Per-source eval-contamination rate (SURVEY §2 B39b): B39 flags
+    * WHICH training docs overlap the eval slice; this reports the
+    * data-card number — what fraction of each source is contaminated
+    * (the row that, with B38b's privacy rate and B45's quality
+    * profile, completes the release audit trio). The per-doc overlap
+    * set reuses B39's broadcast-gram join; attribution is one
+    * doc-keyed LEFT join back to sources + one source-keyed agg.
+    */
+  private def contaminationRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val contaminated = graft.data.Decontaminate.overlap(
+        train, docs.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+      .select(col("doc_id"), lit(1L).as("hit"))
+    train.select("doc_id", "source")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_train").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  private val contaminationRateSql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] FOR i IN range(1, len(toks) - 3)])) AS s FROM t),
+      |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+      |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (s) WHERE g.doc_id % 97 <> 0)
+      |SELECT t.source, count(*) AS n_train,
+      |       CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |       round(CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS contamination_rate
+      |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+      |WHERE t.doc_id % 97 <> 0
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   /** Eval-set decontamination (SURVEY §2 B39): training docs sharing
     * any 5-gram with the held-out slice (doc_id % 97 == 0 stands in
     * for a benchmark suite). Eval grams broadcast; full value oracle —
@@ -4772,6 +4843,8 @@ object SparkEntry {
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "pii_redact" -> Q(piiRedact, Some(piiRedactSql)),
     "pii_density" -> Q(piiDensity, Some(piiDensitySql)),
+    "lang_confusion" -> Q(langConfusion, Some(langConfusionSql)),
+    "contamination_rate" -> Q(contaminationRate, Some(contaminationRateSql)),
     "decontaminate" -> Q(decontaminate, Some(decontaminateSql)),
     "decontaminate_bloom" -> Q(decontaminateBloom, Some(decontaminateSql)),
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
