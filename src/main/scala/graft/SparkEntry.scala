@@ -4816,7 +4816,34 @@ object SparkEntry {
   // Registry                                                          //
   // ---------------------------------------------------------------- //
 
+  /** Per-source data card (SURVEY §2 B112): the release-audit table —
+    * volume, duplicate rate (B111), PII rate (B38b), eval
+    * contamination (B39b), and Zipf naturalness (B110) in one
+    * source-keyed row, the artifact a dataset release ships and a mix
+    * planner reads. Composed from the SAME private query functions the
+    * individual rows verify (and the oracle interpolates their SQL
+    * verbatim as subqueries — the card can never drift from its
+    * components); every side is a sources-sized aggregate, so the
+    * joins are all broadcast and the underlying corpus passes run once
+    * each.
+    */
+  private def dataCard(s: SparkSession, dir: String): DataFrame =
+    piiDensity(s, dir).select("source", "n_docs", "pii_rate")
+      .join(dedupImpact(s, dir).select("source", "dup_rate"), Seq("source"))
+      .join(contaminationRate(s, dir).select("source", "contamination_rate"), Seq("source"))
+      .join(zipfFit(s, dir).select("source", "zipf_slope"), Seq("source"))
+      .orderBy("source")
+
+  private val dataCardSql =
+    s"""SELECT p.source, p.n_docs, p.pii_rate, d.dup_rate, c.contamination_rate, z.zipf_slope
+       |FROM ($piiDensitySql) p
+       |JOIN ($dedupImpactSql) d USING (source)
+       |JOIN ($contaminationRateSql) c USING (source)
+       |JOIN ($zipfFitSql) z USING (source)
+       |ORDER BY p.source""".stripMargin
+
   private val registry: Map[String, Q] = Map(
+    "data_card" -> Q(dataCard, Some(dataCardSql)),
     "parse_monolog" -> Q(parseMonolog, Some(parseMonologSql)),
     "parse_raw_mode" -> Q(parseRaw, Some(parseRawSql)),
     "parse_callback" -> Q(parseCallback, Some(parseCallbackSql)),
