@@ -210,9 +210,12 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       .write.partitionBy("event_date").mode(SaveMode.Overwrite)
       .parquet(s"$manifestRoot/$key")
 
-  private def dropManifestDate(f: FileSystem, date: String): Unit = {
+  private def dropManifestDate(f: FileSystem, date: String,
+                               excludeBatchKeys: Set[String] = Set.empty): Unit = {
     Option(f.globStatus(new Path(manifestRoot, s"batch=*/event_date=$date")))
       .getOrElse(Array.empty)
+      .filterNot(st =>
+        excludeBatchKeys.contains(st.getPath.getParent.getName.stripPrefix("batch=")))
       .foreach { st =>
         f.delete(st.getPath, true)
         val parent = st.getPath.getParent
@@ -311,13 +314,26 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     * partition briefly aside-named but never deleted-without-
     * replacement — recovery is renaming the aside dirs back.
     *
-    * Only compact dates past the in-flight horizon: a still-retryable
-    * streaming batch rewriting its `ingest_batch` dir after its rows
-    * were compacted away would duplicate them.
+    * In-flight horizon: a still-retryable streaming batch rewriting its
+    * `ingest_batch` dir after its rows were compacted away would
+    * duplicate them (the batch's rows would live in BOTH
+    * `ingest_batch=compacted` and the replayed `ingest_batch=<key>`).
+    * `excludeBatchKeys` names the batch keys that must NOT be folded
+    * in — callers on a live streaming sink pass every batch not yet
+    * past its checkpoint commit (TailPipeline's in-stream hook passes
+    * the batch currently being processed; foreachBatch serializes
+    * batches, so that is the only in-flight one). Excluded dirs are
+    * left untouched, manifest slices included, and simply compact on a
+    * later pass.
     */
-  def compact(spark: SparkSession, date: String, targetFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, date: String, targetFiles: Int = 1,
+              excludeBatchKeys: Set[String] = Set.empty): Unit = {
     val f = fs(spark)
-    val live = datePartDirs(f, date)
+    val live = datePartDirs(f, date).filterNot { dir =>
+      val parent = dir.getParent.getName
+      parent.startsWith("ingest_batch=") &&
+        excludeBatchKeys.contains(parent.stripPrefix("ingest_batch="))
+    }
     if (live.isEmpty) return
     val root = new Path(path)
     val streamingLayout = live.exists(_.getParent.getName.startsWith("ingest_batch="))
@@ -344,8 +360,9 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     }
     aside.foreach(f.delete(_, true))
     // manifest follows the data: the date's per-batch slices die with
-    // their directories; the compacted files get one fresh slice
-    dropManifestDate(f, date)
+    // their directories (excluded batches keep theirs — their data
+    // dirs survived); the compacted files get one fresh slice
+    dropManifestDate(f, date, excludeBatchKeys)
     writeManifestSlice(
       spark.read.parquet(dest.toString).withColumn("event_date", to_date(lit(date))),
       s"batch=${CompactedBatchId}_$date")
@@ -361,15 +378,32 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     * proportional to the data that actually fragmented, and a date
     * compacts at most once per pass regardless of how many batch dirs
     * feed it. Returns (compacted dates, dropped partition dirs).
+    *
+    * Against a LIVE streaming sink, `excludeBatchKeys` must carry every
+    * batch key not yet past its checkpoint commit (see [[compact]]'s
+    * in-flight-horizon contract) — compacting an in-flight batch's dir
+    * and then replaying that batch duplicates its rows. The in-stream
+    * hook (TailPipeline `maintainEveryBatches`) passes the current
+    * batch key automatically; an EXTERNALLY scheduled pass (cron) must
+    * either not run concurrently with live writers at all or pass the
+    * live sources' current batch keys — compact's aside-rename can
+    * otherwise also race a writer about to Overwrite the same dir.
+    * Excluded files don't count toward the fragmentation threshold.
     */
   def maintain(spark: SparkSession, asOf: LocalDate,
                maxFilesPerDate: Int = 8,
-               targetFiles: Int = 1): (Seq[String], Seq[String]) = {
+               targetFiles: Int = 1,
+               excludeBatchKeys: Set[String] = Set.empty): (Seq[String], Seq[String]) = {
     val f = fs(spark)
     val root = new Path(path)
     val parts =
-      Option(f.globStatus(new Path(root, "event_date=*/*.parquet"))).getOrElse(Array.empty).toSeq ++
-        Option(f.globStatus(new Path(root, "ingest_batch=*/event_date=*/*.parquet"))).getOrElse(Array.empty).toSeq
+      (Option(f.globStatus(new Path(root, "event_date=*/*.parquet"))).getOrElse(Array.empty).toSeq ++
+        Option(f.globStatus(new Path(root, "ingest_batch=*/event_date=*/*.parquet"))).getOrElse(Array.empty).toSeq)
+        .filterNot { st =>
+          val batchDir = st.getPath.getParent.getParent.getName
+          batchDir.startsWith("ingest_batch=") &&
+            excludeBatchKeys.contains(batchDir.stripPrefix("ingest_batch="))
+        }
     val byDate = parts.groupBy(_.getPath.getParent.getName.stripPrefix("event_date="))
     val cutoff = asOf.minusDays(ttlDays.toLong)
     val toCompact = byDate.collect {
@@ -379,7 +413,7 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
           // would be wasted I/O
           scala.util.Try(LocalDate.parse(date)).toOption.forall(!_.isBefore(cutoff)) => date
     }.toSeq.sorted
-    toCompact.foreach(compact(spark, _, targetFiles))
+    toCompact.foreach(compact(spark, _, targetFiles, excludeBatchKeys))
     (toCompact, applyTtl(spark, asOf))
   }
 

@@ -168,10 +168,20 @@ final case class TailPipeline(
     // job coordinating against live writers. Maintenance is itself
     // crash-safe (aside-swap), so a retry of this batch just re-runs a
     // cheaper pass (already-compacted dates are under threshold).
+    //
+    // The CURRENT batch is excluded from compaction: this hook runs
+    // after the batch's write but BEFORE its checkpoint commit, so the
+    // batch is still replayable — compacting its dir now and replaying
+    // it later would leave its rows in both `ingest_batch=compacted`
+    // and the rewritten `ingest_batch=<key>` (the sink's in-flight-
+    // horizon contract, MergeTreeSink.compact). foreachBatch serializes
+    // batches, so every EARLIER batch is already committed and safe to
+    // fold. The skipped dir simply compacts on a later pass.
     for (every <- maintainEveryBatches) {
       sink match {
         case mt: graft.sinks.MergeTreeSink if every > 0 && batchId > 0 && batchId % every == 0 =>
-          mt.maintain(spark, asOf, maintainMaxFilesPerDate); ()
+          mt.maintain(spark, asOf, maintainMaxFilesPerDate,
+            excludeBatchKeys = Set(batchKey)); ()
         case _ => ()
       }
     }

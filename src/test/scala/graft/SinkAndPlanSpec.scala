@@ -127,6 +127,47 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(c2.isEmpty && d2.isEmpty)
   }
 
+  test("maintenance excludes in-flight batch keys: replay after compaction cannot duplicate") {
+    val root = Files.createTempDirectory("mt_inflight").toFile
+    // TTL far out: this test isolates compaction, no date may expire
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 3650)
+    val rows = parsedEvents.limit(200).cache()
+    sink.writeBatch(rows, "access_0")
+    sink.writeBatch(rows, "access_1")
+    sink.writeBatch(rows, "access_2") // the in-flight batch: written, not yet committed
+    val total = sink.read(spark).count()
+    val asOf = sink.read(spark)
+      .selectExpr("CAST(max(event_date) AS STRING)").as[String].head()
+
+    // the pass folds committed batches but must leave access_2's dir alone
+    val (compacted, _) = sink.maintain(spark, LocalDate.parse(asOf),
+      maxFilesPerDate = 1, excludeBatchKeys = Set("access_2"))
+    assert(compacted.nonEmpty, "nothing compacted — threshold not exceeded?")
+    assert(new java.io.File(root, "ingest_batch=access_2").isDirectory,
+      "in-flight batch dir was compacted away")
+    assert(sink.read(spark).count() == total, "maintenance changed row count")
+
+    // crash-replay of the in-flight batch: Overwrite of its own dir is
+    // still a no-op — its rows were never folded into `compacted`
+    sink.writeBatch(rows, "access_2")
+    assert(sink.read(spark).count() == total,
+      "replay after maintenance duplicated the in-flight batch's rows")
+
+    // the excluded batch's manifest slice survived alongside its data
+    assert(new java.io.File(root, "_manifest/batch=access_2").isDirectory,
+      "excluded batch lost its manifest slice")
+
+    // a later pass (batch now committed, no exclusion) folds it in
+    val (c2, _) = sink.maintain(spark, LocalDate.parse(asOf), maxFilesPerDate = 1)
+    val leftoverDates = Option(new java.io.File(root, "ingest_batch=access_2").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("event_date="))
+    assert(c2.nonEmpty && leftoverDates.isEmpty,
+      s"unexcluded pass left ${leftoverDates.toSeq} uncompacted")
+    assert(sink.read(spark).count() == total)
+    rows.unpersist()
+    ()
+  }
+
   test("within-partition sort gives parquet row-group stats the MergeTree ORDER BY role") {
     val root = Files.createTempDirectory("mt_sorted").toFile
     MergeTreeSink(root.getAbsolutePath).write(parsedEvents, SaveMode.Overwrite)
