@@ -129,13 +129,23 @@ object IvfAnn {
     * Empty super-cells are dropped after the driver-side clustering,
     * so every probed super-cell has members and the inner join loses
     * no vectors.
+    *
+    * Corpus contract (also [[assign]]'s and [[train]]'s): columns
+    * `(id, vec)` with `id` UNIQUE — the multi-probe merge groups by it
+    * and training averages per cell through it, so a duplicated id
+    * would silently merge two different vectors' probe lists /
+    * double-count a vector in a cell mean. `carryVec = true` threads
+    * `vec` through to the output (training's per-cell means then fold
+    * straight off the assignment — no second corpus scan, no id-keyed
+    * join back).
     */
   def assignHierarchical(
       corpus: DataFrame,
       cs: Centroids,
       probes: Int = 1,
       superCells: Int = 64,
-      superProbes: Int = 2): DataFrame = {
+      superProbes: Int = 2,
+      carryVec: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (superCs, membership) = clusterCentroids(cs, superCells)
@@ -167,23 +177,26 @@ object IvfAnn {
 
     // row-local top-`probes` member cells within the probed super-cell:
     // (score, -cid) structs sorted descending, like the literal path
+    val carried = if (carryVec) Seq(col("vec")) else Nil
     val localTop = probed.join(broadcast(memberDf), "scell")
-      .select(col("id"),
+      .select(col("id") +: carried :+
         slice(reverse(array_sort(transform(col("members"), c =>
           struct(
             Cosine.dot(col("vec"), c.getField("cvec")) / c.getField("cn"),
-            -c.getField("cid"))))), 1, probes).as("top"))
+            -c.getField("cid"))))), 1, probes).as("top"): _*)
 
     if (sp <= 1)
-      localTop.select(col("id"),
-        explode(transform(col("top"), x => -x.getField("col2"))).as("cell"))
+      localTop.select(col("id") +: carried :+
+        explode(transform(col("top"), x => -x.getField("col2"))).as("cell"): _*)
     else
       localTop.groupBy("id")
-        .agg(flatten(collect_list(col("top"))).as("tops"))
-        .select(col("id"),
+        .agg(flatten(collect_list(col("top"))).as("tops"),
+          // id is unique (contract above), so first() is THE vector
+          (if (carryVec) Seq(first(col("vec")).as("vec")) else Nil): _*)
+        .select(col("id") +: carried :+
           explode(transform(
             slice(reverse(array_sort(col("tops"))), 1, probes),
-            x => -x.getField("col2"))).as("cell"))
+            x => -x.getField("col2"))).as("cell"): _*)
   }
 
   /** Driver-side Lloyd's over the centroid SET (numCells points — tiny
@@ -242,13 +255,19 @@ object IvfAnn {
     * sampling — kept for the trained-vs-sampled recall comparison in
     * AnnTextSpec.
     *
+    * Corpus contract: `(id, vec)` with `id` unique — the seed orders
+    * by it and the hierarchical assignment merges probe lists through
+    * it (see [[assignHierarchical]]); a duplicated id double-counts
+    * its vector in the per-cell means.
+    *
     * Past [[LiteralAssignMaxCells]] each iteration's assignment runs
-    * through the hierarchical path (one extra id-keyed join per
-    * iteration — training inherits assignment's regime switch). The
-    * per-iteration driver collect is the MODEL itself (numCells×dim
-    * means — e.g. 262144×64 ≈ 134 MB of doubles), the same
-    * "centroids are driver data" regime the literal path already
-    * assumes.
+    * through the hierarchical path with `carryVec = true` — the cell
+    * means fold straight off the assignment output, no join back onto
+    * the corpus (training inherits assignment's regime switch at one
+    * corpus scan per iteration either way). The per-iteration driver
+    * collect is the MODEL itself (numCells×dim means — e.g.
+    * 262144×64 ≈ 134 MB of doubles), the same "centroids are driver
+    * data" regime the literal path already assumes.
     */
   def train(corpus: DataFrame, numCells: Int, iters: Int = 3): Centroids = {
     var centroids: Centroids = Centroids(
@@ -258,7 +277,7 @@ object IvfAnn {
     while (it < iters) {
       val assigned =
         if (centroids.cells.length > LiteralAssignMaxCells)
-          corpus.join(assignHierarchical(corpus, centroids, 1), "id")
+          assignHierarchical(corpus, centroids, 1, carryVec = true)
             .select(col("cell"), posexplode(col("vec")))
         else corpus
           .select(nearestCell(col("vec"), centroids).as("cell"), posexplode(col("vec")))

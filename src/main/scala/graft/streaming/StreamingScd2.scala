@@ -19,9 +19,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per key, so state scales with |keys|, not |updates|, the property
   * that makes this safe on an unbounded stream. Late (out-of-order)
   * updates within a batch are applied in event-time order; an update
-  * older than the key's open interval is dropped (the batch oracle
-  * orders globally; the stream's contract is per-batch ordering — the
-  * spec pins this).
+  * AT OR older than the key's open interval's start is dropped (the
+  * batch oracle orders globally; the stream's contract is per-batch
+  * ordering — the spec pins this). Dropping the same-instant case is
+  * deliberate: accepting it would emit a zero-length interval `[t, t)`
+  * (no instant at which the closed value was valid — noise downstream
+  * consumers must special-case), and same-timestamp changes carry no
+  * order a distributed CDC feed can honor anyway. Within one batch,
+  * same-timestamp changes are folded in (ts, value) order, so the
+  * SMALLEST value at a tied timestamp wins the open interval —
+  * deterministic across replays, which the raw feed arrival order is
+  * not (the spec pins both behaviors).
   */
 object StreamingScd2 {
 
@@ -46,7 +54,9 @@ object StreamingScd2 {
             open match {
               case None =>
                 open = Some(OpenInterval(c.value, c.tsMillis))
-              case Some(o) if c.tsMillis < o.fromMillis => // stale update
+              // `<=`: same-instant changes are stale too — a zero-length
+              // [t, t) interval would otherwise emit (see scaladoc)
+              case Some(o) if c.tsMillis <= o.fromMillis => // stale update
               case Some(o) if c.value != o.value =>
                 closed += ClosedInterval(key, o.value, o.fromMillis, c.tsMillis)
                 open = Some(OpenInterval(c.value, c.tsMillis))

@@ -231,6 +231,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(table() == Set(
       ClosedInterval("k1", "a", 0, 5), ClosedInterval("k2", "x", 0, 9),
       ClosedInterval("k1", "b", 5, 10)))
+    // batch 4: same-instant changes never emit a zero-length [t, t)
+    // interval — a change AT the open interval's start is stale
+    // (k1's open interval starts at 10; "d"@10 drops). For an in-batch
+    // timestamp tie on a fresh key, the smallest value wins the open
+    // interval deterministically (k3: "p"@0 beats "q"@0) — the raw
+    // feed arrival order carries no cross-replay guarantee.
+    input.addData(Change("k1", "d", 10), Change("k3", "q", 0), Change("k3", "p", 0))
+    q.processAllAvailable()
+    assert(table() == Set(
+      ClosedInterval("k1", "a", 0, 5), ClosedInterval("k2", "x", 0, 9),
+      ClosedInterval("k1", "b", 5, 10)), "zero-length interval emitted")
+    // batch 5: prove the survivors — k1 still open on "c" (the stale
+    // "d" did not replace it), k3 open on "p" since 0
+    input.addData(Change("k1", "e", 20), Change("k3", "r", 7))
+    q.processAllAvailable()
+    assert(table() == Set(
+      ClosedInterval("k1", "a", 0, 5), ClosedInterval("k2", "x", 0, 9),
+      ClosedInterval("k1", "b", 5, 10), ClosedInterval("k1", "c", 10, 20),
+      ClosedInterval("k3", "p", 0, 7)))
     q.stop()
   }
 
