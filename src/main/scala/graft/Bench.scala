@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   * and page-cache noise, which made round-over-round regressions
   * unattributable. The total is the sum of medians.
   *
+  * The samples are INTERLEAVED round-robin across the full query list
+  * (run every query once, then again, ...) rather than back-to-back
+  * per query: back-to-back sampling put all three of a query's runs
+  * inside the same wall-clock window, so a transient host disturbance
+  * (another process grabbing the box for ~90 s) slowed ALL of a
+  * query's samples and survived the median — the round-9 artifact
+  * recorded four contiguous queries at 10-50x their unchanged-code
+  * medians this way. Interleaved, a disturbance of any length shorter
+  * than a full pass lands in at most one of each query's samples and
+  * the median sheds it.
+  *
   * Output discipline: the harness that records this run keeps only the
   * LAST 2000 characters of stdout, and a 149-query map does not fit —
   * for 8 rounds the headline line was truncated into unparseability.
@@ -60,29 +71,33 @@ object Bench {
     // comma-separated query-name filter for local iteration on a subset
     // (unset = the full surface, the driver's configuration)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var i = 0
-      while (i < nRuns && !failed) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          runs += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            failed = true
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      qlist.map { case (name, _) =>
+        name -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var round = 0
+    while (round < nRuns) {
+      qlist.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples(name) += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          // a leaked persist() must not bleed into the next query's time
+          spark.catalog.clearCache()
         }
-        i += 1
       }
-      if (!failed && runs.nonEmpty) timings(name) = median(runs.toSeq)
-      // a leaked persist() must not bleed into the next query's time
-      spark.catalog.clearCache()
+      round += 1
+    }
+    val timings = samples.collect {
+      case (name, runs) if !errors.contains(name) && runs.nonEmpty =>
+        name -> median(runs.toSeq)
     }
 
     // Raw parse throughput (the reference's headline metric is ingest
