@@ -30,8 +30,16 @@ object CosineDedup {
     // deduplicated pair list for the exact check — auto-broadcast when
     // the embedding table is small, shuffle hash join on the id keys at
     // corpus scale (no forced hint, so neither regime OOMs).
-    val b = LshAnn.withBuckets(embeddings, "vec", numTables, bitsPerTable, dim)
-    val long = b.select(
+    //
+    // The (id, vec, nrm, buckets) relation is materialized ONCE (eager
+    // localCheckpoint — the MinHash "signature store" discipline): its
+    // four plan occurrences (both bucket-join sides + both exact-verify
+    // probes) would otherwise each re-scan the corpus and re-derive
+    // numTables×bits hyperplane dot products / the norms from parquet.
+    val store = LshAnn.withBuckets(embeddings, "vec", numTables, bitsPerTable, dim)
+      .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
+      .localCheckpoint(true)
+    val long = store.select(
       col("id"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
@@ -41,8 +49,7 @@ object CosineDedup {
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .dropDuplicates("a", "b")
-    val vecs = embeddings.select(
-      col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm"))
+    val vecs = store.select(col("id"), col("vec"), col("nrm"))
     cand
       .join(vecs.as("x"), col("a") === col("x.id"))
       .join(vecs.as("y"), col("b") === col("y.id"))
