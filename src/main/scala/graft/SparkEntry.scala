@@ -2945,6 +2945,175 @@ object SparkEntry {
       |FROM w JOIN occ USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Longest repeated span per document (SURVEY §2 B115) — the
+    * span-length upgrade of B109's coverage fraction (Lee et al. 2022
+    * §4 find exact repeated substrings with a suffix array; two fixed
+    * window widths + a merge give the data-card-grade estimate with
+    * the SAME one-scan positional-window machinery): a width-w window
+    * that repeats anywhere in the corpus marks its position, and a run
+    * of r consecutive marked positions covers a span of r + w − 1
+    * tokens. Runs at w=8 resolve short spans; runs at w=16 are the
+    * stronger evidence for long ones (8-window runs can chain two
+    * ADJACENT independently-repeated spans into one overestimate — the
+    * merge prefers the 16-window figure whenever one exists, falling
+    * back to w=8 only for spans in [8, 16)). Estimates upper-bound the
+    * true longest repeated substring; docs with no repeated window at
+    * either width have no span and are absent (the B109 contract).
+    *
+    * Scale shape: ONE corpus scan emits both widths' positional
+    * windows (two ShingleHashes passes over the same scanned row,
+    * concat'd — window count ≈ 2× token count); occurrence counts ride
+    * one (w, hash)-keyed count-over-window exchange (no join, no
+    * second scan — the B109 plan); islands are one doc-keyed sort
+    * window; everything after is doc-sized. A window repeated d times
+    * costs d rows, never d².
+    */
+  private def textMaxDupSpan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def winStructs(w: Int) = transform(
+      graft.functions.ShingleHashes.positional(col("text"), w),
+      (h, i) => struct(lit(w).as("w"), i.as("pos"), h.as("h")))
+    val pw = t(s, dir, "documents")
+      .select(col("doc_id"), explode(concat(winStructs(8), winStructs(16))).as("x"))
+      .select(col("doc_id"), col("x.w").as("w"), col("x.pos").as("pos"), col("x.h").as("h"))
+    val wOcc = Window.partitionBy("w", "h")
+    val rep = pw.withColumn("occ", count(lit(1)).over(wOcc))
+      .where(col("occ") > 1)
+      .select("doc_id", "w", "pos")
+    val wSeq = Window.partitionBy("doc_id", "w").orderBy("pos")
+    val runs = rep.withColumn("grp", col("pos") - row_number().over(wSeq))
+      .groupBy("doc_id", "w", "grp")
+      .agg((count(lit(1)) + col("w") - 1).as("span"))
+    runs.groupBy("doc_id")
+      .agg(
+        max(when(col("w") === 8, col("span")).otherwise(0L)).as("span_w8"),
+        max(when(col("w") === 16, col("span")).otherwise(0L)).as("span_w16"))
+      .select(col("doc_id"), col("span_w8"), col("span_w16"),
+        when(col("span_w16") > 0, col("span_w16")).otherwise(col("span_w8"))
+          .as("max_dup_span"))
+      .orderBy("doc_id")
+  }
+
+  private val textMaxDupSpanSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |win AS (
+      |  SELECT doc_id, 8 AS w,
+      |         unnest([{'pos': i, 'g': array_to_string(tk[i:i+7], ' ')}
+      |                 FOR i IN range(1, len(tk) - 6)]) AS u
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 16 AS w,
+      |         unnest([{'pos': i, 'g': array_to_string(tk[i:i+15], ' ')}
+      |                 FOR i IN range(1, len(tk) - 14)]) AS u
+      |  FROM toks),
+      |pw AS (SELECT doc_id, w, u.pos AS pos, u.g AS g FROM win),
+      |occ AS (SELECT w, g, count(*) AS occ FROM pw GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, pw.w AS w, pos
+      |        FROM pw JOIN occ ON pw.w = occ.w AND pw.g = occ.g
+      |        WHERE occ.occ > 1),
+      |isl AS (SELECT doc_id, w, pos,
+      |               pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+      |        FROM rep),
+      |runs AS (SELECT doc_id, w, count(*) + w - 1 AS span
+      |         FROM isl GROUP BY doc_id, w, grp),
+      |spans AS (SELECT doc_id,
+      |                 max(CASE WHEN w = 8 THEN span ELSE 0 END) AS span_w8,
+      |                 max(CASE WHEN w = 16 THEN span ELSE 0 END) AS span_w16
+      |          FROM runs GROUP BY doc_id)
+      |SELECT doc_id, CAST(span_w8 AS BIGINT) AS span_w8,
+      |       CAST(span_w16 AS BIGINT) AS span_w16,
+      |       CAST(CASE WHEN span_w16 > 0 THEN span_w16 ELSE span_w8 END AS BIGINT)
+      |         AS max_dup_span
+      |FROM spans ORDER BY doc_id""".stripMargin
+
+  /** Deterministic URL per document for the web-corpus family (B113/
+    * B114): `documents` carries no URL column, so one is derived from
+    * id arithmetic — scheme/subdomain/port/query variation makes the
+    * host extraction non-trivial (ports must strip, paths and query
+    * strings must not leak into the host), and the identical
+    * construction in the oracle's CTE makes every derived value
+    * checkable. The pattern (host = subdomain.source-k.tld) gives each
+    * source a family of registered domains with multiple hosts each —
+    * the shape per-domain stats exist to summarize.
+    */
+  private def docsWithUrl(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("url",
+      concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("http://")).otherwise(lit("https://")),
+        element_at(array(lit("www."), lit("cdn."), lit("m."), lit("static.")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        col("source"),
+        element_at(array(lit(".com"), lit(".org"), lit(".net")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?ref="), pmod(col("doc_id"), lit(13)).cast("string")))
+          .otherwise(lit(""))))
+
+  private val docsWithUrlCte =
+    """u AS (
+      |  SELECT *,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END ||
+      |     ['www.', 'cdn.', 'm.', 'static.'][CAST(doc_id % 4 AS INT) + 1] ||
+      |     source ||
+      |     ['.com', '.org', '.net'][CAST(doc_id % 3 AS INT) + 1] ||
+      |     CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+      |     '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) ||
+      |     CASE WHEN doc_id % 2 = 0 THEN '?ref=' || CAST(doc_id % 13 AS VARCHAR)
+      |          ELSE '' END) AS url
+      |  FROM documents),
+      |h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host FROM u),
+      |d AS (SELECT *, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)""".stripMargin
+
+  /** Per-domain corpus profile (SURVEY §2 B113;
+    * [[graft.text.WebDomains.profile]]): doc volume, distinct hosts,
+    * token volume, exact-dup count/rate per registered domain — the
+    * C4/RefinedWeb first-stage view. Host/domain extraction is
+    * row-local (`parse_url` + regexp); the oracle re-derives both with
+    * RE2 regexes over the identical synthesized URL, so extraction
+    * semantics (port stripping, last-two-labels) are value-checked,
+    * not just the aggregate.
+    */
+  private def domainProfile(s: SparkSession, dir: String): DataFrame =
+    graft.text.WebDomains.profile(docsWithUrl(s, dir))
+
+  private val domainProfileSql =
+    s"""WITH $docsWithUrlCte
+      |SELECT domain,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT host) AS n_hosts,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       count(*) - count(DISTINCT text) AS n_exact_dups,
+      |       round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4) AS dup_rate
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Domain-blocklist audit (SURVEY §2 B114;
+    * [[graft.text.WebDomains.blocked]]): documents whose host is
+    * exactly a blocklisted domain or a subdomain of one, with the
+    * matching entry attributed. The list mixes a full-host entry with
+    * registered-domain entries, so both match arms fire; substring
+    * false positives (`notspam.com` for `spam.com`) are impossible by
+    * construction — the oracle re-derives every match with the same
+    * exact/suffix predicate.
+    */
+  private val domainBlocklistEntries =
+    Seq("www.src0.com", "src1.org", "src2.net", "src17.com")
+
+  private def domainBlocklist(s: SparkSession, dir: String): DataFrame =
+    graft.text.WebDomains.blocked(docsWithUrl(s, dir), domainBlocklistEntries)
+      .select("doc_id", "host", "domain", "blocked_by")
+      .orderBy("doc_id")
+
+  private val domainBlocklistSql =
+    s"""WITH $docsWithUrlCte,
+      |b AS (SELECT *,
+      |        (list_filter(['www.src0.com', 'src1.org', 'src2.net', 'src17.com'],
+      |                     e -> host = e OR ends_with(host, '.' || e)))[1] AS blocked_by
+      |      FROM d)
+      |SELECT doc_id, host, domain, blocked_by
+      |FROM b WHERE blocked_by IS NOT NULL ORDER BY doc_id""".stripMargin
+
   /** Repetition-budget mix materialization (SURVEY §2 B49b;
     * graft.data.Mix.epochsSample): the UPSAMPLING half of mix
     * execution — B49/B49a can only remove rows, but real pretraining
@@ -4969,6 +5138,9 @@ object SparkEntry {
     "mix_epochs" -> Q(mixEpochs, Some(mixEpochsSql)),
     "k_anonymity" -> Q(kAnonymity, Some(kAnonymitySql)),
     "text_dup_windows" -> Q(textDupWindows, Some(textDupWindowsSql)),
+    "text_max_dup_span" -> Q(textMaxDupSpan, Some(textMaxDupSpanSql)),
+    "domain_profile" -> Q(domainProfile, Some(domainProfileSql)),
+    "domain_blocklist" -> Q(domainBlocklist, Some(domainBlocklistSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),

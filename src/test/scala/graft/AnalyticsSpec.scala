@@ -433,4 +433,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(sum == r.getAs[Long]("n_chars"))
     }
   }
+
+  // --------------------------------------------------- web domains (B113/114)
+
+  test("web domains: host/domain extraction strips ports, blocklist is suffix-exact") {
+    import graft.text.WebDomains
+    val docs = Seq(
+      (1L, "https://www.spam.com/x?q=1"),        // subdomain of blocked spam.com
+      (2L, "http://spam.com:8080/y"),            // exact domain + port to strip
+      (3L, "https://www.notspam.com/z"),         // substring trap: must NOT block
+      (4L, "https://cdn.news.example.org/a/b"),  // deep subdomain, unblocked
+      (5L, "https://evil.net/c"),                // exact-host blocklist entry
+      (6L, "https://sub.evil.net/d"),            // suffix of the evil.net entry
+      (7L, "https://www.espam.com/e")            // suffix trap: espam.com != .spam.com
+    ).toDF("doc_id", "url")
+    val parts = WebDomains.withUrlParts(docs).select("doc_id", "host", "domain")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(parts(1L) == (("www.spam.com", "spam.com")))
+    assert(parts(2L) == (("spam.com", "spam.com")), "port leaked into the host")
+    assert(parts(4L) == (("cdn.news.example.org", "example.org")),
+      "registered domain must be the last two labels")
+
+    val blocked = WebDomains.blocked(docs, Seq("spam.com", "evil.net"))
+      .select("doc_id", "blocked_by").as[(Long, String)].collect().toMap
+    assert(blocked == Map(1L -> "spam.com", 2L -> "spam.com",
+      5L -> "evil.net", 6L -> "evil.net"),
+      s"substring/suffix false positive or miss: $blocked")
+
+    // first-entry attribution is deterministic in list order
+    val multi = WebDomains.blocked(docs, Seq("www.spam.com", "spam.com"))
+      .select("doc_id", "blocked_by").as[(Long, String)].collect().toMap
+    assert(multi(1L) == "www.spam.com" && multi(2L) == "spam.com")
+  }
 }
