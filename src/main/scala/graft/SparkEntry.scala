@@ -3114,6 +3114,106 @@ object SparkEntry {
       |SELECT doc_id, host, domain, blocked_by
       |FROM b WHERE blocked_by IS NOT NULL ORDER BY doc_id""".stripMargin
 
+  /** Domain-graph PageRank (SURVEY §2 B116;
+    * [[graft.ops.PageRank.ranks]]): the link-graph quality ranking
+    * web-corpus curation filters domains by (Common Crawl publishes
+    * exactly this at host/domain level). The link graph is synthesized
+    * with the same id-arithmetic discipline as the URL column — each
+    * doc contributes one edge from its own domain to an
+    * arithmetically-derived target domain — so the oracle rebuilds the
+    * identical graph and replays the identical integer fixed-point
+    * iterations (ranks in millionths, `DIV` truncation): the whole
+    * 5-iteration trajectory is BIGINT-exact on both engines, which a
+    * float PageRank's partition-ordered sums can never be.
+    */
+  private def domainEdges(s: SparkSession, dir: String): DataFrame =
+    graft.text.WebDomains.withUrlParts(docsWithUrl(s, dir))
+      .select(col("domain").as("src"),
+        concat(lit("src"), pmod(col("doc_id") * 13 + 7, lit(20)).cast("string"),
+          element_at(array(lit(".com"), lit(".org"), lit(".net")),
+            (pmod(col("doc_id") * 11, lit(3)) + 1).cast("int"))).as("dst"))
+
+  private def domainPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.ranks(domainEdges(s, dir), 5)
+      .select(col("node").as("domain"), col("rank"))
+      .orderBy(col("rank").desc, col("domain"))
+
+  private val domainPagerankSql: String = {
+    def iter(k: Int) =
+      s"""i$k AS (SELECT e.dst AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inc
+         |      FROM e JOIN r${k - 1} r ON e.src = r.node
+         |      JOIN outd o ON e.src = o.src GROUP BY 1),
+         |r$k AS (SELECT n.node,
+         |             CAST(150000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS rank
+         |      FROM nodes n LEFT JOIN i$k i ON n.node = i.node)""".stripMargin
+    s"""WITH $docsWithUrlCte,
+       |e0 AS (SELECT DISTINCT domain AS src,
+       |         'src' || CAST((doc_id * 13 + 7) % 20 AS VARCHAR) ||
+       |         ['.com', '.org', '.net'][CAST((doc_id * 11) % 3 AS INT) + 1] AS dst
+       |       FROM d),
+       |e AS (SELECT * FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node AS domain, rank FROM r5 ORDER BY rank DESC, domain""".stripMargin
+  }
+
+  /** Order-priority EXISTS rollup (SURVEY §2 A19v — the TPC-H q4
+    * shape): orders having at least one qualifying lineitem, counted
+    * per priority. The EXISTS subquery plans as a LEFT SEMI join with
+    * the filter pushed below it — each order counts ONCE however many
+    * lineitems qualify (an inner join would double-count; the semi
+    * join is the point of the shape).
+    */
+  private def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val qualifying = t(s, dir, "lineitem")
+      .where(col("l_discount") > 0.05)
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .join(qualifying, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4PriorityExistsSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Per-source content checksum (SURVEY §2 B117): an
+    * order-independent release fingerprint per source — `bit_xor` over
+    * the cross-engine MD5-derived 60-bit text hash plus count and hash
+    * extrema. Two snapshots of a source are content-identical iff
+    * their rows match (modulo the xor-cancellation caveat: PAIRS of
+    * identical duplicate docs cancel in the xor, which count and
+    * extrema then catch — the trio is the fingerprint, not the xor
+    * alone). One partial-agg pass; no sums that could hit ANSI BIGINT
+    * overflow at corpus scale.
+    */
+  private def sourceChecksum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("checksum"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+      .orderBy("source")
+
+  private val sourceChecksumSql =
+    """SELECT source, count(*) AS n_docs,
+      |       bit_xor(h) AS checksum, min(h) AS h_min, max(h) AS h_max
+      |FROM (SELECT source,
+      |             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Repetition-budget mix materialization (SURVEY §2 B49b;
     * graft.data.Mix.epochsSample): the UPSAMPLING half of mix
     * execution — B49/B49a can only remove rows, but real pretraining
@@ -5141,6 +5241,9 @@ object SparkEntry {
     "text_max_dup_span" -> Q(textMaxDupSpan, Some(textMaxDupSpanSql)),
     "domain_profile" -> Q(domainProfile, Some(domainProfileSql)),
     "domain_blocklist" -> Q(domainBlocklist, Some(domainBlocklistSql)),
+    "domain_pagerank" -> Q(domainPagerank, Some(domainPagerankSql)),
+    "q4_priority_exists" -> Q(q4PriorityExists, Some(q4PriorityExistsSql)),
+    "source_checksum" -> Q(sourceChecksum, Some(sourceChecksumSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
