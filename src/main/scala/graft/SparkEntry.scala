@@ -3159,6 +3159,218 @@ object SparkEntry {
        |SELECT node AS domain, rank FROM r5 ORDER BY rank DESC, domain""".stripMargin
   }
 
+  /** Messy-URL synthesis for the canonicalization pair (B118/119):
+    * planted fragments, tracking params (both orders around a real
+    * param), default AND non-default ports, and trailing slashes —
+    * each keyed to a modulus coprime to the base-URL moduli, so docs
+    * with ids 300 apart share a base URL while their junk differs:
+    * exactly the rows URL dedup must collapse.
+    */
+  private def docsWithMessyUrl(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("url",
+      concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("http://")).otherwise(lit("https://")),
+        element_at(array(lit("www."), lit("cdn.")), (pmod(col("doc_id"), lit(2)) + 1).cast("int")),
+        col("source"), lit(".com"),
+        when(pmod(col("doc_id"), lit(7)) === 1,
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(":80")).otherwise(lit(":443")))
+          .when(pmod(col("doc_id"), lit(7)) === 3, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/"), col("lang"), lit("/p"), pmod(col("doc_id"), lit(25)).cast("string"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          when(pmod(col("doc_id"), lit(8)) === 0,
+            concat(lit("?id="), pmod(col("doc_id"), lit(9)).cast("string"), lit("&utm_medium=m")))
+            .otherwise(concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(9)).cast("string"))))
+          .when(pmod(col("doc_id"), lit(7)) === 0, lit("?ref=tw"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit("#frag")).otherwise(lit(""))))
+
+  private val docsWithMessyUrlCte =
+    """m AS (
+      |  SELECT *,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END ||
+      |     ['www.', 'cdn.'][CAST(doc_id % 2 AS INT) + 1] ||
+      |     source || '.com' ||
+      |     CASE WHEN doc_id % 7 = 1 THEN
+      |            CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END
+      |          WHEN doc_id % 7 = 3 THEN ':8080' ELSE '' END ||
+      |     '/' || lang || '/p' || CAST(doc_id % 25 AS VARCHAR) ||
+      |     CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+      |     CASE WHEN doc_id % 2 = 0 THEN
+      |            CASE WHEN doc_id % 8 = 0
+      |                 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR) || '&utm_medium=m'
+      |                 ELSE '?utm_source=feed&id=' || CAST(doc_id % 9 AS VARCHAR) END
+      |          WHEN doc_id % 7 = 0 THEN '?ref=tw' ELSE '' END ||
+      |     CASE WHEN doc_id % 13 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT *,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |        url, '#.*$', ''),
+      |        '[?&](utm_[a-z]+|ref|fbclid|gclid)=[^&]*', '', 'g'),
+      |        '^([^?&]*)&', '\1?'),
+      |        '\?$', ''),
+      |        '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2'),
+      |        '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2'),
+      |        '/$', '') AS canonical
+      |  FROM m)""".stripMargin
+
+  /** URL canonicalization (SURVEY §2 B118;
+    * [[graft.text.WebDomains.canonicalize]]): fragment / tracking-param
+    * / default-port / trailing-slash normalization as an ordered
+    * RE2-compatible regexp chain (the Redact discipline — order is
+    * contract), row-local, zero shuffle. The oracle replays the
+    * IDENTICAL chain in DuckDB over the identically-synthesized messy
+    * URL, so every rule and the repair of separators after a stripped
+    * leading param are value-checked byte for byte.
+    */
+  private def urlCanonicalize(s: SparkSession, dir: String): DataFrame =
+    docsWithMessyUrl(s, dir)
+      .select(col("doc_id"), col("url"),
+        graft.text.WebDomains.canonicalize(col("url")).as("canonical"))
+      .orderBy("doc_id")
+
+  private val urlCanonicalizeSql =
+    "WITH " + docsWithMessyUrlCte + "\n" +
+      """SELECT doc_id, url, canonical FROM c ORDER BY doc_id""".stripMargin
+
+  /** URL-level exact dedup (SURVEY §2 B119 — C4's first dedup stage
+    * runs on canonical URLs BEFORE any text is compared): group by the
+    * canonical form, keep the smallest doc_id, report the collapse.
+    * Only collapsed groups emit (the dedup's work product); raw-URL
+    * distinctness inside a group shows the canonicalizer — not id
+    * equality — did the collapsing.
+    */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    docsWithMessyUrl(s, dir)
+      .select(col("doc_id"), col("url"),
+        graft.text.WebDomains.canonicalize(col("url")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(
+        min(col("doc_id")).as("keep_doc"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_urls"))
+      .where(col("n_docs") > 1)
+      .orderBy("canonical")
+
+  private val dedupUrlSql =
+    "WITH " + docsWithMessyUrlCte + "\n" +
+      """SELECT canonical, min(doc_id) AS keep_doc, count(*) AS n_docs,
+        |       count(DISTINCT url) AS n_raw_urls
+        |FROM c GROUP BY canonical HAVING count(*) > 1 ORDER BY canonical""".stripMargin
+
+  /** New-template detection (SURVEY §2 B120 — the observability "new
+    * error pattern today" alert; `log_templates` mines what patterns
+    * exist, this diffs them across time): templates seen on/after the
+    * split day that NEVER occurred before it, via one LEFT ANTI join of
+    * two template-cardinality relations (both sides partial-agg
+    * outputs, broadcast-able at any log volume). Template = event type
+    * × value band (floor(value/100) — floor on the identical double in
+    * both engines, never a rounding CAST).
+    */
+  private def newTemplates(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      concat(col("event_type"), lit(" v"),
+        floor(col("value") / 100).cast("long").cast("string")).as("template"),
+      to_date(col("ts")).as("d"))
+    val ref = e.where(col("d") < "2024-01-10").select("template").distinct()
+    e.where(col("d") >= "2024-01-10")
+      .groupBy("template")
+      .agg(count(lit(1)).as("n"), min(col("d")).as("first_seen"))
+      .join(ref, Seq("template"), "left_anti")
+      .orderBy("template")
+  }
+
+  private val newTemplatesSql =
+    """WITH e AS (SELECT event_type || ' v' ||
+      |             CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS template,
+      |             CAST(ts AS DATE) AS d
+      |           FROM events),
+      |ref AS (SELECT DISTINCT template FROM e WHERE d < DATE '2024-01-10'),
+      |rec AS (SELECT template, count(*) AS n, min(d) AS first_seen
+      |        FROM e WHERE d >= DATE '2024-01-10' GROUP BY 1)
+      |SELECT template, n, first_seen FROM rec
+      |WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.template = rec.template)
+      |ORDER BY template""".stripMargin
+
+  /** Quality-importance sampling (SURVEY §2 B121 — the DSIR/soft-filter
+    * shape: keep each doc with probability proportional to its OWN
+    * quality score, instead of a hard threshold): keep iff
+    * `hash_uniform < (1e6 · stop_hits) DIV n_words` — the threshold is
+    * pure BIGINT arithmetic on exact token counts and the uniform is
+    * the salted cross-engine MD5 bucket, so selection is engine-exact
+    * row for row, reproducible, and append-stable. Row-local, zero
+    * shuffles (the B32 hash-sampling discipline with a per-row rate).
+    */
+  private def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats.{stopwordHits, words}
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        stopwordHits(col("text")).cast("long").as("stop_hits"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        pmod(conv(substring(md5(concat(lit("imp:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(1000000L)).as("u"))
+      .withColumn("thr", expr("(1000000 * stop_hits) DIV n_words"))
+      .where(col("u") < col("thr"))
+      .select("doc_id", "source", "thr", "u")
+      .orderBy("doc_id")
+  }
+
+  private val sampleImportanceSql =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST('0x' || substring(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) % 1000000 AS u
+      |  FROM documents)
+      |SELECT doc_id, source, (1000000 * stop_hits) // n_words AS thr, u
+      |FROM q WHERE u < (1000000 * stop_hits) // n_words ORDER BY doc_id""".stripMargin
+
+  /** Per-source token-budget cap (SURVEY §2 B122 — mix materialization
+    * under a hard token budget: each source contributes docs in
+    * deterministic hash order until its budget fills, the way a real
+    * mix caps a dominant source at N tokens rather than N docs): one
+    * source-keyed sort window accumulates exact BIGINT token counts;
+    * membership = `cum <= budget`, engine-exact, reproducible across
+    * runs and engines (hash order, not ingestion order — append-stable
+    * per source up to re-hashing).
+    */
+  private def budgetCap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 1000L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val budgetCapSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST('0x' || substring(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) AS h
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM cum WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin
+
   /** Order-priority EXISTS rollup (SURVEY §2 A19v — the TPC-H q4
     * shape): orders having at least one qualifying lineitem, counted
     * per priority. The EXISTS subquery plans as a LEFT SEMI join with
@@ -5244,6 +5456,11 @@ object SparkEntry {
     "domain_pagerank" -> Q(domainPagerank, Some(domainPagerankSql)),
     "q4_priority_exists" -> Q(q4PriorityExists, Some(q4PriorityExistsSql)),
     "source_checksum" -> Q(sourceChecksum, Some(sourceChecksumSql)),
+    "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
+    "dedup_url" -> Q(dedupUrl, Some(dedupUrlSql)),
+    "new_templates" -> Q(newTemplates, Some(newTemplatesSql)),
+    "sample_importance" -> Q(sampleImportance, Some(sampleImportanceSql)),
+    "budget_cap" -> Q(budgetCap, Some(budgetCapSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),

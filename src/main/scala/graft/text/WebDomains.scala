@@ -48,6 +48,39 @@ object WebDomains {
       filter(arr, b => host === b || host.endsWith(concat(lit("."), b))), lit(1))
   }
 
+  /** Canonical URL for dedup keys (the C4/CCNet URL-dedup
+    * preprocessing): drop the fragment, strip tracking parameters
+    * (`utm_*`, `ref`, `fbclid`, `gclid`), strip the scheme's DEFAULT
+    * port (`:80` for http, `:443` for https — non-default ports are
+    * identity), and trim a trailing path slash. An ordered
+    * `regexp_replace` chain of RE2-compatible patterns (no lookahead —
+    * RE2 has none; the Redact discipline), so the identical chain runs
+    * in the DuckDB oracle; order is contract (fragment first, so
+    * tracking params never hide behind `#`; separators repaired after
+    * param removal). Host lowercasing is NOT applied (a whole-URL
+    * `lower()` would fold the path too; the synthesized corpus is
+    * lowercase-host by construction — a general pipeline would
+    * lowercase the host at extraction).
+    */
+  def canonicalize(url: Column): Column = {
+    val noFragment = regexp_replace(url, "#.*$", "")
+    // leading [?&] in the match keeps `href=` safe from the `ref=` rule
+    val noTracking = regexp_replace(noFragment,
+      "[?&](utm_[a-z]+|ref|fbclid|gclid)=[^&]*", "")
+    // stripping a leading `?param` leaves the next param with `&`:
+    // promote the FIRST separator back to `?` ([^?&]* stops at the
+    // first separator, so greedy backtracking can't pick a later `&`)
+    val repairedSep = regexp_replace(noTracking, "^([^?&]*)&", "$1?")
+    val noDangling = regexp_replace(repairedSep, "\\?$", "")
+    // `:80` only as the WHOLE port (group 2 demands [/?#] or end), so
+    // `:8080` never matches a prefix
+    val noHttpPort = regexp_replace(noDangling,
+      "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    val noHttpsPort = regexp_replace(noHttpPort,
+      "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    regexp_replace(noHttpsPort, "/$", "")
+  }
+
   /** `df` + (host, domain) derived from `urlCol` — row-local. */
   def withUrlParts(df: DataFrame, urlCol: String = "url"): DataFrame =
     df.withColumn("host", host(col(urlCol)))

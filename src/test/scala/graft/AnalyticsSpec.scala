@@ -465,4 +465,29 @@ class AnalyticsSpec extends AnyFunSuite {
       .select("doc_id", "blocked_by").as[(Long, String)].collect().toMap
     assert(multi(1L) == "www.spam.com" && multi(2L) == "spam.com")
   }
+
+  test("url canonicalization: tracking params, default ports, fragments, slashes") {
+    import graft.text.WebDomains.canonicalize
+    val cases = Map(
+      // default port stripped, trailing slash trimmed
+      "https://www.x.com:443/a/b/" -> "https://www.x.com/a/b",
+      // fragment gone, leading tracking param stripped, separator repaired, :80 stripped
+      "http://x.com:80/a?utm_source=f&id=3#frag" -> "http://x.com/a?id=3",
+      // NON-default port survives (:80 must not match inside :8080)
+      "http://x.com:8080/a?id=3&utm_medium=m" -> "http://x.com:8080/a?id=3",
+      // param list collapsing to nothing leaves no dangling '?'
+      "https://x.com/p?ref=tw" -> "https://x.com/p",
+      // href= must survive the ref= rule (the [?&] anchor)
+      "https://x.com/p?href=keep" -> "https://x.com/p?href=keep",
+      // multiple tracking params around a real one
+      "https://x.com/p?id=1&ref=x&utm_a=1" -> "https://x.com/p?id=1",
+      // bare root slash trims
+      "http://x.com/" -> "http://x.com")
+    val out = cases.keys.toSeq.toDF("url")
+      .select(col("url"), canonicalize(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"canonicalize($in) = ${out(in)}, want $want")
+    }
+  }
 }
