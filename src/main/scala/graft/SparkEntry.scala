@@ -3371,6 +3371,96 @@ object SparkEntry {
       |SELECT doc_id, source, n_tokens, cum_tokens
       |FROM cum WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin
 
+  /** Approximate trailing-7-day distinct users (SURVEY §2 B123 — the
+    * sketch form of A94's exact DAU/WAU: at 100 TB the exact trailing
+    * distinct shuffles every (user, day) row 7×, while DAILY HLL
+    * sketches are KB-sized and MERGE — one sketch per day, each fanned
+    * to the ≤7 windows it feeds (the A94 explode: no range join, no
+    * BNLJ), `hll_union_agg` + estimate per window end). Precision
+    * oracle: DuckDB recomputes the exact trailing distinct per window
+    * and keeps the row only within max(5, 10%) — the approx_users
+    * band.
+    */
+  private def approxWau(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy("d")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val fanned = daily.select(
+      explode(expr("sequence(d, date_add(d, 6), interval 1 day)")).as("wend"),
+      col("sk"))
+    // window ends restricted to days that HAVE events (a day-after-max
+    // "window" would summarize a partial horizon); days-sized semi join
+    fanned.join(daily.select(col("d").as("wend")), Seq("wend"), "left_semi")
+      .groupBy("wend")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("approx_wau"))
+      .orderBy("wend")
+  }
+
+  private val approxWauSql =
+    """SELECT g.wend, g.approx_wau
+      |FROM graft_result g
+      |JOIN (SELECT d1.wend, count(DISTINCT e.user_id) AS exact_wau
+      |      FROM (SELECT DISTINCT CAST(ts AS DATE) AS wend FROM events) d1
+      |      JOIN events e
+      |        ON CAST(e.ts AS DATE) BETWEEN d1.wend - 6 AND d1.wend
+      |      GROUP BY 1) x USING (wend)
+      |WHERE abs(g.approx_wau - x.exact_wau) <= greatest(5, 0.10 * x.exact_wau)
+      |ORDER BY wend""".stripMargin
+
+  /** Deterministic negative sampling (SURVEY §2 B124 — the
+    * contrastive/recsys training-data op: for each customer, k parts
+    * they never bought): candidates come from m salted-MD5 probes per
+    * user (users × m rows — NEVER the users × items cross product,
+    * which is the banned-BNLJ shape this op exists to avoid), deduped
+    * to the earliest probe, anti-joined against the interaction set on
+    * the co-keyed (user, item) pair, ranked by probe index, first k
+    * kept. Engine-exact and reproducible: the oracle replays probes,
+    * dedup, anti join, and ranking identically.
+    */
+  private def sampleNegatives(s: SparkSession, dir: String): DataFrame = {
+    val inter = t(s, dir, "orders")
+      .select(col("o_custkey").as("c"), col("o_orderkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("l_partkey").as("p"))
+      .distinct()
+    val pMax = t(s, dir, "part")
+      .agg(max(col("p_partkey")).cast("long")).head().getLong(0)
+    val probes = inter.select("c").distinct()
+      .select(col("c"), explode(sequence(lit(0), lit(7))).as("j"))
+      .select(col("c"), col("j"),
+        (pmod(conv(substring(md5(concat(lit("neg:"), col("c").cast("string"),
+          lit(":"), col("j").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(pMax)) + 1).as("cand"))
+    val dedup = probes.groupBy("c", "cand").agg(min(col("j")).as("j"))
+    val neg = dedup.join(inter,
+      dedup("c") === inter("c") && dedup("cand") === inter("p"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("c").orderBy("j")
+    neg.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= 3)
+      .select(col("c").as("custkey"), col("cand").as("neg_partkey"), col("neg_rank"))
+      .orderBy("custkey", "neg_rank")
+  }
+
+  private val sampleNegativesSql =
+    """WITH inter AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |users AS (SELECT DISTINCT c FROM inter),
+      |probes AS (SELECT c, j,
+      |             CAST('0x' || substring(md5('neg:' || CAST(c AS VARCHAR) || ':'
+      |                  || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+      |               % (SELECT max(p_partkey) FROM part) + 1 AS cand
+      |           FROM users CROSS JOIN range(0, 8) t(j)),
+      |ded AS (SELECT c, cand, min(j) AS j FROM probes GROUP BY 1, 2),
+      |neg AS (SELECT d.c, d.cand, d.j,
+      |          row_number() OVER (PARTITION BY d.c ORDER BY d.j) AS neg_rank
+      |        FROM ded d
+      |        WHERE NOT EXISTS (SELECT 1 FROM inter i
+      |                          WHERE i.c = d.c AND i.p = d.cand))
+      |SELECT c AS custkey, cand AS neg_partkey, neg_rank
+      |FROM neg WHERE neg_rank <= 3 ORDER BY custkey, neg_rank""".stripMargin
+
   /** Order-priority EXISTS rollup (SURVEY §2 A19v — the TPC-H q4
     * shape): orders having at least one qualifying lineitem, counted
     * per priority. The EXISTS subquery plans as a LEFT SEMI join with
@@ -5461,6 +5551,8 @@ object SparkEntry {
     "new_templates" -> Q(newTemplates, Some(newTemplatesSql)),
     "sample_importance" -> Q(sampleImportance, Some(sampleImportanceSql)),
     "budget_cap" -> Q(budgetCap, Some(budgetCapSql)),
+    "approx_wau" -> Q(approxWau, Some(approxWauSql)),
+    "sample_negatives" -> Q(sampleNegatives, Some(sampleNegativesSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
