@@ -105,7 +105,20 @@ object Plans {
       "text_dup_windows" -> "ONE positional shingle pass -> count-over-window on the 8-byte hash (no join, no second scan) -> per-doc rollup — d occurrences cost d rows, never d-squared pairs",
       "supervision_events" -> "driver-sized (source, day) collect feeds one idempotent sink batch; the read-back aggregates the canonical log schema on the name key",
       "zipf_fit" -> "term-count partial agg -> custom TopKPerKey bounded-heap selection (no vocabulary sort) -> rank window + ordered OLS folds over the 100 survivors per source",
-      "dedup_impact" -> "first-occurrence window keyed on xxhash64(text) — the exchange moves 8-byte keys, never bodies; one source-keyed agg after")
+      "dedup_impact" -> "first-occurrence window keyed on xxhash64(text) — the exchange moves 8-byte keys, never bodies; one source-keyed agg after",
+      "domain_profile" -> "row-local parse_url + regexp host/domain extraction in the scan projection; ONE domain-keyed grouped pass (distinct-aggs ride the two-phase Expand on the same shuffle)",
+      "domain_blocklist" -> "literal blocklist array scanned row-locally (filter + try_element_at) — no join; the only exchange is the gate ORDER BY",
+      "domain_pagerank" -> "edges/nodes/outdeg checkpointed once; each of the 5 iterations is one edges-keyed join + one node-keyed partial agg of (node, BIGINT) pairs — integer fixed-point, no float accumulation anywhere",
+      "text_max_dup_span" -> "ONE corpus scan emits both widths' positional windows (concat of two ShingleHashes arrays); occurrence counts via count-over-window on (w, hash) — no join, no second scan; islands are one doc-keyed sort window",
+      "url_canonicalize" -> "seven chained regexp_replace ops in a single row-local projection — zero shuffles before the gate ORDER BY",
+      "dedup_url" -> "canonicalization in the scan projection feeding one canonical-keyed partial agg (count + min + distinct-url via the two-phase expansion)",
+      "sample_importance" -> "row-local quality threshold (BIGINT DIV) vs the salted MD5 uniform: a Filter in the scan stage, zero shuffles before the gate ORDER BY",
+      "budget_cap" -> "one source-keyed sort window accumulating exact BIGINT token counts; membership is a row-local comparison on the running sum",
+      "approx_wau" -> "daily HLL sketches (partial agg) fanned 7x by a row-local explode; days-sized semi join bounds the window ends; hll_union_agg merges KB-sized sketch state per window",
+      "sample_negatives" -> "users x m probe rows (Generate, never users x items); dedup partial agg; LEFT ANTI join co-keyed on (user, item); per-user rank window bounded by m",
+      "source_checksum" -> "row-local MD5-derived 60-bit hash; ONE partial-agg pass folds xor/min/max/count per source",
+      "new_templates" -> "two template-cardinality partial-agg relations; LEFT ANTI join broadcasts the reference set",
+      "q4_priority_exists" -> "filter pushed below the LEFT SEMI join; one fact-fact semi join + one priority partial agg")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")
