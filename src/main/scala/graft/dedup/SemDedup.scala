@@ -87,7 +87,12 @@ object SemDedup {
       minCosine: Double,
       probes: Int = 2,
       assigner: (DataFrame, IvfAnn.Centroids, Int) => DataFrame = IvfAnn.assign(_, _, _)): DataFrame = {
-    val cells = assigner(embeddings, centroids, probes)
+    // both relations materialize ONCE (eager localCheckpoint — the
+    // signature-store discipline): the cell assignment re-derives
+    // numCells dot products per row and would otherwise run on BOTH
+    // self-join sides; the normalized vectors feed both exact-verify
+    // probes
+    val cells = assigner(embeddings, centroids, probes).localCheckpoint(true)
     val cand = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -95,6 +100,7 @@ object SemDedup {
       .dropDuplicates("a", "b")
     val vecs = embeddings.select(
       col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm"))
+      .localCheckpoint(true)
     cand
       .join(vecs.as("x"), col("a") === col("x.id"))
       .join(vecs.as("y"), col("b") === col("y.id"))

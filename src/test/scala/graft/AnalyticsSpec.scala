@@ -490,4 +490,28 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(out(in) == want, s"canonicalize($in) = ${out(in)}, want $want")
     }
   }
+
+  test("integer PageRank matches the hand-computed trajectory; duplicate edges/self-loops drop") {
+    import graft.ops.PageRank
+    // a -> b, b -> a, c -> a (c never receives): after iteration 1 with
+    // uniform 1e6 start, contributions are 1e6 each (outdeg 1), so
+    // inc(a) = 2e6, inc(b) = 1e6, inc(c) = 0:
+    //   a: 150000 + 85*2000000/100 = 1850000
+    //   b: 150000 + 85*1000000/100 = 1000000
+    //   c: 150000
+    // iteration 2: inc(a) = b + c = 1000000 + 150000, inc(b) = a = 1850000
+    //   a: 150000 + 85*1150000 DIV 100 = 150000 + 977500  = 1127500
+    //   b: 150000 + 85*1850000 DIV 100 = 150000 + 1572500 = 1722500
+    //   c: 150000
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("c", "a"), ("a", "a"))
+      .toDF("src", "dst") // duplicate a->b and self-loop a->a must not double-count
+    val r1 = PageRank.ranks(edges, 1).as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 1850000L, "b" -> 1000000L, "c" -> 150000L), s"iter 1: $r1")
+    val r2 = PageRank.ranks(edges, 2).as[(String, Long)].collect().toMap
+    assert(r2 == Map("a" -> 1127500L, "b" -> 1722500L, "c" -> 150000L), s"iter 2: $r2")
+    // determinism under repartitioning (integer arithmetic has no
+    // accumulation-order sensitivity to hide)
+    val r2b = PageRank.ranks(edges.repartition(7), 2).as[(String, Long)].collect().toMap
+    assert(r2b == r2)
+  }
 }
