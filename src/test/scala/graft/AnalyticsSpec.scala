@@ -491,6 +491,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalization is idempotent over randomized component URLs") {
+    import graft.text.WebDomains.canonicalize
+    // a canonical form that canonicalizes further would make dedup keys
+    // depend on how many times the pipeline ran — idempotence is the
+    // operator's contract, swept over randomized component combinations
+    val rnd = new scala.util.Random(7)
+    val urls = (1 to 300).map { _ =>
+      val scheme = if (rnd.nextBoolean()) "http://" else "https://"
+      val sub = Seq("", "www.", "a.b.")(rnd.nextInt(3))
+      val host = s"${sub}h${rnd.nextInt(40)}.com"
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/x", "/x/y", "/x/")(rnd.nextInt(4))
+      val params = (0 until rnd.nextInt(4))
+        .map(_ => Seq("id=1", "utm_a=2", "ref=z", "q=3")(rnd.nextInt(4)))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = Seq("", "#f")(rnd.nextInt(2))
+      scheme + host + port + path + query + frag
+    }
+    val bad = urls.toDF("url")
+      .select(col("url"), canonicalize(col("url")).as("c1"))
+      .select(col("url"), col("c1"), canonicalize(col("c1")).as("c2"))
+      .where(col("c1") =!= col("c2"))
+      .collect()
+    assert(bad.isEmpty, s"non-idempotent canonicalization: ${bad.take(5).toSeq}")
+  }
+
   test("integer PageRank matches the hand-computed trajectory; duplicate edges/self-loops drop") {
     import graft.ops.PageRank
     // a -> b, b -> a, c -> a (c never receives): after iteration 1 with

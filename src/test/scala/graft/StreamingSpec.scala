@@ -109,6 +109,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs == Seq("another long enough message", "this passes the gate"))
   }
 
+  test("ingest-time domain blocklist gate drops lines whose URL falls under a blocked domain") {
+    // the web-corpus blocklist (B114) composes into the ingest path the
+    // same way as the quality gate: extract the first URL from the
+    // message row-locally, drop the line when its host is a blocked
+    // domain or a subdomain of one — suffix-exact, so notspam.com
+    // survives a spam.com rule even on the stream
+    import org.apache.spark.sql.functions._
+    import graft.text.WebDomains
+    val gate = (df: org.apache.spark.sql.DataFrame) => {
+      val url = regexp_extract(col("message"), "https?://[^\\s]+", 0)
+      df.where(url === "" ||
+        WebDomains.blockedBy(WebDomains.host(url), Seq("spam.com", "evil.net")).isNull)
+    }
+    val in = tmp("dgate_in"); val ck = tmp("dgate_ck"); val out = tmp("dgate_out")
+    val sink = MergeTreeSink(out.toString)
+    val pipe = TailPipeline(spark, cfg.copy(name = "dgate", transform = Some(gate)),
+      in.toString, ck.toString, sink)
+    writeLog(in, "a.log", Seq(
+      line(1, "fetch https://www.spam.com/x ok"),    // subdomain of blocked: dropped
+      line(2, "fetch https://notspam.com/y ok"),     // substring trap: kept
+      line(3, "no url in this line"),                // no URL: kept
+      line(4, "hit http://evil.net/z slow")          // exact blocked: dropped
+    ))
+    val q = pipe.start(LocalDate.of(2024, 1, 1))
+    q.processAllAvailable()
+    pipe.stopGracefully(q)
+    val msgs = sink.read(spark).select("message")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    assert(msgs == Seq("fetch https://notspam.com/y ok", "no url in this line"))
+  }
+
   test("stream-static broadcast enrichment joins a dimension inside the ingest path") {
     // enrichment beyond the reference's static repo/name/host literals:
     // a stream-static join against a dimension table rides the same
