@@ -3461,6 +3461,58 @@ object SparkEntry {
       |SELECT c AS custkey, cand AS neg_partkey, neg_rank
       |FROM neg WHERE neg_rank <= 3 ORDER BY custkey, neg_rank""".stripMargin
 
+  /** Vocabulary tokenization (SURVEY §2 B125;
+    * [[graft.functions.DictSegment]]): greedy longest-match dictionary
+    * segmentation — the tokenizer-APPLICATION primitive (B30 counts
+    * whitespace/regex tokens, B47/B50 build vocabularies; this RUNS
+    * one): per doc, the real piece count a context-length planner
+    * budgets with plus the out-of-vocabulary rate, in ONE codegen'd
+    * trie pass per row (no per-piece regex, no vocab join). The vocab
+    * mixes full corpus words with sub-word fragments and drops some
+    * letters entirely, so multi-piece splits AND UNK positions both
+    * occur. Greedy determinism makes the DuckDB oracle exact: a
+    * recursive CTE over the DISTINCT words advances by the max
+    * matching piece length (vocab-sized scalar subquery per step),
+    * then per-doc sums ride the token multiset — integer-exact end to
+    * end.
+    */
+  private val tokenizeVocab = Seq(
+    "the", "a", "e", "s", "t", "n", "r", "l", "d", "h",
+    "scan", "table", "value", "part", "row", "fast", "slow", "hash",
+    "merge", "batch", "key", "agg", "sort", "window", "va", "ble")
+
+  private def vocabTokenize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.SegTrie.dictSegment(col("text"),
+          array(tokenizeVocab.map(lit(_)): _*)).as("seg"))
+      .select(col("doc_id"),
+        col("seg.n_pieces").as("n_pieces"), col("seg.n_unk").as("n_unk"))
+      .orderBy("doc_id")
+
+  private val vocabTokenizeSql =
+    s"""WITH RECURSIVE vocab(piece) AS (
+      |  SELECT unnest([${tokenizeVocab.map(p => s"'$p'").mkString(", ")}])),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |words(w) AS (SELECT DISTINCT w FROM tok WHERE len(w) > 0),
+      |step(w, pos, n, unk) AS (
+      |  SELECT w, 1, 0, 0 FROM words
+      |  UNION ALL
+      |  SELECT s.w,
+      |         s.pos + coalesce((SELECT max(len(v.piece)) FROM vocab v
+      |                           WHERE substr(s.w, s.pos, len(v.piece)) = v.piece), 1),
+      |         s.n + 1,
+      |         s.unk + CASE WHEN EXISTS (SELECT 1 FROM vocab v
+      |                                   WHERE substr(s.w, s.pos, len(v.piece)) = v.piece)
+      |                 THEN 0 ELSE 1 END
+      |  FROM step s WHERE s.pos <= len(s.w)),
+      |ws AS (SELECT w, max(n) AS n, max(unk) AS unk
+      |       FROM step WHERE pos > len(w) GROUP BY w)
+      |SELECT t.doc_id, CAST(sum(ws.n) AS BIGINT) AS n_pieces,
+      |       CAST(sum(ws.unk) AS BIGINT) AS n_unk
+      |FROM tok t JOIN ws ON t.w = ws.w
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   /** Order-priority EXISTS rollup (SURVEY §2 A19v — the TPC-H q4
     * shape): orders having at least one qualifying lineitem, counted
     * per priority. The EXISTS subquery plans as a LEFT SEMI join with
@@ -5553,6 +5605,7 @@ object SparkEntry {
     "budget_cap" -> Q(budgetCap, Some(budgetCapSql)),
     "approx_wau" -> Q(approxWau, Some(approxWauSql)),
     "sample_negatives" -> Q(sampleNegatives, Some(sampleNegativesSql)),
+    "vocab_tokenize" -> Q(vocabTokenize, Some(vocabTokenizeSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),

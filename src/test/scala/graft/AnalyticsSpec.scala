@@ -517,6 +517,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-idempotent canonicalization: ${bad.take(5).toSeq}")
   }
 
+  test("dict_segment: greedy longest-match, UNK runs, SQL registration, analysis failures") {
+    import graft.functions.SegTrie.dictSegment
+    val vocab = array(Seq("le", "a", "n", "scan", "table", "row").map(lit(_)): _*)
+    def seg(texts: String*): Map[String, (Long, Long)] =
+      texts.toDF("t")
+        .select(col("t"), dictSegment(col("t"), vocab).as("s"))
+        .select(col("t"), col("s.n_pieces"), col("s.n_unk"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val out = seg(
+      "scantable",  // scan + table -> 2 pieces
+      "lean",       // GREEDY le + a + n = 3, not the 2-piece optimum (the WordPiece contract)
+      "xyz",        // nothing matches -> 3 UNK singles
+      "scan row",   // words segment independently across spaces
+      "arowz",      // a + row + UNK(z)
+      "",           // empty text -> nothing
+      "  "          // only separators -> nothing
+    )
+    assert(out("scantable") == ((2L, 0L)))
+    assert(out("lean") == ((3L, 0L)), "greedy must NOT find the optimal 2-piece split")
+    assert(out("xyz") == ((3L, 3L)))
+    assert(out("scan row") == ((2L, 0L)))
+    assert(out("arowz") == ((3L, 1L)))
+    assert(out("") == ((0L, 0L)))
+    assert(out("  ") == ((0L, 0L)))
+
+    // SQL registration through GraftExtensions
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT dict_segment('scantable', array('scan','table')).n_pieces AS p").as[Long].head()
+    assert(viaSql == 2L)
+
+    // non-foldable vocab and empty vocab fail at analysis, not at runtime
+    intercept[Exception] {
+      Seq(("ab", Seq("a"))).toDF("t", "v")
+        .select(dictSegment(col("t"), col("v"))).collect()
+    }
+    intercept[Exception] {
+      Seq("ab").toDF("t")
+        .select(dictSegment(col("t"), array())).collect()
+    }
+    ()
+  }
+
   test("integer PageRank matches the hand-computed trajectory; duplicate edges/self-loops drop") {
     import graft.ops.PageRank
     // a -> b, b -> a, c -> a (c never receives): after iteration 1 with
