@@ -1883,6 +1883,43 @@ object SparkEntry {
       .orderBy("q", "rank")
   }
 
+  /** Incremental ANN index maintenance (SURVEY §2 row 95b): the
+    * steady-state loop a production vector index runs — train the
+    * model ONCE on the initial corpus, then each arriving batch
+    * appends its `(id, cell, codes)` rows to the index store
+    * ([[graft.sim.PqAnn.indexRows]] — encoding is a pure row-local
+    * function of (vec, frozen model), so the union of per-batch rows
+    * IS the index; no rebuild, no corpus rescan, the
+    * IncrementalDedup/IncrementalStats discipline completed for ANN).
+    * This query runs that loop end to end: wave-1 trains and writes,
+    * wave-2 appends, the probe reads the store
+    * ([[graft.sim.PqAnn.topKIvfPqIndexed]]); exact re-rank emits true
+    * cosine, so the shared ANN precision oracle verifies the result
+    * over BOTH waves. Store in a unique temp dir per invocation (the
+    * supervision-store rule).
+    */
+  private def annIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    val wave1 = corpus.where(pmod(col("id"), lit(2)) === 0)
+    val wave2 = corpus.where(pmod(col("id"), lit(2)) === 1)
+    val cs = graft.sim.IvfAnn.train(wave1, 16, 3)
+    val cb = graft.sim.PqAnn.train(wave1, 4, 16, 3)
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(scratch), "graft_ann_index_")
+      .toAbsolutePath.toString
+    graft.sim.PqAnn.indexRows(wave1, cs, cb)
+      .write.mode("overwrite").parquet(s"$store/batch=w1")
+    graft.sim.PqAnn.indexRows(wave2, cs, cb)
+      .write.mode("overwrite").parquet(s"$store/batch=w2")
+    graft.sim.PqAnn.topKIvfPqIndexed(queries, s.read.parquet(s"$store/batch=*"),
+        corpus, cs, cb, 5, nProbe = 8, shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
@@ -5588,6 +5625,7 @@ object SparkEntry {
     "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
     "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
     "ann_ivfpq" -> Q(annIvfPq, Some(annPrecisionSql)),
+    "ann_incremental" -> Q(annIncremental, Some(annPrecisionSql)),
     "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
     "mix_epochs" -> Q(mixEpochs, Some(mixEpochsSql)),
     "k_anonymity" -> Q(kAnonymity, Some(kAnonymitySql)),

@@ -187,9 +187,44 @@ object PqAnn {
       IvfAnn.train(corpus, numCells, iters), train(corpus, m, kCodes, iters),
       k, nProbe, shortlist)
 
-  /** Probe pre-trained IVF centroids + PQ codebooks. */
+  /** Compressed `(id, cell, codes)` index rows for `corpus` under a
+    * FROZEN model — one row-local pass, no shuffle. This is the APPEND
+    * unit of incremental index maintenance: a steady-state pipeline
+    * writes each arriving batch's rows to the index store and probes
+    * the store ([[topKIvfPqIndexed]]) — the union of per-batch rows IS
+    * the index, because encoding is a pure row-local function of
+    * (vec, model): no rebuild, no corpus rescan (the IncrementalDedup
+    * signature-store / IncrementalStats merge discipline, completed
+    * for ANN). Model drift is the documented retraining trigger, same
+    * as any frozen-quantizer deployment.
+    */
+  def indexRows(corpus: DataFrame, centroids: IvfAnn.Centroids, cb: Codebooks): DataFrame =
+    corpus.select(
+      col("id"),
+      IvfAnn.cellOf(col("vec"), centroids).as("cell"),
+      encode(col("vec"), cb).as("codes"))
+
+  /** Probe pre-trained IVF centroids + PQ codebooks (index built
+    * inline from `corpus` — the self-contained shape).
+    */
   def topKIvfPqWith(
       queries: DataFrame,
+      corpus: DataFrame,
+      centroids: IvfAnn.Centroids,
+      cb: Codebooks,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame =
+    topKIvfPqIndexed(queries, indexRows(corpus, centroids, cb), corpus,
+      centroids, cb, k, nProbe, shortlist)
+
+  /** Probe a PREBUILT `(id, cell, codes)` index (e.g. an incrementally
+    * appended parquet store) — `corpus` supplies full-precision
+    * vectors only for the exact re-rank of the shortlist.
+    */
+  def topKIvfPqIndexed(
+      queries: DataFrame,
+      index: DataFrame,
       corpus: DataFrame,
       centroids: IvfAnn.Centroids,
       cb: Codebooks,
@@ -200,11 +235,7 @@ object PqAnn {
     val qRows: Array[Row] = queries.select("qid", "qvec").collect()
     require(qRows.nonEmpty, "empty probe batch")
 
-    // the compressed index: (id, cell, codes) — one row-local pass
-    val coded = corpus.select(
-      col("id"),
-      IvfAnn.cellOf(col("vec"), centroids).as("cell"),
-      encode(col("vec"), cb).as("codes"))
+    val coded = index.select(col("id"), col("cell"), col("codes"))
 
     // per-query probe cells, DRIVER-side (numCells dot products per
     // query against the tiny centroid set); one inlined (qid, lut,

@@ -370,6 +370,36 @@ class AnnTextSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf-pq recall $recall")
   }
 
+  test("incremental index append equals the one-shot build under a frozen model") {
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
+    val wave1 = corpus.where(pmod(col("id"), lit(2)) === 0)
+    val wave2 = corpus.where(pmod(col("id"), lit(2)) === 1)
+    // model frozen from wave 1 (the incremental deployment shape)
+    val cents = graft.sim.IvfAnn.train(wave1, 16, iters = 2)
+    val cb = graft.sim.PqAnn.train(wave1, m = 4, kCodes = 16, iters = 2)
+    // encoding is row-local and pure, so per-wave rows union to the
+    // one-shot index exactly
+    val appended = graft.sim.PqAnn.indexRows(wave1, cents, cb)
+      .union(graft.sim.PqAnn.indexRows(wave2, cents, cb))
+    val oneShot = graft.sim.PqAnn.indexRows(corpus, cents, cb)
+    assert(appended.collect().map(_.toString).sorted
+      .sameElements(oneShot.collect().map(_.toString).sorted),
+      "appended index rows differ from the one-shot build")
+    // probing the appended store gives the identical result — through a
+    // parquet round trip, the store's actual medium
+    val dir = java.nio.file.Files.createTempDirectory("ann_store")
+    graft.sim.PqAnn.indexRows(wave1, cents, cb).write.parquet(s"$dir/batch=w1")
+    graft.sim.PqAnn.indexRows(wave2, cents, cb).write.parquet(s"$dir/batch=w2")
+    val viaStore = graft.sim.PqAnn.topKIvfPqIndexed(queries,
+      spark.read.parquet(s"$dir/batch=*"), corpus, cents, cb, 5,
+      nProbe = 8, shortlist = 50).collect().map(_.toString).sorted
+    val direct = graft.sim.PqAnn.topKIvfPqWith(queries, corpus, cents, cb, 5,
+      nProbe = 8, shortlist = 50).collect().map(_.toString).sorted
+    assert(viaStore.sameElements(direct),
+      "probe through the appended parquet store differs from the direct probe")
+  }
+
   test("PQ codes: m entries, in-range, deterministic, encode0/encode agree") {
     val corpus = emb.select(col("vec_id").as("id"), col("v").as("vec"))
     val cb = graft.sim.PqAnn.train(corpus, m = 4, kCodes = 16, iters = 2)
