@@ -3196,6 +3196,141 @@ object SparkEntry {
        |SELECT node AS domain, rank FROM r5 ORDER BY rank DESC, domain""".stripMargin
   }
 
+  /** SLO burn rate (SURVEY §2 A15a — the SRE error-budget dashboard:
+    * how fast is the service consuming its allowed error rate): hourly
+    * error fraction against a 1% objective, plus the trailing-6h burn
+    * (the multiwindow-alert primitive — a 1h spike and a slow 6h leak
+    * are different pages). One partial-agg bucketing pass; the
+    * trailing window runs over the HOURS-sized relation; burn rates
+    * divide exact BIGINT sums and round at the boundary.
+    */
+  private def sloBurn(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hour")
+      .rowsBetween(-5, 0)
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(upper(col("event_type")) === "ERROR", 1L).otherwise(0L)).as("errors"))
+      .withColumn("burn_1h",
+        round(col("errors").cast("double") / col("total") / 0.01, 4))
+      .withColumn("burn_6h",
+        round(sum(col("errors")).over(w).cast("double") /
+          sum(col("total")).over(w) / 0.01, 4))
+      .orderBy("hour")
+  }
+
+  private val sloBurnSql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(*) AS total,
+      |         CAST(sum(CASE WHEN upper(event_type) = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+      |  FROM events GROUP BY 1)
+      |SELECT hour, total, errors,
+      |       round(CAST(errors AS DOUBLE) / total / 0.01, 4) AS burn_1h,
+      |       round(CAST(CAST(sum(errors) OVER w AS BIGINT) AS DOUBLE) /
+      |             CAST(sum(total) OVER w AS BIGINT) / 0.01, 4) AS burn_6h
+      |FROM h
+      |WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY hour""".stripMargin
+
+  /** Alert-transition detection (SURVEY §2 A15b — flap suppression:
+    * page on STATE CHANGES, not on every above-threshold hour; an
+    * 8-hour incident is one page and one resolve, not 8 pages): hourly
+    * alert state from an INTEGER threshold compare (1000·errors >
+    * 15·total ⟺ err_rate > 1.5%, no float in the predicate), lag
+    * window over the hours-sized relation, emit only state flips.
+    */
+  private def alertTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hour")
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(upper(col("event_type")) === "ERROR", 1L).otherwise(0L)).as("errors"))
+      .withColumn("state",
+        when(col("errors") * 1000L > col("total") * 15L, 1L).otherwise(0L))
+      .withColumn("prev_state", coalesce(lag(col("state"), 1).over(w), lit(0L)))
+      .where(col("state") =!= col("prev_state"))
+      .select(col("hour"), col("state"), col("prev_state"),
+        round(col("errors").cast("double") / col("total"), 4).as("err_rate"))
+      .orderBy("hour")
+  }
+
+  private val alertTransitionsSql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(*) AS total,
+      |         CAST(sum(CASE WHEN upper(event_type) = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT hour, total, errors,
+      |         CAST(CASE WHEN errors * 1000 > total * 15 THEN 1 ELSE 0 END AS BIGINT) AS state
+      |  FROM h),
+      |tr AS (
+      |  SELECT hour, state, errors, total,
+      |         CAST(coalesce(lag(state) OVER (ORDER BY hour), 0) AS BIGINT) AS prev_state
+      |  FROM st)
+      |SELECT hour, state, prev_state,
+      |       round(CAST(errors AS DOUBLE) / total, 4) AS err_rate
+      |FROM tr WHERE state <> prev_state ORDER BY hour""".stripMargin
+
+  /** Seasonal-baseline anomaly detection (SURVEY §2 A16a — "compare to
+    * the same hour in previous weeks", the dashboard sibling of A19p's
+    * EWMA: EWMA tracks level shifts, this knows Monday 9am is always
+    * busy): per (day-of-week, hour-of-day) bucket, the baseline weeks'
+    * mean and sample variance derive from exact BIGINT (n, Σx, Σx²)
+    * in fixed-order arithmetic (the trend_slope discipline — a
+    * streamed stddev's accumulation order would drift between
+    * engines); evaluation days flag when the squared deviation
+    * exceeds 9·σ² (3σ without a sqrt), both sides rounded before the
+    * compare. Baseline and eval are one bucketing pass each; the join
+    * is buckets-sized.
+    */
+  private def seasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("hour"), col("cnt"),
+        dayofweek(col("hour")).cast("long").as("dow"),
+        hour(col("hour")).cast("long").as("hod"))
+    val base = hourly.where(col("hour") < lit("2024-01-22").cast("timestamp"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .where(col("n") >= 2)
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("sx").cast("double") / col("n"), 4).as("mu"),
+        round((col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx") / col("n")) / (col("n") - 1), 4).as("var_samp"))
+    hourly.where(col("hour") >= lit("2024-01-22").cast("timestamp"))
+      .join(base, Seq("dow", "hod"))
+      .where(round((col("cnt") - col("mu")) * (col("cnt") - col("mu")), 4) >
+        round(col("var_samp") * 9, 4))
+      .select(col("hour"), col("cnt"), col("mu"), col("var_samp"))
+      .orderBy("hour")
+  }
+
+  private val seasonalBaselineSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |hx AS (
+      |  SELECT hour, cnt, CAST(dayofweek(hour) + 1 AS BIGINT) AS dow,
+      |         CAST(extract(hour FROM hour) AS BIGINT) AS hod
+      |  FROM hourly),
+      |base AS (
+      |  SELECT dow, hod, count(*) AS n,
+      |         CAST(sum(cnt) AS BIGINT) AS sx, CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+      |  FROM hx WHERE hour < TIMESTAMP '2024-01-22' GROUP BY 1, 2
+      |  HAVING count(*) >= 2),
+      |bs AS (
+      |  SELECT dow, hod, n,
+      |         round(CAST(sx AS DOUBLE) / n, 4) AS mu,
+      |         round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1), 4) AS var_samp
+      |  FROM base)
+      |SELECT hour, cnt, mu, var_samp
+      |FROM hx JOIN bs USING (dow, hod)
+      |WHERE hour >= TIMESTAMP '2024-01-22'
+      |  AND round((cnt - mu) * (cnt - mu), 4) > round(var_samp * 9, 4)
+      |ORDER BY hour""".stripMargin
+
   /** Messy-URL synthesis for the canonicalization pair (B118/119):
     * planted fragments, tracking params (both orders around a real
     * param), default AND non-default ports, and trailing slashes —
@@ -5644,6 +5779,9 @@ object SparkEntry {
     "approx_wau" -> Q(approxWau, Some(approxWauSql)),
     "sample_negatives" -> Q(sampleNegatives, Some(sampleNegativesSql)),
     "vocab_tokenize" -> Q(vocabTokenize, Some(vocabTokenizeSql)),
+    "slo_burn" -> Q(sloBurn, Some(sloBurnSql)),
+    "alert_transitions" -> Q(alertTransitions, Some(alertTransitionsSql)),
+    "seasonal_baseline" -> Q(seasonalBaseline, Some(seasonalBaselineSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
