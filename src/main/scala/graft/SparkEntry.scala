@@ -3331,6 +3331,138 @@ object SparkEntry {
       |  AND round((cnt - mu) * (cnt - mu), 4) > round(var_samp * 9, 4)
       |ORDER BY hour""".stripMargin
 
+  /** Deterministic pseudonymization (SURVEY §2 B126 — the privacy op a
+    * release pipeline runs BEFORE publishing user-keyed stats: replace
+    * the raw id with a salted one-way token that stays CONSISTENT
+    * across tables, so joins and per-user aggregates still work while
+    * the raw id never ships; B71 erases, B108 audits, this
+    * de-identifies). Row-local salted MD5 (the cross-engine idiom);
+    * per-token aggregates ride one partial-agg pass. The raw id is
+    * absent from the output by construction.
+    */
+  private def pseudonymize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(substring(md5(concat(lit("pseudo-v1:"),
+        col("user_id").cast("string"))), 1, 16).as("token"),
+        col("event_type"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("token")
+
+  private val pseudonymizeSql =
+    """SELECT substring(md5('pseudo-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS token,
+      |       count(*) AS n_events,
+      |       count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1 ORDER BY token""".stripMargin
+
+  /** Churn-label construction (SURVEY §2 B127 — supervised-training
+    * label building with the time split that PREVENTS leakage:
+    * features come strictly from before the cutoff, the label strictly
+    * from the window after it; mixing them is the classic silent
+    * training bug this op's shape exists to rule out): per-user activity
+    * features to 2024-01-24, label = 1 iff NO activity in the
+    * following 7 days. Two bucketing passes + one user-keyed LEFT
+    * join; every feature and the label are exact integers.
+    */
+  private def churnLabels(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-24").cast("timestamp")
+    val horizon = lit("2024-01-31").cast("timestamp")
+    val ev = t(s, dir, "events")
+    val before = ev.where(col("ts") < cutoff)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        datediff(lit("2024-01-24").cast("date"), max(to_date(col("ts"))))
+          .cast("long").as("days_silent"))
+    val after = ev.where(col("ts") >= cutoff && col("ts") < horizon)
+      .select(col("user_id")).distinct().withColumn("active_after", lit(1L))
+    before.join(after, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_purchases"), col("days_silent"),
+        when(col("active_after").isNull, 1L).otherwise(0L).as("churned"))
+      .orderBy("user_id")
+  }
+
+  private val churnLabelsSql =
+    """WITH before AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |         CAST(date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-24') AS BIGINT) AS days_silent
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1),
+      |aft AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-24' AND ts < TIMESTAMP '2024-01-31')
+      |SELECT b.user_id, b.n_events, b.n_purchases, b.days_silent,
+      |       CAST(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS churned
+      |FROM before b LEFT JOIN aft a ON b.user_id = a.user_id
+      |ORDER BY b.user_id""".stripMargin
+
+  /** Point-in-time-correct feature join (SURVEY §2 B128 — the
+    * feature-store discipline: each label row's features are computed
+    * AS OF strictly before its own timestamp, never including the
+    * label event or anything later; a plain aggregate join leaks the
+    * future into training): per purchase, the user's prior event and
+    * click counts via ONE user-keyed sort window with an explicit
+    * `(unboundedPreceding, -1)` frame — the -1 IS the leakage guard.
+    * Tie order (ts, event_id) is engine-reproducible; counts exact.
+    */
+  private def featuresPit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("n_prior_clicks",
+        coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w),
+          lit(0L)).as("n_prior_clicks"))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("n_prior"), col("n_prior_clicks"))
+      .orderBy("event_id")
+  }
+
+  private val featuresPitSql =
+    """WITH w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         count(*) OVER pit AS n_prior,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              OVER pit, 0) AS BIGINT) AS n_prior_clicks
+      |  FROM events
+      |  WINDOW pit AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, ts, n_prior, n_prior_clicks
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Class-balanced negative downsampling (SURVEY §2 B129 — the
+    * CTR-training shape: positives are rare and all kept; negatives
+    * are hash-downsampled at rate r and carry weight 1/r so every
+    * downstream expectation stays unbiased): keep = positive OR
+    * MD5-bucket < 10% — row-local, engine-exact, append-stable (the
+    * B32 discipline); weights are exact literals, never computed
+    * floats.
+    */
+  private def sampleClassbalance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"),
+        pmod(conv(substring(md5(concat(lit("cb:"), col("event_id").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(100L)).as("bucket"))
+      .where(col("label") === 1L || col("bucket") < 10L)
+      .select(col("event_id"), col("user_id"), col("label"),
+        when(col("label") === 1L, lit(1.0)).otherwise(lit(10.0)).as("weight"))
+      .orderBy("event_id")
+
+  private val sampleClassbalanceSql =
+    """WITH b AS (
+      |  SELECT event_id, user_id,
+      |         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS label,
+      |         CAST('0x' || substring(md5('cb:' || CAST(event_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) % 100 AS bucket
+      |  FROM events)
+      |SELECT event_id, user_id, label,
+      |       CASE WHEN label = 1 THEN 1.0 ELSE 10.0 END AS weight
+      |FROM b WHERE label = 1 OR bucket < 10 ORDER BY event_id""".stripMargin
+
   /** Messy-URL synthesis for the canonicalization pair (B118/119):
     * planted fragments, tracking params (both orders around a real
     * param), default AND non-default ports, and trailing slashes —
@@ -5782,6 +5914,10 @@ object SparkEntry {
     "slo_burn" -> Q(sloBurn, Some(sloBurnSql)),
     "alert_transitions" -> Q(alertTransitions, Some(alertTransitionsSql)),
     "seasonal_baseline" -> Q(seasonalBaseline, Some(seasonalBaselineSql)),
+    "pseudonymize" -> Q(pseudonymize, Some(pseudonymizeSql)),
+    "churn_labels" -> Q(churnLabels, Some(churnLabelsSql)),
+    "features_pit" -> Q(featuresPit, Some(featuresPitSql)),
+    "sample_classbalance" -> Q(sampleClassbalance, Some(sampleClassbalanceSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),
