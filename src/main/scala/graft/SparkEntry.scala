@@ -3463,6 +3463,100 @@ object SparkEntry {
       |       CASE WHEN label = 1 THEN 1.0 ELSE 10.0 END AS weight
       |FROM b WHERE label = 1 OR bucket < 10 ORDER BY event_id""".stripMargin
 
+  /** Pre-flight join-size estimation (SURVEY §2 B87a — skew_profile's
+    * sibling: BEFORE running an expensive many-to-many join, estimate
+    * its output from per-key counts; the CBO's sampled histogram,
+    * explicit): both sides' per-key counts join on the cells-sized key
+    * relation; `actual = Σ cA·cB` folds exactly from the same
+    * relation (never by running the row-wise join), and the ESTIMATE
+    * scales the deterministic 10% MD5 key-sample's partial sum —
+    * everything BIGINT until the final rounded ratio, so the
+    * estimator's error is itself value-checked.
+    */
+  private def joinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ca = t(s, dir, "events").groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = t(s, dir, "orders").groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("cb"))
+    ca.join(cb, "key")
+      .select(col("ca") * col("cb") as "prod",
+        pmod(conv(substring(md5(concat(lit("je:"), col("key").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(10L)).as("bucket"))
+      .agg(
+        sum(col("prod")).as("actual_rows"),
+        (sum(when(col("bucket") === 0L, col("prod")).otherwise(0L)) * 10L).as("est_rows"))
+      .select(col("est_rows"), col("actual_rows"),
+        round(col("est_rows").cast("double") / col("actual_rows"), 4).as("est_over_actual"))
+  }
+
+  private val joinEstimateSql =
+    """WITH ca AS (SELECT user_id AS key, count(*) AS ca FROM events GROUP BY 1),
+      |cb AS (SELECT o_custkey AS key, count(*) AS cb FROM orders GROUP BY 1),
+      |j AS (SELECT ca.ca * cb.cb AS prod,
+      |             CAST('0x' || substring(md5('je:' || CAST(ca.key AS VARCHAR)), 1, 15)
+      |                  AS BIGINT) % 10 AS bucket
+      |      FROM ca JOIN cb ON ca.key = cb.key),
+      |agg AS (SELECT CAST(sum(prod) AS BIGINT) AS actual_rows,
+      |               CAST(sum(CASE WHEN bucket = 0 THEN prod ELSE 0 END) * 10 AS BIGINT) AS est_rows
+      |        FROM j)
+      |SELECT est_rows, actual_rows,
+      |       round(CAST(est_rows AS DOUBLE) / actual_rows, 4) AS est_over_actual
+      |FROM agg""".stripMargin
+
+  /** Column-attributed snapshot diff (SURVEY §2 B64a — B64 counts
+    * added/removed/changed rows; a schema owner's next question is
+    * WHICH columns drive the churn): per-column changed counts over
+    * the common keys in ONE conditional-agg pass on the same
+    * full-outer join; three columns perturbed on coprime moduli so
+    * each attribution differs. Null-safe inequality (`<=>`-negation)
+    * so a null-vs-value change counts as a change in both engines.
+    */
+  private def snapshotDiffCols(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    val old = ord.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+    val neu = ord.where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit("9-RECLASSIFIED"))
+          .otherwise(col("o_orderpriority")))
+    old.as("a").join(neu.as("b"), col("a.o_orderkey") === col("b.o_orderkey"))
+      .agg(
+        count(lit(1)).as("common_rows"),
+        sum(when(!(col("a.o_totalprice") <=> col("b.o_totalprice")), 1L).otherwise(0L))
+          .as("chg_totalprice"),
+        sum(when(!(col("a.o_orderstatus") <=> col("b.o_orderstatus")), 1L).otherwise(0L))
+          .as("chg_orderstatus"),
+        sum(when(!(col("a.o_orderpriority") <=> col("b.o_orderpriority")), 1L).otherwise(0L))
+          .as("chg_orderpriority"))
+  }
+
+  private val snapshotDiffColsSql =
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |neu AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN '9-RECLASSIFIED'
+      |              ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 89 <> 0)
+      |SELECT count(*) AS common_rows,
+      |       CAST(sum(CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS chg_totalprice,
+      |       CAST(sum(CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS chg_orderstatus,
+      |       CAST(sum(CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS chg_orderpriority
+      |FROM old a JOIN neu b ON a.o_orderkey = b.o_orderkey""".stripMargin
+
   /** Messy-URL synthesis for the canonicalization pair (B118/119):
     * planted fragments, tracking params (both orders around a real
     * param), default AND non-default ports, and trailing slashes —
@@ -5918,6 +6012,8 @@ object SparkEntry {
     "churn_labels" -> Q(churnLabels, Some(churnLabelsSql)),
     "features_pit" -> Q(featuresPit, Some(featuresPitSql)),
     "sample_classbalance" -> Q(sampleClassbalance, Some(sampleClassbalanceSql)),
+    "join_estimate" -> Q(joinEstimate, Some(joinEstimateSql)),
+    "snapshot_diff_cols" -> Q(snapshotDiffCols, Some(snapshotDiffColsSql)),
     "zipf_fit" -> Q(zipfFit, Some(zipfFitSql)),
     "dedup_impact" -> Q(dedupImpact, Some(dedupImpactSql)),
     "text_compress" -> Q(textCompress, Some(textCompressSql)),

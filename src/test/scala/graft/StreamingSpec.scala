@@ -284,6 +284,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming alert transitions page on flips only, carry state, drop late regressions") {
+    import graft.streaming.StreamingAlerts
+    import graft.streaming.StreamingAlerts.{Bucket, Flip}
+    val ck = tmp("alerts_ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Bucket](spark)
+    val flips = StreamingAlerts.transitions(input.toDS()) // threshold 1.5%
+    val q = flips.writeStream
+      .format("memory").queryName("alert_flips")
+      .outputMode(StreamingAlerts.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    def table(): Set[Flip] = spark.table("alert_flips").as[Flip].collect().toSet
+    // batch 1: healthy hour (no flip from the 0 start), then an
+    // incident hour (one page), then a STILL-bad hour (no re-page)
+    input.addData(
+      Bucket("api", 1000, errors = 1, total = 1000),   // 0.1%: quiet
+      Bucket("api", 2000, errors = 100, total = 1000), // 10%: page
+      Bucket("api", 3000, errors = 90, total = 1000))  // still bad: suppressed
+    q.processAllAvailable()
+    assert(table() == Set(Flip("api", 2000, 1, 0)), s"got ${table()}")
+    // batch 2: recovery pages the resolve ONCE (state crossed the
+    // batch boundary); a second healthy hour stays silent; a LATE
+    // bucket below the high-water mark is dropped, not re-folded
+    input.addData(
+      Bucket("api", 4000, errors = 2, total = 1000),   // resolve
+      Bucket("api", 5000, errors = 1, total = 1000),   // quiet
+      Bucket("api", 2500, errors = 500, total = 1000)) // late: dropped
+    q.processAllAvailable()
+    assert(table() == Set(Flip("api", 2000, 1, 0), Flip("api", 4000, 0, 1)))
+    // independent keys keep independent state
+    input.addData(Bucket("web", 6000, errors = 50, total = 1000))
+    q.processAllAvailable()
+    assert(table().contains(Flip("web", 6000, 1, 0)))
+    q.stop()
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark, bounded state") {
     val ck = tmp("sdedup_ck")
     val input = org.apache.spark.sql.execution.streaming.runtime
