@@ -118,7 +118,15 @@ object Plans {
       "sample_negatives" -> "users x m probe rows (Generate, never users x items); dedup partial agg; LEFT ANTI join co-keyed on (user, item); per-user rank window bounded by m",
       "source_checksum" -> "row-local MD5-derived 60-bit hash; ONE partial-agg pass folds xor/min/max/count per source",
       "new_templates" -> "two template-cardinality partial-agg relations; LEFT ANTI join broadcasts the reference set",
-      "q4_priority_exists" -> "filter pushed below the LEFT SEMI join; one fact-fact semi join + one priority partial agg")
+      "q4_priority_exists" -> "filter pushed below the LEFT SEMI join; one fact-fact semi join + one priority partial agg",
+      "q7_volume" -> "nation joined twice (self-join on the dimension) — both copies + customer + supplier broadcast; the symmetric pair predicate prunes before the one fact-fact shuffle (lineitem-orders)",
+      "q13_order_dist" -> "LEFT outer join with the priority filter INSIDE the join (zero-order customers survive); count(col) non-null agg; the distribution regroup runs on the order-count-sized relation",
+      "q15_top_supplier" -> "per-supplier revenue aggregated once; its own 1-row max broadcast back as the equality filter — no lineitem re-scan",
+      "q17_small_qty" -> "brand partkeys broadcast-semi-join lineitem FIRST, so the de-correlated per-part average and its join-back run on the brand's share of the fact table only",
+      "q22_idle_rich" -> "global positive-balance average is a collected scalar literal in the filter; the NOT EXISTS anti join builds only on urgent orders",
+      "corr_matrix" -> "all six correlations in ONE partial-agg scan (corr = sums/counts); stack() unpivot runs on the 1-row result — no shuffle beyond the scalar agg",
+      "markov_next" -> "per-user lead window (one user-keyed exchange) -> (src,dst) partial agg; the normalization window runs on the folded event-types-squared relation",
+      "nb_classify" -> "trained model = literal maps (classes-by-bins-sized, driver-collected); classification is a row-local aggregate() fold per doc — zero joins, zero per-doc window; apply phase is one corpus scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

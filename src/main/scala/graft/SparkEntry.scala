@@ -3936,6 +3936,343 @@ object SparkEntry {
       |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Bilateral trade volume by nation pair and year (SURVEY §2 A19w —
+    * the TPC-H q7 shape): the self-join-on-a-dimension pattern (nation
+    * joined TWICE, once per side of the relationship) plus a
+    * symmetric pair filter. Both nation copies, customer, and supplier
+    * are dimension-sized and broadcast; the only corpus-sized shuffle
+    * is lineitem⋈orders on the orderkey. The pair predicate lands on
+    * the broadcast sides BEFORE the fact join (Catalyst pushes it into
+    * the dimension scans), so disqualified rows never reach the
+    * shuffle.
+    */
+  private def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val l = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit("1995-01-01 00:00:00")) &&
+        col("l_shipdate") <= to_timestamp_ntz(lit("1996-12-31 00:00:00")))
+    l.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7VolumeSql =
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |         l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                       AND TIMESTAMP '1996-12-31 00:00:00')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Customer order-count distribution (SURVEY §2 A19x — the TPC-H q13
+    * shape): the LEFT-outer-join-then-double-aggregate pattern whose
+    * point is the customers with ZERO matching orders — an inner join
+    * would silently drop them and a naive `count(*)` would count the
+    * null row as 1; `count(o_orderkey)` (non-null only) is the load-
+    * bearing detail. The join-side filter rides the join condition,
+    * not a WHERE (a WHERE would turn the outer join inner). One
+    * customer⋈orders shuffle; the distribution regroup is
+    * order-count-sized.
+    */
+  private def q13OrderDist(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13OrderDistSql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Top supplier by quarter revenue (SURVEY §2 A19y — the TPC-H q15
+    * shape): aggregate-then-select-the-max, i.e. a scalar subquery
+    * over the aggregate's own output. The per-supplier revenue
+    * relation is computed ONCE and consumed twice (the max and the
+    * equality filter) — suppliers-sized, so the second consumption is
+    * a broadcast of a 1-row max against it, not a re-scan of
+    * lineitem. Ties all surface (no LIMIT 1), ordered by s_suppkey.
+    */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier")), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue"), 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15TopSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Small-quantity revenue for one brand (SURVEY §2 A19z — the TPC-H
+    * q17 shape): a correlated scalar subquery (each lineitem compared
+    * to ITS part's average quantity) de-correlated into a per-partkey
+    * aggregate joined back. The brand filter semi-joins lineitem FIRST
+    * (brand parts are a small broadcast set), so the per-part average
+    * is computed only over the brand's lines — the correlated average
+    * only ever reads rows of the correlating partkey, so pre-filtering
+    * to the brand's partkeys is exact, and the corpus-sized agg+join
+    * shrinks to the brand's share of the fact table.
+    */
+  private def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brandKeys = t(s, dir, "part")
+      .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val lBrand = t(s, dir, "lineitem")
+      .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+    val halfAvg = lBrand.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    lBrand.join(broadcast(halfAvg), col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < col("half_avg"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  private val q17SmallQtySql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** Idle high-balance customers per segment (SURVEY §2 A19aa — the
+    * TPC-H q22 shape): an UNcorrelated scalar subquery (the global
+    * positive-balance average) plus a NOT EXISTS anti join. The scalar
+    * is a driver-collected 1-double aggregate turned literal filter
+    * (the repo's stats-sized-collect discipline — a 1-row relation
+    * joined declaratively would constant-fold into the BNLJ the
+    * blanket plan guard bans), and the anti join's probe side is
+    * pre-filtered to urgent orders only, so the anti-join build is a
+    * fraction of orders. (TPC-H proper keys NOT EXISTS on all orders;
+    * every customer here has orders, so the urgent-only variant keeps
+    * the shape AND a non-empty answer.)
+    */
+  private def q22IdleRich(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.where(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal"))).head().getDouble(0)
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.where(col("c_acctbal") > lit(avgBal))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q22IdleRichSql =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |       round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Pairwise Pearson correlation matrix over the fact table's numeric
+    * columns (SURVEY §2 B121): the feature-redundancy pre-flight run
+    * before training or stratifying on "independent" columns (two
+    * columns at |r| ≈ 1 carry one signal; stratifying on both
+    * double-stratifies). ONE partial-aggregation pass computes all
+    * C(4,2) correlations simultaneously (each is sums/counts — map-
+    * side combinable), then a row-local `stack` unpivots the 1-row
+    * result; no shuffle beyond the single scalar agg, any width scales
+    * as columns², not rows.
+    */
+  private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (x, y) => round(corr(col(x), col(y)), 6).as(s"${x}__$y") }
+    val stackArgs = pairs.map { case (x, y) => s"'$x', '$y', `${x}__$y`" }.mkString(", ")
+    l.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${pairs.size}, $stackArgs) AS (x, y, r)")
+      .orderBy("x", "y")
+  }
+
+  private val corrMatrixSql =
+    """SELECT * FROM (
+      |  SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+      |         round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+      |  UNION ALL SELECT 'l_quantity', 'l_discount',
+      |         round(corr(l_quantity, l_discount), 6) FROM lineitem
+      |  UNION ALL SELECT 'l_quantity', 'l_tax',
+      |         round(corr(l_quantity, l_tax), 6) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+      |         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+      |         round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+      |  UNION ALL SELECT 'l_discount', 'l_tax',
+      |         round(corr(l_discount, l_tax), 6) FROM lineitem)
+      |ORDER BY x, y""".stripMargin
+
+  /** First-order Markov next-event transition matrix (SURVEY §2 B122):
+    * P(next event type | current) per user journey — the
+    * next-action-prediction / anomalous-flow primitive B73's frequent-
+    * sequence miner doesn't give (sequences count patterns; this
+    * normalizes per-state, so rows sum to 1 and a sudden
+    * click→purchase probability shift is directly readable). The lag
+    * pairing is a per-user event-time window (users partition cleanly
+    * at any scale); the normalization window runs on the folded
+    * event-types² relation, which is cardinality-bounded.
+    */
+  private def markovNext(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    t(s, dir, "events")
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") * lit(1.0) / sum(col("n")).over(wSrc), 6))
+      .select(col("event_type").as("src"), col("nxt").as("dst"), col("n"), col("p"))
+      .orderBy("src", "dst")
+  }
+
+  private val markovNextSql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type AS src, nxt AS dst, count(*) AS n,
+      |       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+      |FROM s WHERE nxt IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+
+  /** Naive Bayes source classifier — train + apply + confusion matrix
+    * in one pass (SURVEY §2 B123): the COUNTS-based half of the
+    * fastText-style learned quality/source filter every public corpus
+    * pipeline trains (CCNet, RefinedWeb §3.3): multinomial NB over
+    * binned row-local features (length bin, digit-density bin) with
+    * Laplace smoothing, argmax posterior per doc, folded to a
+    * source×predicted confusion matrix. On features this weak the
+    * matrix visibly collapses toward the prior — which is the audit
+    * signal this op exists to surface (a learned filter that beats
+    * the prior by nothing should gate nothing).
+    *
+    * Scoring is deliberately LOG-FREE: posteriors are compared as one
+    * rational expression of integer counts (`n_c·(c₁+1)·(c₂+1) /
+    * ((n_c+k₁)(n_c+k₂))` — same monotone order as the log-sum), so
+    * both engines evaluate bit-identical doubles and the argmax can't
+    * flip on a ulp of `ln`.
+    *
+    * The trained model is classes×bins-sized, so it is collected to
+    * the driver and shipped as LITERAL maps (the IVF-centroid
+    * discipline): classification is then fully row-local — one
+    * `aggregate()` fold over the per-class score array per doc, zero
+    * joins, zero per-doc window — and the whole apply phase is one
+    * corpus scan however large the corpus. The strict-`>` fold keeps
+    * the FIRST class on exact score ties (classes pre-sorted
+    * ascending), matching the oracle's `ORDER BY score DESC, cand`.
+    */
+  private def nbClassify(s: SparkSession, dir: String): DataFrame = {
+    val lenBin = least(floor(col("n_chars") / 500.0), lit(5)).cast("long")
+    val digBin = least(floor(lit(10.0) *
+      length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text"))),
+      lit(9)).cast("long")
+    val feat = t(s, dir, "documents")
+      .select(col("source"), lenBin.as("len_bin"), digBin.as("dig_bin"))
+    // train: all model relations are classes×bins-sized → driver maps
+    val classes = feat.groupBy("source").agg(count(lit(1)).as("n_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val cnt1 = feat.groupBy("source", "len_bin").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cnt2 = feat.groupBy("source", "dig_bin").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k1 = cnt1.keys.map(_._2).toSet.size
+    val k2 = cnt2.keys.map(_._2).toSet.size
+    // apply: per-class scores as literal-map lookups, argmax via a
+    // strict-> fold so ties keep the lexicographically first class
+    val scored = classes.map { case (c, nC) =>
+      val m1 = typedlit(cnt1.collect { case ((`c`, b), n) => b -> n })
+      val m2 = typedlit(cnt2.collect { case ((`c`, b), n) => b -> n })
+      struct(
+        (lit(nC.toDouble) *
+          (coalesce(element_at(m1, col("len_bin")), lit(0L)) + lit(1.0)) *
+          (coalesce(element_at(m2, col("dig_bin")), lit(0L)) + lit(1.0)) /
+          ((lit(nC) + lit(k1)) * (lit(nC) + lit(k2)))).as("s"),
+        lit(c).as("c"))
+    }
+    t(s, dir, "documents")
+      .select(col("source"), lenBin.as("len_bin"), digBin.as("dig_bin"))
+      .withColumn("predicted",
+        aggregate(array(scored.tail: _*), scored.head,
+          (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+          .getField("c"))
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "predicted")
+  }
+
+  private val nbClassifySql =
+    """WITH feat AS (
+      |  SELECT doc_id, source,
+      |         least(CAST(floor(n_chars / 500.0) AS BIGINT), 5) AS len_bin,
+      |         least(CAST(floor(10.0 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+      |                          / length(text)) AS BIGINT), 9) AS dig_bin
+      |  FROM documents),
+      |cls AS (SELECT source AS c, count(*) AS n_c FROM feat GROUP BY source),
+      |b1 AS (SELECT source AS c, len_bin AS b, count(*) AS cnt FROM feat GROUP BY 1, 2),
+      |b2 AS (SELECT source AS c, dig_bin AS b, count(*) AS cnt FROM feat GROUP BY 1, 2),
+      |nk1 AS (SELECT count(DISTINCT len_bin) AS k FROM feat),
+      |nk2 AS (SELECT count(DISTINCT dig_bin) AS k FROM feat),
+      |scored AS (
+      |  SELECT f.doc_id, f.source, cls.c AS cand,
+      |         cls.n_c * (coalesce(b1.cnt, 0) + 1.0) * (coalesce(b2.cnt, 0) + 1.0)
+      |           / ((cls.n_c + nk1.k) * (cls.n_c + nk2.k)) AS score
+      |  FROM feat f
+      |  CROSS JOIN cls CROSS JOIN nk1 CROSS JOIN nk2
+      |  LEFT JOIN b1 ON b1.c = cls.c AND b1.b = f.len_bin
+      |  LEFT JOIN b2 ON b2.c = cls.c AND b2.b = f.dig_bin),
+      |pred AS (
+      |  SELECT doc_id, source, cand,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+      |  FROM scored)
+      |SELECT source, cand AS predicted, count(*) AS n_docs
+      |FROM pred WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY source, predicted""".stripMargin
+
   /** Per-source content checksum (SURVEY §2 B117): an
     * order-independent release fingerprint per source — `bit_xor` over
     * the cross-engine MD5-derived 60-bit text hash plus count and hash
@@ -5996,6 +6333,14 @@ object SparkEntry {
     "domain_blocklist" -> Q(domainBlocklist, Some(domainBlocklistSql)),
     "domain_pagerank" -> Q(domainPagerank, Some(domainPagerankSql)),
     "q4_priority_exists" -> Q(q4PriorityExists, Some(q4PriorityExistsSql)),
+    "q7_volume" -> Q(q7Volume, Some(q7VolumeSql)),
+    "q13_order_dist" -> Q(q13OrderDist, Some(q13OrderDistSql)),
+    "q15_top_supplier" -> Q(q15TopSupplier, Some(q15TopSupplierSql)),
+    "q17_small_qty" -> Q(q17SmallQty, Some(q17SmallQtySql)),
+    "q22_idle_rich" -> Q(q22IdleRich, Some(q22IdleRichSql)),
+    "corr_matrix" -> Q(corrMatrix, Some(corrMatrixSql)),
+    "markov_next" -> Q(markovNext, Some(markovNextSql)),
+    "nb_classify" -> Q(nbClassify, Some(nbClassifySql)),
     "source_checksum" -> Q(sourceChecksum, Some(sourceChecksumSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "dedup_url" -> Q(dedupUrl, Some(dedupUrlSql)),
