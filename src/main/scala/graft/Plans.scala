@@ -126,7 +126,10 @@ object Plans {
       "q22_idle_rich" -> "global positive-balance average is a collected scalar literal in the filter; the NOT EXISTS anti join builds only on urgent orders",
       "corr_matrix" -> "all six correlations in ONE partial-agg scan (corr = sums/counts); stack() unpivot runs on the 1-row result — no shuffle beyond the scalar agg",
       "markov_next" -> "per-user lead window (one user-keyed exchange) -> (src,dst) partial agg; the normalization window runs on the folded event-types-squared relation",
-      "nb_classify" -> "trained model = literal maps (classes-by-bins-sized, driver-collected); classification is a row-local aggregate() fold per doc — zero joins, zero per-doc window; apply phase is one corpus scan")
+      "nb_classify" -> "trained model = literal maps (classes-by-bins-sized, driver-collected); classification is a row-local aggregate() fold per doc — zero joins, zero per-doc window; apply phase is one corpus scan",
+      "phrase_search" -> "phrase postings materialized from ONE corpus scan (isin filter + localCheckpoint); per-term consecutive-position matching is equi self-joins on (doc, pos-offset) over the df-sized store",
+      "item_similarity" -> "basket-keyed pair join bounded by basket size; item-frequency relation broadcast back twice; min-support filter before the TakeOrderedAndProject top-k heap",
+      "attr_linear" -> "user-keyed equi join with the 7-day lookback as a range filter; per-purchase k window over the bounded pairs; one channel-keyed partial agg")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

@@ -4273,6 +4273,130 @@ object SparkEntry {
       |FROM pred WHERE rk = 1
       |GROUP BY 1, 2 ORDER BY source, predicted""".stripMargin
 
+  /** Exact phrase search over positional postings (SURVEY §2 B133):
+    * the retrieval operation BM25's bag-of-words scoring cannot
+    * express — tokens must be CONSECUTIVE. The phrase's postings
+    * (doc, position) are materialized from ONE corpus scan (a single
+    * `isin` filter — standing in for the positional-index probes a
+    * deployed system would do against B107's inverted index), then
+    * each term self-joins on `(doc, pos − offset)`: pure equi joins
+    * on the phrase's df-sized postings, never a scan per term and
+    * never a position-range explosion. Occurrences per doc fall out
+    * of the final group count. Oracle counts the same phrase
+    * row-locally with a list comprehension — a deliberately different
+    * evaluation path.
+    */
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("slow", "hash", "batch")
+    val postings = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase: _*))
+      .localCheckpoint(true) // one corpus scan; self-joins below read the store
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      postings.where(col("tok") === w).select(col("doc_id"), (col("pos") - i).as("p"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy("doc_id")
+  }
+
+  private val phraseSearchSql =
+    """WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         len([i FOR i IN range(1, len(toks) - 1)
+      |              IF toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch']) AS n
+      |  FROM l)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_occ FROM occ WHERE n > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Item–item cosine similarity over baskets (SURVEY §2 B134): the
+    * collaborative-filtering primitive ("customers who bought X also
+    * bought Y") — B66's raw co-occurrence counts normalized by
+    * each item's basket frequency, so a pair of niche items that
+    * always co-occur outranks two bestsellers that co-occur by
+    * volume. The pair join shuffles on the basket key (candidate
+    * volume bounded by basket size, the B66 bound), the per-item
+    * frequency relation is dimension-sized and broadcast back twice,
+    * and the min-support filter (`c >= 3`) prunes noise pairs before
+    * the top-k heap (TakeOrderedAndProject — no global sort).
+    */
+  private def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val n = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val co = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 3)
+    co.join(broadcast(n.select(col("l_partkey").as("pa"), col("n").as("na"))), Seq("pa"))
+      .join(broadcast(n.select(col("l_partkey").as("pb"), col("n").as("nb"))), Seq("pb"))
+      .select(col("pa"), col("pb"), col("c"),
+        round(col("c") / sqrt(col("na") * col("nb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("pa"), col("pb"))
+      .limit(25)
+  }
+
+  private val itemSimilaritySql =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1),
+      |co AS (SELECT a.l_partkey pa, b.l_partkey pb, count(*) c
+      |       FROM items a JOIN items b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2)
+      |SELECT pa, pb, c, round(c / sqrt(na.n * nb.n), 6) AS sim
+      |FROM co JOIN n na ON co.pa = na.l_partkey JOIN n nb ON co.pb = nb.l_partkey
+      |WHERE c >= 3
+      |ORDER BY sim DESC, pa, pb LIMIT 25""".stripMargin
+
+  /** Linear multi-touch attribution (SURVEY §2 B135): each purchase's
+    * credit split EQUALLY across every marketing touch in its 7-day
+    * lookback — the fractional-credit counterpart to A78's last-touch
+    * (which hands 100% to one touch and hides the assist channels).
+    * The touch↔purchase pairing is the correlate_req_resp shape: a
+    * user-keyed EQUI join with the time window as a range filter
+    * (candidate volume bounded per user, no inequality-pair
+    * explosion); the per-purchase touch count k is a purchase-keyed
+    * window over those bounded pairs; untouched purchases survive the
+    * LEFT join as channel 'none' with whole credit.
+    */
+  private def attrLinear(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"), col("event_type").as("channel"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val k = org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+    purch.join(touches,
+        col("user_id") === col("t_user") &&
+          col("t_ts") <= col("ts") && col("t_ts") > col("ts") - expr("INTERVAL 7 DAYS"),
+        "left")
+      .withColumn("k", count(col("channel")).over(k))
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(
+        round(sum(lit(1.0) / greatest(col("k"), lit(1L))), 4).as("purchases_credit"),
+        round(sum(col("value") / greatest(col("k"), lit(1L))), 2).as("revenue_credit"))
+      .orderBy("channel")
+  }
+
+  private val attrLinearSql =
+    """WITH touches AS (
+      |  SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |purch AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT p.event_id, p.value, t.channel,
+      |         count(t.channel) OVER (PARTITION BY p.event_id) AS k
+      |  FROM purch p LEFT JOIN touches t
+      |    ON p.user_id = t.t_user AND t.t_ts <= p.ts AND t.t_ts > p.ts - INTERVAL 7 DAY)
+      |SELECT coalesce(channel, 'none') AS channel,
+      |       round(sum(1.0 / greatest(k, 1)), 4) AS purchases_credit,
+      |       round(sum(value / greatest(k, 1)), 2) AS revenue_credit
+      |FROM pairs GROUP BY 1 ORDER BY channel""".stripMargin
+
   /** Per-source content checksum (SURVEY §2 B117): an
     * order-independent release fingerprint per source — `bit_xor` over
     * the cross-engine MD5-derived 60-bit text hash plus count and hash
@@ -6341,6 +6465,9 @@ object SparkEntry {
     "corr_matrix" -> Q(corrMatrix, Some(corrMatrixSql)),
     "markov_next" -> Q(markovNext, Some(markovNextSql)),
     "nb_classify" -> Q(nbClassify, Some(nbClassifySql)),
+    "phrase_search" -> Q(phraseSearch, Some(phraseSearchSql)),
+    "item_similarity" -> Q(itemSimilarity, Some(itemSimilaritySql)),
+    "attr_linear" -> Q(attrLinear, Some(attrLinearSql)),
     "source_checksum" -> Q(sourceChecksum, Some(sourceChecksumSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "dedup_url" -> Q(dedupUrl, Some(dedupUrlSql)),
