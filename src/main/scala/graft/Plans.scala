@@ -129,7 +129,11 @@ object Plans {
       "nb_classify" -> "trained model = literal maps (classes-by-bins-sized, driver-collected); classification is a row-local aggregate() fold per doc — zero joins, zero per-doc window; apply phase is one corpus scan",
       "phrase_search" -> "phrase postings materialized from ONE corpus scan (isin filter + localCheckpoint); per-term consecutive-position matching is equi self-joins on (doc, pos-offset) over the df-sized store",
       "item_similarity" -> "basket-keyed pair join bounded by basket size; item-frequency relation broadcast back twice; min-support filter before the TakeOrderedAndProject top-k heap",
-      "attr_linear" -> "user-keyed equi join with the 7-day lookback as a range filter; per-purchase k window over the bounded pairs; one channel-keyed partial agg")
+      "attr_linear" -> "user-keyed equi join with the 7-day lookback as a range filter; per-purchase k window over the bounded pairs; one channel-keyed partial agg",
+      "quantile_normalize" -> "global quantile grid is a collected 21-double literal; one source-keyed rank window; the interpolation is row-local element_at arithmetic",
+      "bootstrap_ci" -> "50x replicate fan-out is a row-local Generate; replicate means are one 50-group partial agg; the CI folds the 50-row relation — no per-row shuffle beyond the one agg",
+      "ip_enrich" -> "range dictionary = sorted literal array; the lookup is a row-local codegen'd size(filter(...)) fold — zero joins, one counts partial agg",
+      "changepoint_detect" -> "daily partial agg, then ONE series-keyed sort window yields every split's prefix sums; argmax rank window over the days-sized relation")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

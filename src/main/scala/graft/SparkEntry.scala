@@ -4397,6 +4397,216 @@ object SparkEntry {
       |       round(sum(value / greatest(k, 1)), 2) AS revenue_credit
       |FROM pairs GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Cross-source quantile normalization (SURVEY §2 B136): map each
+    * source's score distribution onto the GLOBAL distribution — the
+    * non-parametric sibling of B90's z-score (which assumes
+    * normality): doc → its source-local percent rank → the global
+    * quantile function at that rank. This is how per-language
+    * perplexities or per-source quality scores become comparable
+    * before a single corpus-wide threshold is applied (CCNet applies
+    * per-language percentile cuts for exactly this reason). The
+    * global quantile grid is 21 doubles (driver-collected literal);
+    * the rank is one source-keyed window; the interpolation is
+    * row-local — identical 1-based `element_at` indexing and lerp
+    * arithmetic on both engines.
+    */
+  private def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val grid = d.agg(expr(
+      s"percentile(n_chars, array(${(0 to 20).map(i => s"${i * 0.05}D").mkString(", ")}))"))
+      .head().getSeq[Double](0)
+    val g = typedlit(grid)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_chars", "doc_id")
+    val pr = percent_rank().over(w)
+    val bin = floor(col("pr") * 20).cast("long")
+    val q = when(col("pr") >= 1.0, element_at(g, 21))
+      .otherwise(element_at(g, (bin + 1).cast("int")) +
+        (col("pr") * 20 - bin) *
+          (element_at(g, (bin + 2).cast("int")) - element_at(g, (bin + 1).cast("int"))))
+    d.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("pr", pr)
+      .withColumn("q", q)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), round(avg(col("q")), 4).as("avg_q"),
+        round(min(col("q")), 4).as("min_q"), round(max(col("q")), 4).as("max_q"))
+      .orderBy("source")
+  }
+
+  private val quantileNormalizeSql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |         percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+      |  FROM documents),
+      |grid AS (SELECT quantile_cont(n_chars, [x * 0.05 FOR x IN range(0, 21)]) AS g
+      |         FROM documents),
+      |qn AS (
+      |  SELECT source,
+      |         CASE WHEN pr >= 1.0 THEN g[21]
+      |              ELSE g[CAST(floor(pr * 20) AS BIGINT) + 1]
+      |                   + (pr * 20 - floor(pr * 20))
+      |                     * (g[CAST(floor(pr * 20) AS BIGINT) + 2]
+      |                        - g[CAST(floor(pr * 20) AS BIGINT) + 1])
+      |         END AS q
+      |  FROM ranked, grid)
+      |SELECT source, count(*) AS n, round(avg(q), 4) AS avg_q,
+      |       round(min(q), 4) AS min_q, round(max(q), 4) AS max_q
+      |FROM qn GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Poisson-bootstrap confidence interval (SURVEY §2 B137): a 95% CI
+    * for the purchase-value mean via 50 DETERMINISTIC resamples — the
+    * one-pass bootstrap that works at any scale (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", 2012): instead
+    * of drawing n rows with replacement (which needs global
+    * coordination), each row gets an independent Poisson(1)-ish
+    * weight per replicate from a salted hash — here the inverse-CDF
+    * of a 6-digit MD5 uniform, capped at 3. The replicate fan-out is
+    * a row-local 50× Generate, the means are one 50-group partial
+    * agg, and the CI is a percentile over the 50-row replicate
+    * relation. Engine-exact: same hash, same weight breakpoints, same
+    * interpolated percentile (`percentile` ≡ `quantile_cont`).
+    */
+  private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events").where(col("event_type") === "purchase")
+    val meanValue = p.agg(avg(col("value"))).head().getDouble(0)
+    val u = (conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+      col("rep").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L) / lit(1000000.0)
+    val wgt = when(col("u") < 0.367879, 0.0).when(col("u") < 0.735759, 1.0)
+      .when(col("u") < 0.919699, 2.0).otherwise(3.0)
+    p.select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(49))).as("rep"))
+      .withColumn("u", u)
+      .withColumn("w", wgt)
+      .groupBy("rep")
+      .agg((sum(col("value") * col("w")) / sum(col("w"))).as("m"))
+      .agg(
+        round(lit(meanValue), 4).as("mean_value"),
+        round(expr("percentile(m, 0.025D)"), 4).as("ci_lo"),
+        round(expr("percentile(m, 0.975D)"), 4).as("ci_hi"),
+        count(lit(1)).as("n_reps"))
+  }
+
+  private val bootstrapCiSql =
+    """WITH reps AS (SELECT unnest(range(0, 50)) AS rep),
+      |w AS (
+      |  SELECT r.rep, e.value,
+      |         CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+      |              WHEN u < 0.919699 THEN 2 ELSE 3 END AS w
+      |  FROM events e CROSS JOIN reps r
+      |  CROSS JOIN LATERAL (
+      |    SELECT (CAST('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':'
+      |                 || CAST(r.rep AS VARCHAR)), 1, 15) AS BIGINT)
+      |            % 1000000) / 1000000.0 AS u) l
+      |  WHERE e.event_type = 'purchase'),
+      |means AS (SELECT rep, sum(value * w) / sum(w) AS m FROM w GROUP BY rep),
+      |base AS (SELECT avg(value) AS mv FROM events WHERE event_type = 'purchase')
+      |SELECT round(base.mv, 4) AS mean_value,
+      |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+      |       round(quantile_cont(m, 0.975), 4) AS ci_hi,
+      |       CAST(count(*) AS BIGINT) AS n_reps
+      |FROM means, base GROUP BY base.mv""".stripMargin
+
+  /** Range-dictionary enrichment (SURVEY §2 A19bb): classify a 32-bit
+    * address into its owning range — the GeoIP/CIDR lookup every log
+    * pipeline runs, and the Spark-native analog of a ClickHouse
+    * `range_hashed` dictionary `dictGet`. The 64 irregular range
+    * starts are a sorted LITERAL array; the lookup is a row-local
+    * `size(filter(...))` fold (codegen'd, O(ranges) per row, ZERO
+    * joins and zero shuffle before the final counts) — at 100 TB the
+    * dictionary ships inside the task binary, exactly like CH's
+    * in-memory dictionaries, instead of a million-row broadcast
+    * inequality join (which would plan the banned BNLJ). Addresses
+    * are synthesized from user_id by a Knuth multiplicative hash
+    * (test-data shape, like the parse family's line synthesis); range
+    * bounds use exact integer arithmetic so both engines build the
+    * identical table.
+    */
+  private def ipEnrich(s: SparkSession, dir: String): DataFrame = {
+    val starts = (0L until 64L).map(i => i * 67108864L + (i * i * 1234567L) % 33554432L)
+    val st = typedlit(starts)
+    t(s, dir, "events")
+      .select(((col("user_id") * 2654435761L) % 4294967296L).as("ip"))
+      .select(concat(lit("region_"),
+        size(filter(st, x => x <= col("ip"))).cast("string")).as("region"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("region")
+  }
+
+  private val ipEnrichSql =
+    """WITH ips AS (
+      |  SELECT ((user_id * 2654435761) % 4294967296) AS ip FROM events),
+      |starts AS (
+      |  SELECT [CAST(x * 67108864 + (x * x * 1234567) % 33554432 AS BIGINT)
+      |          FOR x IN range(0, 64)] AS st),
+      |e AS (SELECT ip, len([x FOR x IN st IF x <= ip]) AS region_idx FROM ips, starts)
+      |SELECT 'region_' || CAST(region_idx AS VARCHAR) AS region, count(*) AS n
+      |FROM e GROUP BY 1 ORDER BY region""".stripMargin
+
+  /** Single-changepoint detection per series (SURVEY §2 B138): WHEN
+    * did the metric shift — the question B74's drift tests (did it
+    * shift?) and B75's trend fit (is it drifting?) both leave open.
+    * Binary-segmentation statistic (the CUSUM-equivalent single-split
+    * form): for every split point k of a series of n daily counts,
+    * `sqrt(k(n−k)/n)·|mean_before − mean_after|`, maximized over k.
+    * Everything rides ONE series-keyed sort window (prefix sums give
+    * every split's two means from one pass — no per-split re-scan),
+    * and the argmax is a rank window over the same days-sized,
+    * cardinality-bounded relation.
+    */
+  private def changepointDetect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val whole = Window.partitionBy("event_type")
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val stat = daily
+      .withColumn("k", row_number().over(byDay))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("pre_sum", sum(col("x")).over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("x")).over(whole))
+      .where(col("k") < col("n"))
+      .withColumn("pre_mean", col("pre_sum") / col("k"))
+      .withColumn("post_mean", (col("tot") - col("pre_sum")) / (col("n") - col("k")))
+      .withColumn("g",
+        sqrt(col("k") * (col("n") - col("k")) * lit(1.0) / col("n")) *
+          abs(col("pre_mean") - col("post_mean")))
+    stat
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type").orderBy(col("g").desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        round(col("g"), 4).as("stat"),
+        round(col("pre_mean"), 4).as("pre_mean"),
+        round(col("post_mean"), 4).as("post_mean"))
+      .orderBy("event_type")
+  }
+
+  private val changepointDetectSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |o AS (
+      |  SELECT event_type, day, CAST(x AS DOUBLE) AS x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |         count(*) OVER (PARTITION BY event_type) AS n,
+      |         sum(CAST(x AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre_sum,
+      |         sum(CAST(x AS DOUBLE)) OVER (PARTITION BY event_type) AS tot
+      |  FROM daily),
+      |stat AS (
+      |  SELECT event_type, day,
+      |         pre_sum / k AS pre_mean,
+      |         (tot - pre_sum) / (n - k) AS post_mean,
+      |         sqrt(k * (n - k) * 1.0 / n) * abs(pre_sum / k - (tot - pre_sum) / (n - k)) AS g
+      |  FROM o WHERE k < n),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY g DESC, day) AS rk
+      |  FROM stat)
+      |SELECT event_type, day AS change_day, round(g, 4) AS stat,
+      |       round(pre_mean, 4) AS pre_mean, round(post_mean, 4) AS post_mean
+      |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   /** Per-source content checksum (SURVEY §2 B117): an
     * order-independent release fingerprint per source — `bit_xor` over
     * the cross-engine MD5-derived 60-bit text hash plus count and hash
@@ -6468,6 +6678,10 @@ object SparkEntry {
     "phrase_search" -> Q(phraseSearch, Some(phraseSearchSql)),
     "item_similarity" -> Q(itemSimilarity, Some(itemSimilaritySql)),
     "attr_linear" -> Q(attrLinear, Some(attrLinearSql)),
+    "quantile_normalize" -> Q(quantileNormalize, Some(quantileNormalizeSql)),
+    "bootstrap_ci" -> Q(bootstrapCi, Some(bootstrapCiSql)),
+    "ip_enrich" -> Q(ipEnrich, Some(ipEnrichSql)),
+    "changepoint_detect" -> Q(changepointDetect, Some(changepointDetectSql)),
     "source_checksum" -> Q(sourceChecksum, Some(sourceChecksumSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "dedup_url" -> Q(dedupUrl, Some(dedupUrlSql)),
