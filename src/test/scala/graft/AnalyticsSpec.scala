@@ -583,4 +583,65 @@ class AnalyticsSpec extends AnyFunSuite {
     val r2b = PageRank.ranks(edges.repartition(7), 2).as[(String, Long)].collect().toMap
     assert(r2b == r2)
   }
+
+  // ------------------------------------------ round-10 edge semantics
+
+  /** A scratch sf-dir holding only the tables a query reads. */
+  private def scratchDir(write: String => Unit): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    write(tmp)
+    tmp
+  }
+
+  test("phrase_search matches only CONSECUTIVE in-order tokens") {
+    val dir = scratchDir { d =>
+      Seq(
+        (1L, "slow hash batch x slow hash batch", "en", "s", 33L), // 2 hits
+        (2L, "slow hash x batch", "en", "s", 17L),                 // gap: 0
+        (3L, "batch hash slow", "en", "s", 15L),                   // order: 0
+        (4L, "x slow hash batch", "en", "s", 17L))                 // 1 hit
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val got = SparkEntry.queries("phrase_search")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"got $got")
+  }
+
+  test("ip_enrich range-dictionary boundaries: start value belongs to ITS range") {
+    // user ids chosen (Knuth-hash inverse) so ip lands exactly on
+    // starts(1), one below it, and at 0 — the three boundary cells
+    val dir = scratchDir { d =>
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, "view", 1.0, "{}"),          // ip 0 -> region_1
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2628102583L, "view", 1.0, "{}"), // ip = starts(1) -> region_2
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2384099942L, "view", 1.0, "{}")) // ip = starts(1)-1 -> region_1
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("ip_enrich")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("region_1" -> 2L, "region_2" -> 1L), s"got $got")
+  }
+
+  test("changepoint_detect finds the constructed step day") {
+    // 3 events/day on days 1-5, then 30/day on days 6-10: the split
+    // statistic is maximized at k=5, so change_day = Jan 5
+    val rows = for {
+      day <- 1 to 10
+      i <- 1 to (if (day <= 5) 3 else 30)
+    } yield (day * 100L + i,
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, "step", 0.0, "{}")
+    val dir = scratchDir { d =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("changepoint_detect")(spark, dir)
+      .select("event_type", "change_day", "pre_mean", "post_mean")
+      .as[(String, java.sql.Date, Double, Double)].collect()
+    assert(got.length == 1)
+    val (et, day, pre, post) = got.head
+    assert(et == "step" && day.toString == "2024-01-05", s"got ${got.head}")
+    assert(pre == 3.0 && post == 30.0, s"got ${got.head}")
+  }
 }
