@@ -133,7 +133,9 @@ object Plans {
       "quantile_normalize" -> "global quantile grid is a collected 21-double literal; one source-keyed rank window; the interpolation is row-local element_at arithmetic",
       "bootstrap_ci" -> "50x replicate fan-out is a row-local Generate; replicate means are one 50-group partial agg; the CI folds the 50-row relation — no per-row shuffle beyond the one agg",
       "ip_enrich" -> "range dictionary = sorted literal array; the lookup is a row-local codegen'd size(filter(...)) fold — zero joins, one counts partial agg",
-      "changepoint_detect" -> "daily partial agg, then ONE series-keyed sort window yields every split's prefix sums; argmax rank window over the days-sized relation")
+      "changepoint_detect" -> "daily partial agg, then ONE series-keyed sort window yields every split's prefix sums; argmax rank window over the days-sized relation",
+      "retrieval_ndcg" -> "metric layer rides the exact Knn.topK retrieval: labels joined (queries side broadcast), DCG/IDCG/MRR are windows + one agg over the queries-by-10 relation",
+      "survival_km" -> "one user-keyed conditional agg for lifetimes; at-risk and KM-product windows run on the days-sized lifetime grid (cardinality-bounded)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

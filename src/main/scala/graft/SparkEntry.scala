@@ -4607,6 +4607,143 @@ object SparkEntry {
       |       round(pre_mean, 4) AS pre_mean, round(post_mean, 4) AS post_mean
       |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** Retrieval evaluation: NDCG@10 + MRR per query (SURVEY §2 B139):
+    * the IR-quality metric a retrieval stack (BM25 / ANN / hybrid,
+    * B52/B25/B83) is TUNED against — recall specs say "did the
+    * neighbors come back", NDCG says "were the RELEVANT ones ranked
+    * first", with graded position discounting. Relevance here is
+    * label agreement between query and neighbor (the knn_classify
+    * convention). Rides the exact brute-force retrieval (Knn.topK);
+    * per-query DCG/IDCG/MRR are k-bounded windows and aggregates over
+    * the queries×10 result — evaluation cost is retrieval cost, the
+    * metric layer is free. Oracle re-derives retrieval AND metric
+    * from scratch in SQL (list_cosine_similarity top-10, same
+    * ln(r+1)/ln(2) discount).
+    */
+  private def retrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embDouble(s, dir)
+    val labels = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    val top = graft.sim.Knn.topK(queries, corpus, 10)
+      .join(broadcast(labels.select(col("vec_id").as("q"), col("label").as("qlab"))), Seq("q"))
+      .join(labels.select(col("vec_id").as("neighbor"), col("label").as("nlab")), Seq("neighbor"))
+      .withColumn("rel", when(col("qlab") === col("nlab"), 1L).otherwise(0L))
+    val disc = log(2.0, col("rank") + 1)
+    val ideal = Window.partitionBy("q").orderBy(col("rel").desc, col("rank"))
+    top
+      .withColumn("irank", row_number().over(ideal))
+      .groupBy(col("q"))
+      .agg(
+        sum(col("rel")).as("n_rel"),
+        round(sum(col("rel") / disc), 4).as("dcg"),
+        sum(col("rel") / log(2.0, col("irank") + 1)).as("idcg"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .select(col("q"), col("n_rel"), col("dcg"),
+        round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0), 4).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 4).as("mrr"))
+      .orderBy("q")
+  }
+
+  private val retrievalNdcgSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve, label FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+      |         list_cosine_similarity(q.ve, c.ve) AS sim,
+      |         CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT qid, neighbor, rel,
+      |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rank
+      |  FROM scored),
+      |top AS (SELECT * FROM ranked WHERE rank <= 10),
+      |ideal AS (
+      |  SELECT qid, rel,
+      |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, rank) AS irank
+      |  FROM top),
+      |m AS (
+      |  SELECT qid,
+      |         sum(rel) AS n_rel,
+      |         round(sum(rel / (ln(rank + 1) / ln(2))), 4) AS dcg,
+      |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+      |  FROM top GROUP BY qid),
+      |im AS (SELECT qid AS iq, sum(rel / (ln(irank + 1) / ln(2))) AS idcg FROM ideal GROUP BY qid)
+      |SELECT qid AS q, CAST(n_rel AS BIGINT) AS n_rel, dcg,
+      |       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4) AS ndcg,
+      |       round(coalesce(1.0 / first_rel, 0.0), 4) AS mrr
+      |FROM m JOIN im ON qid = iq ORDER BY q""".stripMargin
+
+  /** Kaplan–Meier time-to-event curve (SURVEY §2 B140): survival
+    * analysis with CENSORING — time from a user's first activity to
+    * first purchase, where never-purchased users are censored at the
+    * observation horizon instead of silently dropped (the bias B93's
+    * time-to-convert percentiles, which only see CONVERTED users,
+    * cannot correct). The KM estimator S(t) = Π(1 − dᵢ/nᵢ) over event
+    * days: per-user lifetimes are ONE user-keyed conditional agg; the
+    * at-risk counts are a descending cumulative sum over the
+    * days-sized lifetime grid; the product is exp∘Σln over the same
+    * ordered, cardinality-bounded window — identical fold order on
+    * both engines.
+    */
+  private def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type"))
+    val span = ev.agg(min(col("day")), max(col("day"))).head()
+    val d0 = span.getDate(0)
+    val hor = datediff(lit(span.getDate(1)), lit(d0))
+    val lt = ev.groupBy("user_id")
+      .agg(
+        min(datediff(col("day"), lit(d0))).as("born"),
+        min(when(col("event_type") === "purchase", datediff(col("day"), lit(d0)))).as("conv"))
+      .select(
+        when(col("conv").isNotNull, col("conv") - col("born"))
+          .otherwise(hor - col("born")).as("life"),
+        when(col("conv").isNotNull, 1L).otherwise(0L).as("died"))
+    val grid = lt.groupBy(col("life").as("t"))
+      .agg(count(lit(1)).as("n_end"), sum(col("died")).as("n_died"))
+    val byTDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byT = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk", sum(col("n_end")).over(byTDesc))
+      .where(col("n_died") < col("n_risk"))
+      .withColumn("survival",
+        round(exp(sum(log(lit(1.0) - col("n_died") * lit(1.0) / col("n_risk"))).over(byT)), 4))
+      .select(col("t"), col("n_risk"), col("n_died"), col("survival"))
+      .orderBy("t")
+  }
+
+  private val survivalKmSql =
+    """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |         date_diff('day', (SELECT d0 FROM span), min(CAST(ts AS DATE))) AS born,
+      |         date_diff('day', (SELECT d0 FROM span),
+      |                   min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)) AS conv,
+      |         date_diff('day', (SELECT d0 FROM span), (SELECT d1 FROM span)) AS hor
+      |  FROM events GROUP BY user_id),
+      |lt AS (
+      |  SELECT CASE WHEN conv IS NOT NULL THEN conv - born ELSE hor - born END AS life,
+      |         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS died
+      |  FROM u),
+      |d AS (SELECT life AS t, count(*) AS n_end,
+      |             CAST(sum(died) AS BIGINT) AS n_died FROM lt GROUP BY life),
+      |grid AS (
+      |  SELECT t, n_died,
+      |         CAST(sum(n_end) OVER (ORDER BY t DESC
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      |  FROM d),
+      |km AS (
+      |  SELECT t, n_risk, n_died,
+      |         exp(sum(ln(1.0 - n_died * 1.0 / n_risk))
+      |             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |  FROM grid WHERE n_died < n_risk)
+      |SELECT CAST(t AS INTEGER) AS t, n_risk, n_died, round(s, 4) AS survival
+      |FROM km ORDER BY t""".stripMargin
+
   /** Per-source content checksum (SURVEY §2 B117): an
     * order-independent release fingerprint per source — `bit_xor` over
     * the cross-engine MD5-derived 60-bit text hash plus count and hash
@@ -6682,6 +6819,8 @@ object SparkEntry {
     "bootstrap_ci" -> Q(bootstrapCi, Some(bootstrapCiSql)),
     "ip_enrich" -> Q(ipEnrich, Some(ipEnrichSql)),
     "changepoint_detect" -> Q(changepointDetect, Some(changepointDetectSql)),
+    "retrieval_ndcg" -> Q(retrievalNdcg, Some(retrievalNdcgSql)),
+    "survival_km" -> Q(survivalKm, Some(survivalKmSql)),
     "source_checksum" -> Q(sourceChecksum, Some(sourceChecksumSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "dedup_url" -> Q(dedupUrl, Some(dedupUrlSql)),
