@@ -4109,6 +4109,121 @@ object SparkEntry {
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** Sole-late-supplier blame report (SURVEY §2 A19ab — the TPC-H q21
+    * shape, the benchmark's hardest correlation: EXISTS + NOT EXISTS
+    * against the SAME fact table). Suppliers whose line shipped late
+    * (> 365 days after the order date — this schema has no
+    * receipt/commit dates) on a finished multi-supplier order where NO
+    * other supplier was late. Both correlated quantifiers decorrelate
+    * into ONE per-order aggregate computed alongside the l_orderkey
+    * join: `n_supp` (≥2 ⇔ EXISTS another supplier) and `n_late_supp`
+    * (=1, with this line late, ⇔ NOT EXISTS another late one) — so the
+    * fact table is scanned once and every step (join, agg, join-back)
+    * is hash-partitioned on the same l_orderkey, letting AQE reuse the
+    * exchange instead of re-executing per-row subqueries. Top-10 with
+    * deterministic (numwait DESC, s_name) tie-break.
+    */
+  private def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS")).as("is_late"))
+    val perOrder = l.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    l.where(col("is_late"))
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  private val q21SoleBlameSql =
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         l_shipdate > o_orderdate + INTERVAL 365 DAY AS is_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, count(*) AS numwait
+      |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.is_late
+      |  AND EXISTS (SELECT 1 FROM lo l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lo l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  /** Supplier-count catalog profile (SURVEY §2 A19ac — the TPC-H q16
+    * shape: NOT IN exclusion subquery + multi-column distinct-count).
+    * How many distinct suppliers ship each (brand, type, size) part
+    * configuration, excluding one brand and suppliers on a complaint
+    * list (negative balance here). The NOT IN becomes a broadcast LEFT
+    * ANTI join (keys are non-null, so NOT IN's null trap is inert);
+    * the part attributes a broadcast inner join. The (partkey,
+    * suppkey) pre-distinct collapses the fact table to pair
+    * cardinality BEFORE the joins, so the corpus-sized shuffle happens
+    * once on the narrowest possible relation and the distinct-count
+    * regroup runs on pairs, not lineitems.
+    */
+  private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val bad = t(s, dir, "supplier").where(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val p = t(s, dir, "part").where(col("p_brand") =!= "Brand#3")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16SupplierCntSql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#3'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Important-stock cut (SURVEY §2 A19ad — the TPC-H q11 shape:
+    * GROUP BY ... HAVING sum > fraction × the SAME sum over the whole
+    * table). Parts carrying more than 0.07% of total shipped quantity
+    * (1.4× the uniform share at any SF). The per-part aggregate is
+    * computed ONCE; the global total is its own 1-long re-aggregate,
+    * driver-collected into a literal (the q22 stats-sized-collect
+    * discipline — a 1-row relation joined declaratively constant-folds
+    * into the banned BNLJ). The HAVING compare is scaled-integer
+    * (`qty × 10000 > 7 × total`) over EXACT BIGINT sums — quantities
+    * are integer-valued, so no float threshold can flip a boundary
+    * part between engines; revenue is display-only, rounded.
+    */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    val total = perPart.agg(sum(col("qty"))).head().getLong(0)
+    perPart.where(col("qty") * lit(10000L) > lit(7L * total))
+      .orderBy(col("qty").desc, col("l_partkey"))
+  }
+
+  private val q11ImportantPartsSql =
+    """WITH pp AS (
+      |  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty,
+      |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, qty, revenue FROM pp
+      |WHERE qty * 10000 > 7 * (SELECT sum(qty) FROM pp)
+      |ORDER BY qty DESC, l_partkey""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the fact table's numeric
     * columns (SURVEY §2 B121): the feature-redundancy pre-flight run
     * before training or stratifying on "independent" columns (two
@@ -6809,6 +6924,9 @@ object SparkEntry {
     "q15_top_supplier" -> Q(q15TopSupplier, Some(q15TopSupplierSql)),
     "q17_small_qty" -> Q(q17SmallQty, Some(q17SmallQtySql)),
     "q22_idle_rich" -> Q(q22IdleRich, Some(q22IdleRichSql)),
+    "q21_sole_blame" -> Q(q21SoleBlame, Some(q21SoleBlameSql)),
+    "q16_supplier_cnt" -> Q(q16SupplierCnt, Some(q16SupplierCntSql)),
+    "q11_important_parts" -> Q(q11ImportantParts, Some(q11ImportantPartsSql)),
     "corr_matrix" -> Q(corrMatrix, Some(corrMatrixSql)),
     "markov_next" -> Q(markovNext, Some(markovNextSql)),
     "nb_classify" -> Q(nbClassify, Some(nbClassifySql)),
