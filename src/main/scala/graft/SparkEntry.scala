@@ -4224,6 +4224,148 @@ object SparkEntry {
       |WHERE qty * 10000 > 7 * (SELECT sum(qty) FROM pp)
       |ORDER BY qty DESC, l_partkey""".stripMargin
 
+  /** Co-purchase graph triangle census (SURVEY §2 B141): node/edge/
+    * wedge/triangle counts + the global clustering coefficient of the
+    * parts-bought-together graph — the connectivity profile run before
+    * any graph-ML featurization, and the classic can-your-engine-do-
+    * graphs benchmark (Suri & Vassilvitskii, WWW'11). Edges are
+    * distinct part pairs sharing an order (per-order pair expansion of
+    * the basket_pairs shape, then one distinct shuffle). Triangles are
+    * counted on a DEGREE-ORIENTED DAG (each edge points from its
+    * lower-(degree, id) endpoint, bounding every out-neighborhood by
+    * O(√m)) with the compact-forward scheme (Latapy 2008): T = Σ over
+    * oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| — each triangle is seen
+    * exactly once, at its (deg,id)-minimum apex's out-edge. The
+    * intersection runs ROW-LOCALLY over grouped out-adjacency arrays
+    * (hash-based `array_intersect`, O(|N⁺(u)|+|N⁺(v)|) per edge), so
+    * the only materialized relations are edges (m rows) and the
+    * nodes-sized adjacency — never the Σ out-deg² wedge expansion a
+    * naive wedge-join ships through the shuffle (~m^1.5 rows; 72M at
+    * sf0.1, measured 5× slower). Adjacency is nodes-sized → broadcast
+    * here; at 100 TB the same two joins run as shuffle joins when the
+    * adjacency outgrows executors. Scalars are each stats-sized
+    * aggregates, assembled driver-side (a 1-row×1-row crossJoin would
+    * plan the banned BNLJ); the edge relation is persisted across the
+    * three aggregate jobs and released before returning.
+    */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = pp.as("a").join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .persist()
+    try {
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val degRow = deg.agg(count(lit(1)).as("n"), sum(col("d") * (col("d") - 1L)).as("dd")).head()
+      val nNodes = degRow.getLong(0)
+      val sumDd = degRow.getLong(1) // Σ d(d-1) = 2 × wedge count, exact
+      val nEdges = e.count()
+      val du = deg.select(col("x").as("u2"), col("d").as("du"))
+      val dv = deg.select(col("x").as("v2"), col("d").as("dv"))
+      val fromU = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = e
+        .join(broadcast(du), col("u") === col("u2"))
+        .join(broadcast(dv), col("v") === col("v2"))
+        .select(when(fromU, col("u")).otherwise(col("v")).as("su"),
+          when(fromU, col("v")).otherwise(col("u")).as("sv"))
+      // compact-forward: for edge u→v, common out-neighbors of u and v
+      // are exactly the triangles whose (deg,id)-minimum apex is u
+      val adj = oriented.groupBy(col("su").as("w")).agg(collect_list(col("sv")).as("nbrs"))
+      val nTri = oriented
+        .join(broadcast(adj.select(col("w").as("w1"), col("nbrs").as("n1"))),
+          col("su") === col("w1"))
+        .join(broadcast(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
+          col("sv") === col("w2"), "left")
+        .select(when(col("n2").isNull, lit(0))
+          .otherwise(size(array_intersect(col("n1"), col("n2")))).as("c"))
+        .agg(sum(col("c"))).head().getLong(0)
+      val clustering = // 3 × triangles / wedges, fixed-order doubles over exact longs
+        math.rint(3.0 * nTri / (sumDd / 2.0) * 1e6) / 1e6
+      Seq((nNodes, nEdges, sumDd / 2, nTri, clustering))
+        .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
+    } finally { e.unpersist(); () }
+  }
+
+  private val graphTrianglesSql =
+    """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT x, count(*) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+      |        GROUP BY 1),
+      |tri AS (SELECT count(*) AS nt
+      |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |       (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+      |       (SELECT nt FROM tri) AS n_triangles,
+      |       round(3.0 * (SELECT nt FROM tri)
+      |             / (CAST((SELECT sum(d * (d - 1)) FROM deg) AS DOUBLE) / 2.0),
+      |             6) AS clustering""".stripMargin
+
+  /** Daily-traffic autocorrelation function (SURVEY §2 B142): ACF of
+    * the daily event count at lags 1–7 — the seasonality detector run
+    * before picking a forecast/anomaly baseline (a weekly cycle puts a
+    * peak at lag 7; `seasonal_baseline` ASSUMES that period, this
+    * measures it). The lag pairs come from an equi-join of the
+    * days-sized series against itself on `x + lag = x'` (an explode of
+    * the 7 lags rides the probe side — never a cross join), and every
+    * per-lag moment (Σyᵢyᵢ₊ₖ, Σyᵢ, Σyᵢ₊ₖ, pair count) plus the global
+    * mean/variance sums are EXACT BIGINTs, so the ACF value is one
+    * fixed-order double expression over integers — engine-exact before
+    * the display rounding, the `trend_slope` discipline. All relations
+    * past the one day-bucket shuffle are days-sized.
+    */
+  private def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+    val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy")).head()
+    val n = g.getLong(0); val sy = g.getLong(1); val syy = g.getLong(2)
+    val mean = sy.toDouble / n
+    val denom = syy.toDouble - sy.toDouble * sy.toDouble / n
+    val probe = daily.select(col("x"), col("y"),
+      explode(expr("sequence(1L, 7L)")).as("lg"))
+    probe.as("a").join(daily.as("b"), col("b.x") === col("a.x") + col("a.lg"))
+      .groupBy(col("a.lg").as("lg"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.y") * col("b.y")).as("sxy"),
+        sum(col("a.y")).as("sa"), sum(col("b.y")).as("sb"))
+      .select(col("lg"), col("n_pairs"),
+        round((col("sxy").cast("double")
+          - lit(mean) * (col("sa") + col("sb")).cast("double")
+          + col("n_pairs").cast("double") * lit(mean) * lit(mean))
+          / lit(denom), 6).as("acf"))
+      .orderBy("lg")
+  }
+
+  private val tsAutocorrSql =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM daily),
+      |p AS (
+      |  SELECT r.lg, count(*) AS n_pairs, sum(a.y * b.y) AS sxy,
+      |         sum(a.y) AS sa, sum(b.y) AS sb
+      |  FROM daily a
+      |  JOIN range(1, 8) r(lg) ON true
+      |  JOIN daily b ON b.x = a.x + r.lg
+      |  GROUP BY 1)
+      |SELECT lg, n_pairs,
+      |       round((CAST(sxy AS DOUBLE)
+      |              - (CAST(sy AS DOUBLE) / n) * CAST(sa + sb AS DOUBLE)
+      |              + CAST(n_pairs AS DOUBLE) * (CAST(sy AS DOUBLE) / n)
+      |                * (CAST(sy AS DOUBLE) / n))
+      |             / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n),
+      |             6) AS acf
+      |FROM p, g ORDER BY lg""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the fact table's numeric
     * columns (SURVEY §2 B121): the feature-redundancy pre-flight run
     * before training or stratifying on "independent" columns (two
@@ -6927,6 +7069,8 @@ object SparkEntry {
     "q21_sole_blame" -> Q(q21SoleBlame, Some(q21SoleBlameSql)),
     "q16_supplier_cnt" -> Q(q16SupplierCnt, Some(q16SupplierCntSql)),
     "q11_important_parts" -> Q(q11ImportantParts, Some(q11ImportantPartsSql)),
+    "graph_triangles" -> Q(graphTriangles, Some(graphTrianglesSql)),
+    "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "corr_matrix" -> Q(corrMatrix, Some(corrMatrixSql)),
     "markov_next" -> Q(markovNext, Some(markovNextSql)),
     "nb_classify" -> Q(nbClassify, Some(nbClassifySql)),
