@@ -4366,6 +4366,141 @@ object SparkEntry {
       |             6) AS acf
       |FROM p, g ORDER BY lg""".stripMargin
 
+  /** Wide↔long reshaping round trip (SURVEY §2 B143): the
+    * `pivot_daily_events` wide matrix melted back to tidy long form
+    * with Spark's native `unpivot` — the reshaping primitive every
+    * report/export pipeline needs in both directions (a metrics matrix
+    * for humans, one-row-per-observation for joins and ML loaders).
+    * The pivot column list is PINNED (a collect-distinct pivot embeds
+    * a data-dependent collect in the plan and nondeterministic column
+    * order); unpivot itself is a row-local expand (no shuffle — the
+    * only shuffle is the day bucketing), and null cells (day×type
+    * combinations that never occurred) melt away explicitly.
+    */
+  private def unpivotMelt(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types).agg(count(lit(1)))
+    wide.unpivot(Array(col("day")), types.map(col).toArray, "event_type", "cnt")
+      .where(col("cnt").isNotNull)
+      .orderBy("day", "event_type")
+  }
+
+  private val unpivotMeltSql =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Grouped multiple linear regression, closed form (SURVEY §2 B144):
+    * price-in-cents ~ quantity + discount-cents per return flag — the
+    * normal-equations OLS that answers "what does each unit/point
+    * contribute" without an iterative solver (2 features + intercept =
+    * a 3×3 system; Cramer's rule IS the scalable path here, because
+    * the whole fit reduces to ONE partial-agg pass of 9 sums). All
+    * sums are EXACT BIGINTs (integer-valued features by construction),
+    * and the determinant algebra runs DECLARATIVELY via the same SQL
+    * expression text on both engines (shared strings → identical ASTs
+    * → identical fixed-order double arithmetic; the raw products
+    * overflow int64, so each sum is cast to double FIRST — both
+    * engines round the same exact integer to the same double). Zero
+    * driver collects; groups are flag-cardinality-sized.
+    */
+  private def linregMulti(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = d.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x1").cast("double").as("s1"), sum("x2").cast("double").as("s2"),
+      sum("y").cast("double").as("sy"),
+      sum(col("x1") * col("x1")).cast("double").as("s11"),
+      sum(col("x1") * col("x2")).cast("double").as("s12"),
+      sum(col("x2") * col("x2")).cast("double").as("s22"),
+      sum(col("x1") * col("y")).cast("double").as("s1y"),
+      sum(col("x2") * col("y")).cast("double").as("s2y"))
+    val outExprs = Seq("l_returnflag", "CAST(n AS BIGINT) AS n_rows") ++
+      LinregExprs.map { case (name, ex) => s"round(($ex) / ($LinregDet), 6) AS $name" }
+    sums.selectExpr(outExprs: _*).orderBy("l_returnflag")
+  }
+
+  // Cramer's rule for [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y];
+  // shared between the Spark selectExpr and the DuckDB oracle so the double
+  // arithmetic is literally the same expression tree on both engines.
+  private val LinregDet =
+    "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)"
+  private val LinregExprs = Seq(
+    "b0" -> "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)",
+    "b1" -> "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)",
+    "b2" -> "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)")
+
+  private val linregMultiSql =
+    s"""WITH d AS (
+       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1,
+       |         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+       |         CAST(sum(y) AS DOUBLE) AS sy,
+       |         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+       |         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+       |         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+       |         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+       |         CAST(sum(x2 * y) AS DOUBLE) AS s2y
+       |  FROM d GROUP BY 1)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |${LinregExprs.map { case (name, ex) =>
+            s"       round(($ex) / ($LinregDet), 6) AS $name" }.mkString(",\n")}
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** Hashing-trick collision audit (SURVEY §2 B145): tokens hashed
+    * into 64 feature buckets with the cross-engine MD5 key hash (the
+    * `Sampling.keyHash` recipe — `hashingTF`-style featurization that
+    * any engine, including the DuckDB oracle, reproduces bit-for-bit).
+    * Per bucket: token occurrences and distinct-vocabulary load — the
+    * collision profile that tells you whether the chosen width loses
+    * signal BEFORE a model trains on it. One explode + one partial-agg
+    * shuffle on the bucket key; vocabulary never materializes
+    * driver-side.
+    */
+  private def featureHash(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok"))
+    toks.select(col("tok"), graft.data.Sampling.bucketOf(col("tok"), 64).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("bucket")
+  }
+
+  private val featureHashSql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |b AS (SELECT tok,
+      |             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket
+      |      FROM toks)
+      |SELECT bucket, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** CUBE aggregation (SURVEY §2 B146): event counts by (type, day-of-
+    * month) with ALL subtotal combinations — the native grouping-sets
+    * lattice `rollup_counts` covers only one path of. Spark's `cube`
+    * computes the 4 grouping sets in one pass (partial aggs expand
+    * grouping-set ids; no per-set re-scan), and NULL marks the
+    * rolled-up dimensions exactly as the SQL standard (and DuckDB)
+    * render it. Null ordering is pinned NULLS FIRST on both engines.
+    */
+  private def cubeCounts(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .cube(col("event_type"), dayofmonth(col("ts")).as("dom"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type").asc_nulls_first, col("dom").asc_nulls_first)
+  }
+
+  private val cubeCountsSql =
+    """SELECT event_type, CAST(day(ts) AS INT) AS dom, count(*) AS cnt
+      |FROM events GROUP BY CUBE (event_type, dom)
+      |ORDER BY event_type NULLS FIRST, dom NULLS FIRST""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the fact table's numeric
     * columns (SURVEY §2 B121): the feature-redundancy pre-flight run
     * before training or stratifying on "independent" columns (two
@@ -7071,6 +7206,10 @@ object SparkEntry {
     "q11_important_parts" -> Q(q11ImportantParts, Some(q11ImportantPartsSql)),
     "graph_triangles" -> Q(graphTriangles, Some(graphTrianglesSql)),
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
+    "unpivot_melt" -> Q(unpivotMelt, Some(unpivotMeltSql)),
+    "linreg_multi" -> Q(linregMulti, Some(linregMultiSql)),
+    "feature_hash" -> Q(featureHash, Some(featureHashSql)),
+    "cube_counts" -> Q(cubeCounts, Some(cubeCountsSql)),
     "corr_matrix" -> Q(corrMatrix, Some(corrMatrixSql)),
     "markov_next" -> Q(markovNext, Some(markovNextSql)),
     "nb_classify" -> Q(nbClassify, Some(nbClassifySql)),
