@@ -644,4 +644,88 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(et == "step" && day.toString == "2024-01-05", s"got ${got.head}")
     assert(pre == 3.0 && post == 30.0, s"got ${got.head}")
   }
+
+  test("graph_triangles: K4 + pendant edge + separate triangle, duplicates collapse") {
+    // order 1 buys parts {1,2,3,4} (K4: 6 edges, 4 triangles, and part 4
+    // also pairs with 5 via order 2), order 3 buys {5,6,7} (1 triangle).
+    // Degrees: 1,2,3→3  4→4  5→3  6,7→2; wedges Σ C(d,2) = 12+6+3-1... = 20.
+    val baskets = Seq(
+      1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(4L, 5L), 3L -> Seq(5L, 6L, 7L),
+      4L -> Seq(1L, 2L)) // duplicate pair 1-2 from another order: must collapse
+    val rows = baskets.flatMap { case (o, ps) => ps.map(p => (o, p)) } ++
+      Seq((1L, 1L)) // duplicate (order, part) line: must collapse
+    val dir = scratchDir { d =>
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    }
+    val got = SparkEntry.queries("graph_triangles")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // degrees: 1:3 2:3 3:3 4:4 5:3 6:2 7:2 → wedges = 3+3+3+6+3+1+1 = 20
+    assert(got == ((7L, 10L, 20L, 5L, 0.75)), s"got $got")
+  }
+
+  test("linreg_multi recovers an exactly-planted plane per group") {
+    // y_cents = 300 + 200*qty - 100*disc_cents, on a full-rank 5x3 grid;
+    // group B gets a different plane to prove per-group isolation
+    val rows = for {
+      (flag, b0, b1, b2) <- Seq(("A", 300L, 200L, -100L), ("B", -50L, 10L, 7L))
+      q <- 1 to 5; dc <- Seq(0, 5, 10)
+    } yield {
+      val yCents = b0 + b1 * q + b2 * dc
+      (flag, q.toDouble, dc / 100.0, yCents / 100.0)
+    }
+    val dir = scratchDir { d =>
+      rows.toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    }
+    val got = SparkEntry.queries("linreg_multi")(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 15L, 300.0, 200.0, -100.0),
+      ("B", 15L, -50.0, 10.0, 7.0)), s"got $got")
+  }
+
+  test("ts_autocorr: alternating daily counts give ACF(1) = -0.9, ACF(2) = 0.8") {
+    // counts 1,3,1,3,... over 10 days: mean 2, Σ(y-ȳ)² = 10; lag-1
+    // products are all -1 (9 pairs → -0.9), lag-2 all +1 (8 → 0.8)
+    val rows = for {
+      day <- 1 to 10
+      i <- 1 to (if (day % 2 == 1) 1 else 3)
+    } yield (day * 10L + i,
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00"), 1L, "t", 0.0, "{}")
+    val dir = scratchDir { d =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("ts_autocorr")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.take(2) == Seq((1L, 9L, -0.9), (2L, 8L, 0.8)), s"got $got")
+    assert(got.map(_._1) == (1L to 7L) && got.map(_._2) == (9L to 3L by -1L))
+  }
+
+  test("q21: sole late supplier blamed; co-late, solo, and non-F orders are not") {
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def ship(days: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(1995, 1, 1, 0, 0).plusDays(days.toLong))
+    val orders = Seq((10L, "F", d0), (20L, "F", d0), (30L, "F", d0),
+      (40L, "O", d0), (50L, "F", d0))
+    // (orderkey, suppkey, shipdate): late = >365 days after order date
+    val lines = Seq(
+      (10L, 1L, ship(400)), (10L, 2L, ship(10)),  // s1 sole-late → blamed
+      (20L, 1L, ship(400)), (20L, 2L, ship(400)), // both late → neither
+      (30L, 3L, ship(400)),                       // single-supplier → no
+      (40L, 1L, ship(400)), (40L, 4L, ship(10)),  // status O → excluded
+      (50L, 2L, ship(400)), (50L, 2L, ship(500)), (50L, 5L, ship(10))) // s2 ×2
+    val supp = (1L to 5L).map(k => (k, s"S$k"))
+    val dir = scratchDir { d =>
+      orders.toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+      lines.toDF("l_orderkey", "l_suppkey", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      supp.toDF("s_suppkey", "s_name")
+        .write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    }
+    val got = SparkEntry.queries("q21_sole_blame")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("S2", 2L), ("S1", 1L)), s"got $got")
+  }
 }
