@@ -135,7 +135,16 @@ object Plans {
       "ip_enrich" -> "range dictionary = sorted literal array; the lookup is a row-local codegen'd size(filter(...)) fold — zero joins, one counts partial agg",
       "changepoint_detect" -> "daily partial agg, then ONE series-keyed sort window yields every split's prefix sums; argmax rank window over the days-sized relation",
       "retrieval_ndcg" -> "metric layer rides the exact Knn.topK retrieval: labels joined (queries side broadcast), DCG/IDCG/MRR are windows + one agg over the queries-by-10 relation",
-      "survival_km" -> "one user-keyed conditional agg for lifetimes; at-risk and KM-product windows run on the days-sized lifetime grid (cardinality-bounded)")
+      "survival_km" -> "one user-keyed conditional agg for lifetimes; at-risk and KM-product windows run on the days-sized lifetime grid (cardinality-bounded)",
+      "q21_sole_blame" -> "ONE lineitem-orders shuffle on l_orderkey; both correlated quantifiers fold into the per-order aggregate whose join-back shares that partitioning (no per-row EXISTS re-execution); supplier broadcast; top-10 is TakeOrderedAndProject",
+      "q16_supplier_cnt" -> "(partkey, suppkey) pre-distinct collapses the fact table BEFORE the broadcast ANTI (NOT IN) and attribute joins; the distinct-count regroup runs on pair cardinality",
+      "q11_important_parts" -> "per-part partial agg computed once; the global total is a collected 1-long literal inside the scaled-integer HAVING filter — no self-join against the aggregate",
+      "graph_triangles" -> "scalars are assembled driver-side (the returned relation is a 1-row literal); the audited work ran eagerly: per-order pair join + ONE edge distinct (persisted), nodes-sized degree/adjacency partial aggs (broadcast), and the compact-forward intersect — a row-local array_intersect over the edge relation, so the wedge expansion (~m^1.5 rows) never materializes",
+      "ts_autocorr" -> "days-sized series self-EQUI-join on x + lag (the 7 lags explode on the probe side — no cross join); per-lag moments are one partial agg of exact BIGINTs; mean/variance are collected literals",
+      "unpivot_melt" -> "pinned-list pivot = ONE conditional partial-agg pass (no values-discovery collect job); unpivot is a row-local Expand over the days-sized matrix",
+      "linreg_multi" -> "nine exact-BIGINT sums in ONE partial-agg pass per group; Cramer's rule is a row-local projection over the groups-sized relation — zero joins, zero iterations, zero collects",
+      "feature_hash" -> "row-local MD5 bucketing in the scan projection; one bucket-keyed partial agg (distinct-vocab rides the two-phase Expand on the same shuffle)",
+      "cube_counts" -> "Expand over the 4 grouping sets feeding one partial-agg + exchange pair — no per-set re-scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")
