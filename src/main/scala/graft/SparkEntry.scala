@@ -4258,10 +4258,11 @@ object SparkEntry {
     try {
       val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
-      val degRow = deg.agg(count(lit(1)).as("n"), sum(col("d") * (col("d") - 1L)).as("dd")).head()
+      val degRow = deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * (col("d") - 1L)).as("dd")).head()
       val nNodes = degRow.getLong(0)
-      val sumDd = degRow.getLong(1) // Σ d(d-1) = 2 × wedge count, exact
-      val nEdges = e.count()
+      val nEdges = degRow.getLong(1) / 2 // handshake: Σd = 2m — no extra action
+      val sumDd = degRow.getLong(2) // Σ d(d-1) = 2 × wedge count, exact
       val du = deg.select(col("x").as("u2"), col("d").as("du"))
       val dv = deg.select(col("x").as("v2"), col("d").as("dv"))
       val fromU = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
