@@ -144,7 +144,11 @@ object Plans {
       "unpivot_melt" -> "pinned-list pivot = ONE conditional partial-agg pass (no values-discovery collect job); unpivot is a row-local Expand over the days-sized matrix",
       "linreg_multi" -> "nine exact-BIGINT sums in ONE partial-agg pass per group; Cramer's rule is a row-local projection over the groups-sized relation — zero joins, zero iterations, zero collects",
       "feature_hash" -> "row-local MD5 bucketing in the scan projection; one bucket-keyed partial agg (distinct-vocab rides the two-phase Expand on the same shuffle)",
-      "cube_counts" -> "Expand over the 4 grouping sets feeding one partial-agg + exchange pair — no per-set re-scan")
+      "cube_counts" -> "Expand over the 4 grouping sets feeding one partial-agg + exchange pair — no per-set re-scan",
+      "q9_profit_rollup" -> "part-name filter semi-joins lineitem first (broadcast set); ONE fact-fact shuffle (lineitem-orders); supplier + nation broadcast",
+      "q10_returned_top" -> "return-flag + date filters pushed into the scans before the one fact-fact shuffle; top-20 is TakeOrderedAndProject on the rounded revenue",
+      "q14_promo_share" -> "promo and total revenue from the SAME conditional partial agg — one scan; the ratio is row-local",
+      "q19_disjunct" -> "the OR-of-conjunctions rides the broadcast equi hash join as its residual — join key stays p_partkey, never a nested-loop")
 
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` audit of headline queries\n\n")

@@ -4224,6 +4224,141 @@ object SparkEntry {
       |WHERE qty * 10000 > 7 * (SELECT sum(qty) FROM pp)
       |ORDER BY qty DESC, l_partkey""".stripMargin
 
+  /** Nation × year revenue rollup over the q9 join topology (SURVEY
+    * §2 A19ae — TPC-H q9's five-table star: part-filtered lineitem ⋈
+    * orders ⋈ supplier ⋈ nation; this schema has no ps_supplycost, so
+    * the measure is revenue rather than profit — the SHAPE, a
+    * fact-fact shuffle surrounded by three broadcast dimensions with a
+    * name-substring part filter, is the point). The part filter
+    * semi-joins lineitem FIRST (red parts are a small broadcast set),
+    * so the one corpus-sized shuffle (lineitem ⋈ orders on the order
+    * key) moves only the filtered share; supplier and nation broadcast.
+    */
+  private def q9ProfitRollup(s: SparkSession, dir: String): DataFrame = {
+    val redParts = t(s, dir, "part")
+      .where(col("p_name").contains("red")).select(col("p_partkey"))
+    t(s, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9ProfitRollupSql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Returned-item problem customers (SURVEY §2 A19af — the TPC-H q10
+    * shape): top-20 customers by revenue lost to returns in one
+    * half-year window. The return-flag and date filters both push into
+    * their scans BEFORE the one fact-fact shuffle (lineitem ⋈ filtered
+    * orders); customer and nation broadcast; the top-20 is a bounded
+    * TakeOrderedAndProject on the rounded revenue with a c_custkey
+    * tie-break (ordering on the ROUNDED value keeps the cut
+    * engine-stable).
+    */
+  private def q10ReturnedTop(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= to_timestamp_ntz(lit("1995-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp_ntz(lit("1995-07-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10ReturnedTopSql =
+    """SELECT c_custkey, c_name, n_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Promotion revenue share (SURVEY §2 A19ag — the TPC-H q14 shape:
+    * a conditional aggregate RATIO from one scan). One month of
+    * lineitem joined to the broadcast part dimension; promo and total
+    * revenue fall out of the SAME conditional partial agg — never two
+    * scans — and the share divides the two sums row-locally. The date
+    * filter reaches the lineitem scan.
+    */
+  private def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit("1995-03-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1995-04-01 00:00:00")))
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"),
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          / sum(rev), 4).as("promo_share"))
+  }
+
+  private val q14PromoShareSql =
+    """SELECT round(sum(CASE WHEN p_type = 'PROMO'
+      |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+      |         AS promo_revenue,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+      |       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin
+
+  /** Disjunctive-predicate revenue (SURVEY §2 A19ah — the TPC-H q19
+    * shape: an OR of (brand AND quantity-band) conjunctions spanning
+    * both join sides). The disjunction lives IN the broadcast join
+    * condition; each conjunct's single-side prefixes (quantity bands,
+    * brand list) still push into their scans as residual filters, and
+    * the join stays a broadcast equi hash join on p_partkey with the
+    * disjunction as its residual — never a nested-loop.
+    */
+  private def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val bands =
+      (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30))
+    t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") && bands)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  private val q19DisjunctSql =
+    """SELECT count(*) AS n_lines,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Co-purchase graph triangle census (SURVEY §2 B141): node/edge/
     * wedge/triangle counts + the global clustering coefficient of the
     * parts-bought-together graph — the connectivity profile run before
@@ -7205,6 +7340,10 @@ object SparkEntry {
     "q21_sole_blame" -> Q(q21SoleBlame, Some(q21SoleBlameSql)),
     "q16_supplier_cnt" -> Q(q16SupplierCnt, Some(q16SupplierCntSql)),
     "q11_important_parts" -> Q(q11ImportantParts, Some(q11ImportantPartsSql)),
+    "q9_profit_rollup" -> Q(q9ProfitRollup, Some(q9ProfitRollupSql)),
+    "q10_returned_top" -> Q(q10ReturnedTop, Some(q10ReturnedTopSql)),
+    "q14_promo_share" -> Q(q14PromoShare, Some(q14PromoShareSql)),
+    "q19_disjunct" -> Q(q19Disjunct, Some(q19DisjunctSql)),
     "graph_triangles" -> Q(graphTriangles, Some(graphTrianglesSql)),
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "unpivot_melt" -> Q(unpivotMelt, Some(unpivotMeltSql)),
