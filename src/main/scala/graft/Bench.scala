@@ -165,26 +165,47 @@ object Bench {
     // (full-surface runs only: a BENCH_ONLY subset re-runs each query
     // against a colder JVM than the committed full pass, which skews
     // every ratio upward for reasons that are not contention)
+    // a BENCH_ONLY subset run must not clobber the full-surface artifact
+    val defaultOut = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FULL_subset.json"
+    val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
     val drift: Option[(Double, Int)] =
-      try {
-        require(only.isEmpty)
-        val prevTxt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-        // only comparable against a previous artifact of the SAME sf
-        require(prevTxt.contains(s""""sf":"$sfDir""""))
-        val entry = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
-        val inQueries = prevTxt.substring(
-          prevTxt.indexOf("\"queries\":{") + "\"queries\":{".length,
-          prevTxt.indexOf("},\"errors\""))
-        val prev = entry.findAllMatchIn(inQueries)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ratios = timings.toSeq.collect {
-          case (name, t) if prev.get(name).exists(_ > 0) => t / prev(name)
-        }.sorted
-        if (ratios.size < 20) None
-        else Some((math.rint(ratios(ratios.size / 2) * 1000) / 1000,
-          ratios.count(_ > 3.0)))
-      } catch { case _: Throwable => None }
+      if (only.nonEmpty) None
+      else {
+        // baseline = the artifact this run is about to overwrite (same
+        // resolved path, so GRAFT_BENCH_OUT redirections compare against
+        // their own history), falling back to the committed
+        // BENCH_FULL.json when the redirected path has no prior run
+        val baseline = Seq(fullPath, "BENCH_FULL.json").distinct
+          .map(java.nio.file.Paths.get(_))
+          .find(java.nio.file.Files.exists(_))
+        baseline.flatMap { p =>
+          try {
+            val prevTxt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            // only comparable against a previous artifact of the SAME sf
+            if (!prevTxt.contains(s""""sf":"$sfDir"""")) None
+            else {
+              val entry = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
+              val inQueries = prevTxt.substring(
+                prevTxt.indexOf("\"queries\":{") + "\"queries\":{".length,
+                prevTxt.indexOf("},\"errors\""))
+              val prev = entry.findAllMatchIn(inQueries)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              val ratios = timings.toSeq.collect {
+                case (name, t) if prev.get(name).exists(_ > 0) => t / prev(name)
+              }.sorted
+              if (ratios.size < 20) None
+              else Some((math.rint(ratios(ratios.size / 2) * 1000) / 1000,
+                ratios.count(_ > 3.0)))
+            }
+          } catch {
+            // visible, not silent: a broken drift computation is a bench
+            // bug to fix, not an absent field to shrug at
+            case e: Exception =>
+              System.err.println(s"[bench] drift self-diagnosis failed on $p: $e")
+              None
+          }
+        }
+      }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -204,9 +225,6 @@ object Bench {
       s""","median_ratio_vs_prev":$r,"n_over_3x":$k""" }.getOrElse("")
     val fullQs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$fullQs,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"runs_per_query":$nRuns,"cpus":$cpus$driftJson,"sf":"$sfDir"}"""
-    // a BENCH_ONLY subset run must not clobber the full-surface artifact
-    val defaultOut = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FULL_subset.json"
-    val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }

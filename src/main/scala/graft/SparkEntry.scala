@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Hints.maybeBroadcast
+import graft.Store.Materializable
 import graft.logs.{LogLines, MonologParser, PatternMode, TailConfig}
 
 /** Driver contract — see SURVEY.md §2 for the inventory these queries
@@ -180,10 +182,12 @@ object SparkEntry {
       |FROM events JOIN iv ON value >= lo AND value < hi
       |GROUP BY 1 ORDER BY label""".stripMargin
 
-  /** Broadcast enrichment join: events against the customer dimension. */
+  /** Enrichment join: events against the customer dimension — hash
+    * side size-gated (customer grows with the corpus; see [[Hints]]).
+    */
   private def enrichJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .join(broadcast(t(s, dir, "customer")), col("user_id") === col("c_custkey"))
+      .join(maybeBroadcast(t(s, dir, "customer")), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("event_type").as("level"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
       .orderBy("segment", "level")
@@ -610,14 +614,16 @@ object SparkEntry {
       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Shuffle join on the fact side, broadcast on the dimension side —
-    * `customer` at TPC-H ratios is dimension-sized, so it is explicitly
-    * broadcast (SURVEY §5).
+    * `customer` is dimension-sized at TPC-H ratios but GROWS with the
+    * corpus, so the hint is size-gated (SURVEY §5, [[Hints]]): under
+    * the threshold the plan is the familiar broadcast star, over it
+    * AQE picks the strategy from runtime sizes.
     */
   private def q3Join(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders").where(col("o_orderdate") < to_timestamp_ntz(lit("1998-01-01 00:00:00")))
     val l = t(s, dir, "lineitem")
-    broadcast(c)
+    maybeBroadcast(c)
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
@@ -638,8 +644,10 @@ object SparkEntry {
       |GROUP BY o_orderkey, o_orderdate
       |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
 
-  /** Five-way join; all dimension sides broadcast, fact-fact shuffle on
-    * the join keys with AQE handling skew (SURVEY §5).
+  /** Five-way join; scale-invariant dims (nation/region) broadcast
+    * unconditionally, the corpus-growing ones (customer/supplier)
+    * behind the size gate, fact-fact shuffle on the join keys with
+    * AQE handling skew (SURVEY §5).
     */
   private def q5Join(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").where(col("r_name") === "ASIA")
@@ -651,8 +659,8 @@ object SparkEntry {
         col("o_orderdate") < to_timestamp_ntz(lit("1997-01-01 00:00:00")))
     val l = t(s, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -676,11 +684,12 @@ object SparkEntry {
 
   /** TPC-H q18 shape (SURVEY §2.A row 19t): large-volume orders via a
     * HAVING subquery, joined back to customers. The qualifying-key set
-    * (the aggregate's survivors — a tiny fraction of orders) is
-    * BROADCAST into a LEFT SEMI join, so the only corpus-sized shuffle
-    * is the l_orderkey partial agg; AQE would pick the same shape from
-    * the runtime size, the hint just pins it. Deterministic tie-break
-    * on o_orderkey keeps the LIMIT stable across engines.
+    * (the aggregate's survivors — a tiny fraction of orders, but a
+    * fraction that still grows with the corpus) feeds a LEFT SEMI join
+    * behind the size gate, so the only corpus-sized shuffle is the
+    * l_orderkey partial agg; over the threshold AQE picks the shape
+    * from runtime sizes. Deterministic tie-break on o_orderkey keeps
+    * the LIMIT stable across engines.
     */
   private def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
@@ -688,9 +697,9 @@ object SparkEntry {
       .agg(sum(col("l_quantity")).as("sum_qty"))
       .where(col("sum_qty") > 250)
     val o = t(s, dir, "orders")
-      .join(broadcast(big.select(col("l_orderkey"))),
+      .join(maybeBroadcast(big.select(col("l_orderkey"))),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
-    o.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+    o.join(maybeBroadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(big, col("o_orderkey") === big("l_orderkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), round(col("sum_qty"), 2).as("sum_qty"))
@@ -3159,9 +3168,10 @@ object SparkEntry {
     * doc contributes one edge from its own domain to an
     * arithmetically-derived target domain — so the oracle rebuilds the
     * identical graph and replays the identical integer fixed-point
-    * iterations (ranks in millionths, `DIV` truncation): the whole
-    * 5-iteration trajectory is BIGINT-exact on both engines, which a
-    * float PageRank's partition-ordered sums can never be.
+    * iterations (ranks in millionths, `DIV` truncation, the per-round
+    * dangling-mass fold-back): the whole 5-iteration trajectory is
+    * BIGINT-exact on both engines, which a float PageRank's
+    * partition-ordered sums can never be.
     */
   private def domainEdges(s: SparkSession, dir: String): DataFrame =
     graft.text.WebDomains.withUrlParts(docsWithUrl(s, dir))
@@ -3176,12 +3186,17 @@ object SparkEntry {
       .orderBy(col("rank").desc, col("domain"))
 
   private val domainPagerankSql: String = {
+    // d$k = the dangling share folded back each round (Σ rank over
+    // nodes with no out-edges, DIV node count) — the same BIGINT
+    // correction PageRank.ranks applies
     def iter(k: Int) =
-      s"""i$k AS (SELECT e.dst AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inc
+      s"""d$k AS (SELECT CAST(coalesce(sum(r.rank), 0) // (SELECT count(*) FROM nodes) AS BIGINT) AS share
+         |      FROM r${k - 1} r LEFT JOIN outd o ON r.node = o.src WHERE o.src IS NULL),
+         |i$k AS (SELECT e.dst AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inc
          |      FROM e JOIN r${k - 1} r ON e.src = r.node
          |      JOIN outd o ON e.src = o.src GROUP BY 1),
          |r$k AS (SELECT n.node,
-         |             CAST(150000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS rank
+         |             CAST(150000 + (85 * (coalesce(i.inc, 0) + (SELECT share FROM d$k))) // 100 AS BIGINT) AS rank
          |      FROM nodes n LEFT JOIN i$k i ON n.node = i.node)""".stripMargin
     s"""WITH $docsWithUrlCte,
        |e0 AS (SELECT DISTINCT domain AS src,
@@ -3939,10 +3954,11 @@ object SparkEntry {
   /** Bilateral trade volume by nation pair and year (SURVEY §2 A19w —
     * the TPC-H q7 shape): the self-join-on-a-dimension pattern (nation
     * joined TWICE, once per side of the relationship) plus a
-    * symmetric pair filter. Both nation copies, customer, and supplier
-    * are dimension-sized and broadcast; the only corpus-sized shuffle
-    * is lineitem⋈orders on the orderkey. The pair predicate lands on
-    * the broadcast sides BEFORE the fact join (Catalyst pushes it into
+    * symmetric pair filter. Both nation copies are scale-invariant and
+    * broadcast outright; customer and supplier grow with the corpus,
+    * so their hints are size-gated. The only corpus-sized shuffle is
+    * lineitem⋈orders on the orderkey. The pair predicate lands on the
+    * broadcast sides BEFORE the fact join (Catalyst pushes it into
     * the dimension scans), so disqualified rows never reach the
     * shuffle.
     */
@@ -3953,8 +3969,8 @@ object SparkEntry {
       .where(col("l_shipdate") >= to_timestamp_ntz(lit("1995-01-01 00:00:00")) &&
         col("l_shipdate") <= to_timestamp_ntz(lit("1996-12-31 00:00:00")))
     l.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(maybeBroadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(maybeBroadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -4027,7 +4043,7 @@ object SparkEntry {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.join(broadcast(mx), col("total_revenue") === col("mx"))
-      .join(broadcast(t(s, dir, "supplier")), col("supplier_no") === col("s_suppkey"))
+      .join(maybeBroadcast(t(s, dir, "supplier")), col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("total_revenue"), 2).as("total_revenue"))
       .orderBy("s_suppkey")
@@ -4060,10 +4076,10 @@ object SparkEntry {
     val brandKeys = t(s, dir, "part")
       .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
     val lBrand = t(s, dir, "lineitem")
-      .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(maybeBroadcast(brandKeys), col("l_partkey") === col("p_partkey"), "left_semi")
     val halfAvg = lBrand.groupBy(col("l_partkey").as("pk"))
       .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
-    lBrand.join(broadcast(halfAvg), col("l_partkey") === col("pk"))
+    lBrand.join(maybeBroadcast(halfAvg), col("l_partkey") === col("pk"))
       .where(col("l_quantity") < col("half_avg"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
@@ -4136,7 +4152,7 @@ object SparkEntry {
     l.where(col("is_late"))
       .join(perOrder, col("l_orderkey") === col("ok"))
       .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(maybeBroadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -4177,8 +4193,8 @@ object SparkEntry {
     val p = t(s, dir, "part").where(col("p_brand") =!= "Brand#3")
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(maybeBroadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -4210,7 +4226,9 @@ object SparkEntry {
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity")).cast("long").as("qty"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-    val total = perPart.agg(sum(col("qty"))).head().getLong(0)
+      .materializeOnce() // consumed twice: the collected total, the returned filter
+    val totalRow = perPart.agg(sum(col("qty"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0) // empty fact → sum is NULL
     perPart.where(col("qty") * lit(10000L) > lit(7L * total))
       .orderBy(col("qty").desc, col("l_partkey"))
   }
@@ -4238,9 +4256,9 @@ object SparkEntry {
     val redParts = t(s, dir, "part")
       .where(col("p_name").contains("red")).select(col("p_partkey"))
     t(s, dir, "lineitem")
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(maybeBroadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(maybeBroadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -4275,7 +4293,7 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"))
     t(s, dir, "lineitem").where(col("l_returnflag") === "R")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(maybeBroadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -4308,7 +4326,7 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .where(col("l_shipdate") >= to_timestamp_ntz(lit("1995-03-01 00:00:00")) &&
         col("l_shipdate") < to_timestamp_ntz(lit("1995-04-01 00:00:00")))
-      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+      .join(maybeBroadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
@@ -4345,7 +4363,7 @@ object SparkEntry {
       (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30))
     t(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey") && bands)
+      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey") && bands)
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
@@ -4376,9 +4394,12 @@ object SparkEntry {
     * the only materialized relations are edges (m rows) and the
     * nodes-sized adjacency — never the Σ out-deg² wedge expansion a
     * naive wedge-join ships through the shuffle (~m^1.5 rows; 72M at
-    * sf0.1, measured 5× slower). Adjacency is nodes-sized → broadcast
-    * here; at 100 TB the same two joins run as shuffle joins when the
-    * adjacency outgrows executors. Scalars are each stats-sized
+    * sf0.1, measured 5× slower). Adjacency is nodes-sized in rows but
+    * edge-proportional in bytes (the collect_list arrays), so its
+    * hints — like the degree relation's — are size-gated
+    * ([[Hints]]): broadcast at test scale, and at 100 TB the same two
+    * joins degrade to shuffle joins when the adjacency outgrows
+    * executors instead of forcing an OOM. Scalars are each stats-sized
     * aggregates, assembled driver-side (a 1-row×1-row crossJoin would
     * plan the banned BNLJ); the edge relation is persisted across the
     * three aggregate jobs and released before returning.
@@ -4402,23 +4423,27 @@ object SparkEntry {
       val dv = deg.select(col("x").as("v2"), col("d").as("dv"))
       val fromU = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
       val oriented = e
-        .join(broadcast(du), col("u") === col("u2"))
-        .join(broadcast(dv), col("v") === col("v2"))
+        .join(maybeBroadcast(du), col("u") === col("u2"))
+        .join(maybeBroadcast(dv), col("v") === col("v2"))
         .select(when(fromU, col("u")).otherwise(col("v")).as("su"),
           when(fromU, col("v")).otherwise(col("u")).as("sv"))
       // compact-forward: for edge u→v, common out-neighbors of u and v
       // are exactly the triangles whose (deg,id)-minimum apex is u
       val adj = oriented.groupBy(col("su").as("w")).agg(collect_list(col("sv")).as("nbrs"))
       val nTri = oriented
-        .join(broadcast(adj.select(col("w").as("w1"), col("nbrs").as("n1"))),
+        .join(maybeBroadcast(adj.select(col("w").as("w1"), col("nbrs").as("n1"))),
           col("su") === col("w1"))
-        .join(broadcast(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
+        .join(maybeBroadcast(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
           col("sv") === col("w2"), "left")
         .select(when(col("n2").isNull, lit(0))
           .otherwise(size(array_intersect(col("n1"), col("n2")))).as("c"))
         .agg(sum(col("c"))).head().getLong(0)
-      val clustering = // 3 × triangles / wedges, fixed-order doubles over exact longs
-        math.rint(3.0 * nTri / (sumDd / 2.0) * 1e6) / 1e6
+      val clustering = // 3 × triangles / wedges over exact longs; HALF_UP
+        // at the display boundary like every other rounded scalar in the
+        // registry (math.rint's half-to-even would diverge from the
+        // oracle's round() on an exact .5 tie)
+        BigDecimal(3.0 * nTri / (sumDd / 2.0))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((nNodes, nEdges, sumDd / 2, nTri, clustering))
         .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
     } finally { e.unpersist(); () }
@@ -4819,7 +4844,7 @@ object SparkEntry {
     val postings = t(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .where(col("tok").isin(phrase: _*))
-      .localCheckpoint(true) // one corpus scan; self-joins below read the store
+      .materializeOnce() // one corpus scan; self-joins below read the store
     val parts = phrase.zipWithIndex.map { case (w, i) =>
       postings.where(col("tok") === w).select(col("doc_id"), (col("pos") - i).as("p"))
     }
@@ -4846,7 +4871,8 @@ object SparkEntry {
     * always co-occur outranks two bestsellers that co-occur by
     * volume. The pair join shuffles on the basket key (candidate
     * volume bounded by basket size, the B66 bound), the per-item
-    * frequency relation is dimension-sized and broadcast back twice,
+    * frequency relation — item-catalog-sized, so corpus-growing —
+    * joins back twice behind the size gate ([[Hints]]),
     * and the min-support filter (`c >= 3`) prunes noise pairs before
     * the top-k heap (TakeOrderedAndProject — no global sort).
     */
@@ -4859,8 +4885,8 @@ object SparkEntry {
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("c"))
       .where(col("c") >= 3)
-    co.join(broadcast(n.select(col("l_partkey").as("pa"), col("n").as("na"))), Seq("pa"))
-      .join(broadcast(n.select(col("l_partkey").as("pb"), col("n").as("nb"))), Seq("pb"))
+    co.join(maybeBroadcast(n.select(col("l_partkey").as("pa"), col("n").as("na"))), Seq("pa"))
+      .join(maybeBroadcast(n.select(col("l_partkey").as("pb"), col("n").as("nb"))), Seq("pb"))
       .select(col("pa"), col("pb"), col("c"),
         round(col("c") / sqrt(col("na") * col("nb")), 6).as("sim"))
       .orderBy(col("sim").desc, col("pa"), col("pb"))
@@ -5155,7 +5181,7 @@ object SparkEntry {
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
     val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
     val top = graft.sim.Knn.topK(queries, corpus, 10)
-      .join(broadcast(labels.select(col("vec_id").as("q"), col("label").as("qlab"))), Seq("q"))
+      .join(maybeBroadcast(labels.select(col("vec_id").as("q"), col("label").as("qlab"))), Seq("q"))
       .join(labels.select(col("vec_id").as("neighbor"), col("label").as("nlab")), Seq("neighbor"))
       .withColumn("rel", when(col("qlab") === col("nlab"), 1L).otherwise(0L))
     val disc = log(2.0, col("rank") + 1)

@@ -3,7 +3,10 @@ package graft.data
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Hints.maybeBroadcast
+
 import graft.dedup.Shingles
+import graft.Store.Materializable
 
 /** Eval-set decontamination (LLM-pipeline brief): flag training
   * documents that share any word n-gram with a benchmark / eval
@@ -38,7 +41,7 @@ object Decontaminate {
       df.select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val evalGrams = grams(evalDocs).select("s").distinct()
     grams(train)
-      .join(broadcast(evalGrams), "s")
+      .join(maybeBroadcast(evalGrams), "s")
       // grams() emits DISTINCT shingles per doc, so count(*) counts
       // distinct shared grams
       .groupBy(col("id"))
@@ -66,9 +69,9 @@ object Decontaminate {
       k: Int = 5): DataFrame = {
     def grams(df: DataFrame) =
       df.select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
-    // Tiny by contract; localCheckpoint so the bloom build's two driver
+    // Tiny by contract; materialized so the bloom build's two driver
     // jobs and the verify join don't re-shingle the eval side 3×.
-    val evalGrams = grams(evalDocs).select("s").distinct().localCheckpoint()
+    val evalGrams = grams(evalDocs).select("s").distinct().materializeOnce()
     val bloom = Bloom.build(evalGrams, col("s"), bitsPerKey, k)
     grams(train)
       .where(bloom.mightContain(col("s")))

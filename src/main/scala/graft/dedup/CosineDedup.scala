@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sim.{Cosine, LshAnn}
+import graft.Store.Materializable
 
 /** Embedding-cosine near-duplicate pairs at scale (LLM-pipeline brief):
   * random-hyperplane LSH buckets generate candidate pairs, exact cosine
@@ -31,14 +32,15 @@ object CosineDedup {
     // the embedding table is small, shuffle hash join on the id keys at
     // corpus scale (no forced hint, so neither regime OOMs).
     //
-    // The (id, vec, nrm, buckets) relation is materialized ONCE (eager
-    // localCheckpoint — the MinHash "signature store" discipline): its
+    // The (id, vec, nrm, buckets) relation is materialized ONCE
+    // (graft.Store — localCheckpoint by default, reliable parquet when
+    // spark.graft.store.path is set — the "signature store" discipline): its
     // four plan occurrences (both bucket-join sides + both exact-verify
     // probes) would otherwise each re-scan the corpus and re-derive
     // numTables×bits hyperplane dot products / the norms from parquet.
     val store = LshAnn.withBuckets(embeddings, "vec", numTables, bitsPerTable, dim)
       .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
-      .localCheckpoint(true)
+      .materializeOnce()
     val long = store.select(
       col("id"),
       explode(array((0 until numTables).map(t =>

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Store.Materializable
 
 /** Duplicate-cluster resolution: connected components over a near-dup
   * PAIR set (from any dedup family member), labeling every clustered
@@ -28,11 +29,12 @@ import org.apache.spark.sql.functions._
   * emptiness check. Each round MUST truncate lineage (the round
   * references the previous labels twice, so the logical plan doubles
   * per iteration without truncation — a plan-size explosion long
-  * before any data problem): rounds are materialized with eager
-  * `localCheckpoint`, whose blocks the ContextCleaner reclaims as
-  * superseded rounds become unreachable. A long-running production
-  * job on a cluster would swap in reliable (FS-backed) checkpointing
-  * for executor-loss tolerance; the algorithm is unchanged.
+  * before any data problem): rounds are materialized via
+  * [[graft.Store]] (eager `localCheckpoint` by default, whose blocks
+  * the ContextCleaner reclaims as superseded rounds become
+  * unreachable; set `spark.graft.store.path` on a long-running
+  * cluster job for reliable FS-backed materialization that survives
+  * executor loss — the algorithm is unchanged).
   */
 object DupClusters {
 
@@ -51,14 +53,14 @@ object DupClusters {
     // join reuses it instead of re-exchanging the edge set per round.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .repartition(col("dst"))
-      .localCheckpoint(true)
+      .materializeOnce()
 
     // Round 0 fused into initialization: label(v) = min(v, neighbors(v))
     // straight off the edge set — one aggregation, no join.
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label"))
-      .localCheckpoint(true)
+      .materializeOnce()
     var converged = false
     var it = 1
     while (!converged && it < maxIters) {
@@ -74,7 +76,7 @@ object DupClusters {
           col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(false)
+        .materializeOnce(eager = false)
       converged = updated.where(col("label") =!= col("prev")).count() == 0
       labels = updated.select("id", "label")
       it += 1

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Store.Materializable
 
 /** Incremental (batch-vs-corpus) near-duplicate detection: which NEW
   * documents near-duplicate something already in the corpus — the
@@ -14,9 +15,9 @@ import org.apache.spark.sql.functions._
   * the other, so candidate volume scales with |batch| × collision
   * rate, never |corpus|² — the whole point of the incremental shape.
   * In steady state the corpus side's signatures are a precomputed
-  * store (here materialized with localCheckpoint; a production job
-  * reads them from a table and appends the batch's signatures after
-  * screening — signatures, not text, are the state that persists).
+  * store (materialized via [[graft.Store]] — set `spark.graft.store.path`
+  * for the FS-backed variant; a production job reads them from a table
+  * and appends the batch's signatures after screening — signatures, not text, are the state that persists).
   *
   * Shuffle discipline matches the rest of the family: band rows carry
   * `(id, band, bucket)` only; signatures join back onto the deduped
@@ -41,7 +42,7 @@ object IncrementalDedup {
       minEstJaccard: Double = 0.6,
       numHashes: Int = 64): DataFrame =
     newVsSignatures(
-      MinHashLSH.signatures(corpus, idCol, textCol, n, numHashes).localCheckpoint(true),
+      MinHashLSH.signatures(corpus, idCol, textCol, n, numHashes).materializeOnce(),
       batch, idCol, textCol, n, bands, minEstJaccard, numHashes)
 
   /** [[newVsCorpus]] against a PRECOMPUTED signature store `(id, sig)`
@@ -64,7 +65,7 @@ object IncrementalDedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) for even band slicing")
     val r = numHashes / bands
-    val batchSigs = MinHashLSH.signatures(batch, idCol, textCol, n, numHashes).localCheckpoint(true)
+    val batchSigs = MinHashLSH.signatures(batch, idCol, textCol, n, numHashes).materializeOnce()
 
     def bandRows(sigs: DataFrame): DataFrame = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))

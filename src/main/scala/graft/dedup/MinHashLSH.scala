@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Store.Materializable
 
 /** MinHash + LSH banding near-duplicate detection (LLM-pipeline brief).
   *
@@ -61,9 +62,10 @@ object MinHashLSH {
     * explode and bucket self-join move `(id, band, bucket)` — 24 bytes
     * — never the `numHashes`-slot signature array (~0.5 KB, ×bands
     * copies, through both join sides: ~40x the shuffle volume at any
-    * scale). Signatures are materialized ONCE (eager localCheckpoint,
-    * |docs|-sized — the "signature store" of a production incremental
-    * pipeline; a long-lived job would use an FS-backed table) and
+    * scale). Signatures are materialized ONCE ([[graft.Store]] —
+    * localCheckpoint by default, an FS-backed parquet store when
+    * `spark.graft.store.path` is set; |docs|-sized — the "signature
+    * store" of a production incremental pipeline) and
     * joined back onto the deduplicated pair list for the slot-agreement
     * estimate — without the materialization the signature AGGREGATION
     * subtree would re-execute for each of its three plan occurrences.
@@ -76,7 +78,7 @@ object MinHashLSH {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) for even band slicing")
     val r = numHashes / bands
-    val sigStore = sigs.localCheckpoint(true)
+    val sigStore = sigs.materializeOnce()
     val bandRows = sigStore.select(
       col("id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))

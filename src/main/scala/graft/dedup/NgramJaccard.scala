@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Store.Materializable
 
 /** Exact n-gram Jaccard near-duplicate pairs via an inverted-index join
   * (LLM-pipeline brief). Never all-pairs: candidate pairs are generated
@@ -48,7 +49,7 @@ object NgramJaccard {
     *
     * Shape at scale: one df count (partial agg), then ONE grouped pass
     * by doc building the df-sorted shingle-hash array per document —
-    * materialized once (the "set store", same localCheckpoint
+    * materialized once (the "set store", same [[graft.Store]]
     * discipline as MinHash's signature store) and reused three times:
     * the prefix explode and both sides of the exact verification. The
     * prefix-only self-join moves (id, hash, size) rows; candidate
@@ -82,7 +83,7 @@ object NgramJaccard {
         col("id"),
         transform(col("arr"), x => x.getField("s")).as("set"),
         size(col("arr")).as("m"))
-      .localCheckpoint(true)
+      .materializeOnce()
     val prefix = docSets.select(
       col("id"), col("m"),
       posexplode(slice(col("set"), lit(1),
@@ -169,7 +170,7 @@ object NgramJaccard {
       .select(col("id"), transform(col("arr"), x => x.getField("s")).as("set"),
         size(col("arr")).as("mc"))
       .join(sizes, "id")
-      .localCheckpoint(true)
+      .materializeOnce()
     // probe prefix: the first mc - ceil(t*nfull) + 1 canonical shingles
     // (empty when mc < t*nfull — such a doc can never reach the bound)
     val prefix = docSets.select(
@@ -229,7 +230,7 @@ object NgramJaccard {
       .join(sizes.as("sa"), col("a") === col("sa.id"))
       .join(sizes.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"), col("inter"), col("sa.n").as("na"), col("sb.n").as("nb"))
-      .localCheckpoint(true)
+      .materializeOnce()
     inter.select(col("a"), col("b"), round(col("inter") / col("na"), 4).as("containment"))
       .unionByName(
         inter.select(col("b").as("a"), col("a").as("b"),

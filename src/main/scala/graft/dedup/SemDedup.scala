@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sim.{Cosine, IvfAnn}
+import graft.Store.Materializable
 
 /** Semantic deduplication over an embedding column — the SemDeDup
   * shape (Abbas et al. 2023, arXiv:2303.09540, public preprint):
@@ -87,12 +88,13 @@ object SemDedup {
       minCosine: Double,
       probes: Int = 2,
       assigner: (DataFrame, IvfAnn.Centroids, Int) => DataFrame = IvfAnn.assign(_, _, _)): DataFrame = {
-    // both relations materialize ONCE (eager localCheckpoint — the
-    // signature-store discipline): the cell assignment re-derives
+    // both relations materialize ONCE (graft.Store — localCheckpoint or
+    // the reliable path-backed store — the signature-store
+    // discipline): the cell assignment re-derives
     // numCells dot products per row and would otherwise run on BOTH
     // self-join sides; the normalized vectors feed both exact-verify
     // probes
-    val cells = assigner(embeddings, centroids, probes).localCheckpoint(true)
+    val cells = assigner(embeddings, centroids, probes).materializeOnce()
     val cand = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -100,7 +102,7 @@ object SemDedup {
       .dropDuplicates("a", "b")
     val vecs = embeddings.select(
       col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm"))
-      .localCheckpoint(true)
+      .materializeOnce()
     cand
       .join(vecs.as("x"), col("a") === col("x.id"))
       .join(vecs.as("y"), col("b") === col("y.id"))

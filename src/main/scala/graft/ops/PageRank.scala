@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Store.Materializable
 
 /** Integer fixed-point PageRank over an edge list — the link-graph
   * quality signal web-corpus curation ranks domains by (Common Crawl
@@ -15,17 +16,22 @@ import org.apache.spark.sql.functions._
   * partition-dependent order and cannot be value-oracled bit-for-bit;
   * integer truncation makes the whole trajectory deterministic on any
   * engine at the cost of ≤1 millionth per edge per step (nothing at
-  * ranking granularity). Dangling nodes (no out-edges) leak their mass
-  * — the standard simplification; ranks are a relative ordering, not a
-  * distribution.
+  * ranking granularity). Dangling nodes (no out-edges) do NOT leak
+  * their mass: each iteration folds Σ rank(dangling) back uniformly —
+  * every node receives `danglingMass DIV n` before damping, the
+  * standard correction, in the same exact integer arithmetic (the
+  * truncation discards < n millionths per round).
   *
-  * Scale shape: edges/nodes/out-degrees materialize ONCE (eager
-  * localCheckpoint — the signature-store discipline; they feed every
+  * Scale shape: edges/nodes/out-degrees materialize ONCE
+  * ([[graft.Store]] — the signature-store discipline; they feed every
   * iteration), then each iteration is one edges-keyed join + one
   * node-keyed partial agg — shuffles carry (node, bigint) pairs only.
-  * Iterations chain lazily (fine at the handful a ranking needs; a
-  * hundred-iteration run would checkpoint per round, the DupClusters
-  * pattern).
+  * Each round's ranks are materialized through the same store (they
+  * feed both the dangling-mass scalar and the contribution join, and
+  * truncation keeps the plan linear instead of doubling per round —
+  * the DupClusters pattern); the dangling mass itself is a 1-row
+  * driver scalar per round, stats-sized by the repo's collect
+  * discipline.
   */
 object PageRank {
 
@@ -39,19 +45,24 @@ object PageRank {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .materializeOnce()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .materializeOnce()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .materializeOnce()
+    val nNodes = nodes.count() // bounded scalar; also warms the stores
 
     var ranks = nodes.withColumn("rank", lit(Scale))
     var it = 0
-    while (it < iters) {
+    while (it < iters && nNodes > 0) {
+      val r = ranks.materializeOnce() // consumed twice: dangling scalar + contribution join
+      val dmRow = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
+        .agg(sum(col("rank"))).head()
+      val share = (if (dmRow.isNullAt(0)) 0L else dmRow.getLong(0)) / nNodes
       val inc = e
-        .join(ranks, e("src") === ranks("node"))
+        .join(r, e("src") === r("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
         .groupBy("node")
@@ -59,7 +70,7 @@ object PageRank {
       ranks = nodes.join(inc, Seq("node"), "left")
         .select(col("node"),
           (lit(Scale * 15 / 100) +
-            expr(s"(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+            expr(s"(85 * (coalesce(inc, CAST(0 AS BIGINT)) + CAST($share AS BIGINT))) DIV 100")).as("rank"))
       it += 1
     }
     ranks

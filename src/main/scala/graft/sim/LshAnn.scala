@@ -3,6 +3,8 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Hints.maybeBroadcast
+
 /** Approximate nearest neighbors via random-hyperplane LSH
   * (LLM-pipeline brief — the scale path next to [[Knn]]'s exact
   * baseline).
@@ -61,7 +63,10 @@ object LshAnn {
       col("id"),
       explode(array((0 until numTables).map(t => struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    val cands = broadcast(qLong).join(cLong,
+    // The probe side is small by contract, but "small" is a runtime
+    // fact, not a structural one — size-gate the hints so an outsized
+    // probe batch degrades to a shuffle join instead of an OOM.
+    val cands = maybeBroadcast(qLong).join(cLong,
         col("qid") =!= col("id") && qLong("t") === cLong("t") && qLong("bk") === cLong("bk"))
       .select(col("qid").as("q"), col("id").as("neighbor"))
       .dropDuplicates("q", "neighbor")
@@ -70,7 +75,7 @@ object LshAnn {
     val cv = corpus.select(col("id"), col("vec"),
       sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"))
     val scored = cands
-      .join(broadcast(qv), col("q") === col("qid"))
+      .join(maybeBroadcast(qv), col("q") === col("qid"))
       .join(cv, col("neighbor") === col("id"))
       .select(col("q"), col("neighbor"),
         (Cosine.dot(col("qvec"), col("vec")) / (col("qn") * col("cn"))).as("sim"))

@@ -582,6 +582,24 @@ class AnalyticsSpec extends AnyFunSuite {
     // accumulation-order sensitivity to hide)
     val r2b = PageRank.ranks(edges.repartition(7), 2).as[(String, Long)].collect().toMap
     assert(r2b == r2)
+
+    // dangling-mass correction: a -> b only, b has no out-edges. Its
+    // mass folds back uniformly each round (share = Σ dangling rank
+    // DIV n) instead of leaking:
+    //   iter 1: share = 1000000/2; inc(b) = 1000000
+    //     a: 150000 + 85*(0 + 500000) DIV 100       = 575000
+    //     b: 150000 + 85*(1000000 + 500000) DIV 100 = 1425000
+    //   iter 2: share = 1425000/2 = 712500; inc(b) = 575000
+    //     a: 150000 + 85*712500 DIV 100             = 755625
+    //     b: 150000 + 85*(575000+712500) DIV 100    = 1244375
+    val dangle = Seq(("a", "b")).toDF("src", "dst")
+    val d1 = PageRank.ranks(dangle, 1).as[(String, Long)].collect().toMap
+    assert(d1 == Map("a" -> 575000L, "b" -> 1425000L), s"dangling iter 1: $d1")
+    val d2 = PageRank.ranks(dangle, 2).as[(String, Long)].collect().toMap
+    assert(d2 == Map("a" -> 755625L, "b" -> 1244375L), s"dangling iter 2: $d2")
+    // total mass conserved (up to DIV truncation) — the pre-correction
+    // recurrence leaked the dangling share every round
+    assert(d2.values.sum == 2000000L)
   }
 
   // ------------------------------------------ round-10 edge semantics

@@ -740,6 +740,119 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(finalRows == Seq(("a", 3L, 12L, "a-v3"), ("b", 9L, 14L, "b-v9")))
   }
 
+  test("no shipped plan forces a broadcast hint on a scale-growing relation") {
+    // The 100x brief: a FORCED broadcast() on a relation that grows
+    // with the corpus (the full customer table, an edge-proportional
+    // adjacency) bypasses AQE's runtime size check and is a guaranteed
+    // executor OOM at scale. Hints.maybeBroadcast size-gates such
+    // hints; this guard proves no ungated one ships. With the auto
+    // threshold disabled the gate passes everything through, so every
+    // ResolvedHint left in an analyzed plan is a FORCED broadcast —
+    // allowed only on relations bounded BY CONSTRUCTION: the
+    // scale-invariant dimension tables (nation/region), driver-literal
+    // locals, groupless (≤1-row) aggregates, explicit limits, and
+    // rank-filtered per-probe shortlists (bounded by the probe-batch
+    // contract of the ANN family).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, Rank, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+
+    def boundedLeaf(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case _: Range => true
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.nonEmpty && fs.location.rootPaths.forall { rp =>
+              val s = rp.toString
+              s.endsWith("nation.parquet") || s.endsWith("region.parquet")
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+    // attributes produced by a row_number()/rank() directly below (a
+    // filter on one is a structural per-partition top-k)
+    def rankAttrs(p: LogicalPlan): AttributeSet = p match {
+      case w: Window => AttributeSet(w.windowExpressions.collect {
+        case a @ Alias(WindowExpression(_: RowNumber | _: Rank, _), _) => a.toAttribute
+      })
+      case u: UnaryNode => rankAttrs(u.child)
+      case _ => AttributeSet.empty
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimit => true
+      case f: Filter if f.condition.references.intersect(rankAttrs(f.child)).nonEmpty => true
+      case leaf: LeafNode => boundedLeaf(leaf)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: UnaryNode => bounded(u.child)
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val offenders = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val analyzed = fn(spark, TestSpark.SfDirSmall).queryExecution.analyzed
+        analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) && !bounded(h.child) =>
+            s"$name: forced broadcast on:\n  ${h.child.nodeName} <- " +
+              h.child.collectLeaves().map(_.nodeName).mkString(", ")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(offenders.isEmpty,
+      s"forced broadcast hints on scale-growing relations:\n${offenders.mkString("\n")}")
+  }
+
+  test("Hints.maybeBroadcast hints under the threshold, passes through over it") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val small = spark.range(10).toDF("id")
+    assert(Hints.maybeBroadcast(small).queryExecution.analyzed.isInstanceOf[ResolvedHint],
+      "small relation should carry the broadcast hint")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Hints.maybeBroadcast(small).queryExecution.analyzed.isInstanceOf[ResolvedHint],
+        "disabled threshold must suppress the hint (AQE decides)")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val big = Tables(spark, TestSpark.SfDirSmall, "customer")
+      assert(!Hints.maybeBroadcast(big).queryExecution.analyzed.isInstanceOf[ResolvedHint],
+        "over-threshold relation must not be hinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("Store.materialize: reliable path-backed store matches localCheckpoint results") {
+    val root = Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+    val df = Tables(spark, TestSpark.SfDirSmall, "documents").select("doc_id", "source")
+    val default = Store.materialize(df).orderBy("doc_id").collect()
+    try {
+      spark.conf.set(Store.PathConf, root)
+      val reliable = Store.materialize(df)
+      assert(reliable.orderBy("doc_id").collect().sameElements(default),
+        "path-backed store changed the relation")
+      val dirs = new java.io.File(root).listFiles()
+      assert(dirs != null && dirs.exists(_.getName.startsWith("store-")),
+        s"no store directory written under $root")
+      // the store cuts lineage at a file scan, not a localCheckpoint
+      assert(reliable.queryExecution.optimizedPlan.collectLeaves()
+        .forall(l => !l.toString.contains("LogicalRDD")),
+        "reliable store should bottom out in a parquet scan")
+      // an iterative consumer (dedup_clusters rounds run through the
+      // same helper) produces identical output either way
+      val clustersDefault = {
+        spark.conf.unset(Store.PathConf)
+        SparkEntry.queries("dedup_clusters")(spark, TestSpark.SfDirSmall).collect()
+      }
+      spark.conf.set(Store.PathConf, root)
+      val clustersReliable =
+        SparkEntry.queries("dedup_clusters")(spark, TestSpark.SfDirSmall).collect()
+      assert(clustersReliable.sameElements(clustersDefault),
+        "dedup_clusters diverged under the path-backed store")
+    } finally spark.conf.unset(Store.PathConf)
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString
