@@ -48,6 +48,36 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
   }
 
+  /** Drift core, extracted so it is unit-testable (SinkAndPlanSpec):
+    * parse a prior full artifact's per-query map and return
+    * (median ratio vs it, count of queries over 3x), or None when the
+    * artifact is another sf (not comparable) or shares < 20 queries
+    * (not meaningful). Malformed artifacts THROW — the caller logs,
+    * so a broken drift computation is visible instead of silently
+    * absent.
+    */
+  private[graft] def driftVsPrev(
+      prevTxt: String,
+      sfDir: String,
+      timings: Map[String, Double]): Option[(Double, Int)] = {
+    // only comparable against a previous artifact of the SAME sf
+    if (!prevTxt.contains(s""""sf":"$sfDir"""")) None
+    else {
+      val entry = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
+      val inQueries = prevTxt.substring(
+        prevTxt.indexOf("\"queries\":{") + "\"queries\":{".length,
+        prevTxt.indexOf("},\"errors\""))
+      val prev = entry.findAllMatchIn(inQueries)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val ratios = timings.toSeq.collect {
+        case (name, t) if prev.get(name).exists(_ > 0) => t / prev(name)
+      }.sorted
+      if (ratios.size < 20) None
+      else Some((math.rint(ratios(ratios.size / 2) * 1000) / 1000,
+        ratios.count(_ > 3.0)))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] with shuffle.partitions=32 is the deployment contract
@@ -179,25 +209,9 @@ object Bench {
           .map(java.nio.file.Paths.get(_))
           .find(java.nio.file.Files.exists(_))
         baseline.flatMap { p =>
-          try {
-            val prevTxt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            // only comparable against a previous artifact of the SAME sf
-            if (!prevTxt.contains(s""""sf":"$sfDir"""")) None
-            else {
-              val entry = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
-              val inQueries = prevTxt.substring(
-                prevTxt.indexOf("\"queries\":{") + "\"queries\":{".length,
-                prevTxt.indexOf("},\"errors\""))
-              val prev = entry.findAllMatchIn(inQueries)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-              val ratios = timings.toSeq.collect {
-                case (name, t) if prev.get(name).exists(_ > 0) => t / prev(name)
-              }.sorted
-              if (ratios.size < 20) None
-              else Some((math.rint(ratios(ratios.size / 2) * 1000) / 1000,
-                ratios.count(_ > 3.0)))
-            }
-          } catch {
+          try driftVsPrev(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir, timings.toMap)
+          catch {
             // visible, not silent: a broken drift computation is a bench
             // bug to fix, not an absent field to shrug at
             case e: Exception =>

@@ -49,9 +49,13 @@ object Main {
       System.err.println("usage: graft.Main <config.json> (see graft.logs.ConfigLoader for the schema)")
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
-      .appName("graft")
-      .getOrCreate()
+    // spark-submit supplies spark.master; a bare `java -cp ... graft.Main`
+    // run gets the documented local[*] fallback instead of an
+    // "A master URL must be set" crash
+    val builder = SparkSession.builder().appName("graft")
+    val spark =
+      (if (sys.props.contains("spark.master")) builder else builder.master("local[*]"))
+        .getOrCreate()
     val (manager, _) = boot(spark, args(0))
     supervise(spark, manager, DefaultPollSecs, () => true)
   }

@@ -853,6 +853,29 @@ class SinkAndPlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(Store.PathConf)
   }
 
+  test("bench drift core: same-sf ratios, wrong-sf None, malformed throws (never silently wrong)") {
+    // 25 shared queries: 24 at exactly 1.2x, one at 4x → median 1.2,
+    // one over the 3x line
+    val names = (1 to 25).map(i => f"q$i%02d")
+    val prevQs = names.map(n => s""""$n":1.0""").mkString(",")
+    val prevTxt = s"""{"metric":"total","value":25.0,"queries":{$prevQs},"errors":{},"sf":"/data/sf0.1"}"""
+    val timings = names.map(n => n -> (if (n == "q25") 4.0 else 1.2)).toMap
+    assert(Bench.driftVsPrev(prevTxt, "/data/sf0.1", timings) == Some((1.2, 1)))
+    // a different sf is not comparable — absent, not a bogus ratio
+    assert(Bench.driftVsPrev(prevTxt, "/data/sf0.01", timings).isEmpty)
+    // under 20 shared queries: not meaningful
+    assert(Bench.driftVsPrev(prevTxt, "/data/sf0.1", timings.view.take(10).toMap).isEmpty)
+    // zero-time prior rows never divide
+    val withZero = prevTxt.replace(""""q01":1.0""", """"q01":0.0""")
+    assert(Bench.driftVsPrev(withZero, "/data/sf0.1", timings).isDefined)
+    // malformed artifact THROWS (caller logs it) instead of degrading
+    // into a silent None that hides a broken drift feature
+    intercept[Exception] {
+      Bench.driftVsPrev("""{"not":"an artifact","sf":"/data/sf0.1"}""", "/data/sf0.1", timings)
+    }
+    ()
+  }
+
   test("q5 plan broadcasts dimension joins; q1 pushes the date filter to the scan") {
     val q5 = SparkEntry.queries("q5_join")(spark, TestSpark.SfDirSmall)
     val p5 = q5.queryExecution.executedPlan.toString
