@@ -4377,6 +4377,97 @@ object SparkEntry {
       |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Forecasting-revenue-change (SURVEY §2 A19ai — the TPC-H q6
+    * shape): THE predicate-pushdown benchmark — a single scan whose
+    * every predicate (date range, discount band, quantity cap)
+    * reaches the parquet reader as a pushed filter, one conditional
+    * partial agg behind it, zero joins, zero shuffles beyond the
+    * 1-row final agg. The line count rides the same pass so the
+    * oracle checks cardinality as well as the sum.
+    */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1996-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q6ForecastSql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** National market share (SURVEY §2 A19aj — the TPC-H q8 shape):
+    * one nation's share of a region's promo-part revenue, by order
+    * year. The DIMENSION-ROLE SPLIT is the shape: nation participates
+    * twice with different jobs — once routing the CUSTOMER side into
+    * the region filter (membership only, name discarded), once naming
+    * the SUPPLIER side for the share's numerator — and the share is a
+    * conditional-sum ratio WITHIN each group (q14 computes one global
+    * ratio; q8 computes one per year, supplier-attributed). Join
+    * discipline matches the family: part filter semi-joins lineitem
+    * first, the one fact-fact shuffle is lineitem⋈orders, customer/
+    * supplier are size-gated, nation/region broadcast outright. Year
+    * is BIGINT like q7; the share divides two same-group sums and
+    * rounds at the boundary.
+    */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = t(s, dir, "part")
+      .where(col("p_type") === "PROMO").select(col("p_partkey"))
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= to_timestamp_ntz(lit("1995-01-01 00:00:00")) &&
+        col("o_orderdate") <= to_timestamp_ntz(lit("1996-12-31 00:00:00")))
+    val marketCust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(maybeBroadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(marketCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(maybeBroadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0))), 2)
+          .as("nation_revenue"),
+        round(sum(vol), 2).as("total_revenue"),
+        round(lit(100.0) * sum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0)))
+          / sum(vol), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val q8MarketShareSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       round(sum(CASE WHEN n2.n_name = 'NATION_1'
+      |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+      |         AS nation_revenue,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+      |       round(100.0 * sum(CASE WHEN n2.n_name = 'NATION_1'
+      |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** Co-purchase graph triangle census (SURVEY §2 B141): node/edge/
     * wedge/triangle counts + the global clustering coefficient of the
     * parts-bought-together graph — the connectivity profile run before
@@ -7370,6 +7461,8 @@ object SparkEntry {
     "q10_returned_top" -> Q(q10ReturnedTop, Some(q10ReturnedTopSql)),
     "q14_promo_share" -> Q(q14PromoShare, Some(q14PromoShareSql)),
     "q19_disjunct" -> Q(q19Disjunct, Some(q19DisjunctSql)),
+    "q6_forecast" -> Q(q6Forecast, Some(q6ForecastSql)),
+    "q8_market_share" -> Q(q8MarketShare, Some(q8MarketShareSql)),
     "graph_triangles" -> Q(graphTriangles, Some(graphTrianglesSql)),
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "unpivot_melt" -> Q(unpivotMelt, Some(unpivotMeltSql)),

@@ -20,8 +20,8 @@ import org.apache.spark.sql.DataFrame
   * retry, not a job. The price is one distributed write per store —
   * pay it on long multi-tenant runs, skip it locally. Results are
   * identical either way (spec-asserted); store directories are
-  * left under the path for the caller's retention policy to sweep
-  * (they are plain parquet, dated by mtime).
+  * plain parquet dated by mtime, and [[Store.sweep]] is the retention
+  * pass that reclaims them (age-gated, scoped to this naming scheme).
   */
 object Store {
 
@@ -53,5 +53,34 @@ object Store {
     */
   implicit class Materializable(private val df: DataFrame) extends AnyVal {
     def materializeOnce(eager: Boolean = true): DataFrame = materialize(df, eager)
+  }
+
+  /** The retention policy for path-backed stores: delete `store-*`
+    * directories under `root` whose modification time is older than
+    * `olderThanMillis`. Runs through the Hadoop FileSystem (HDFS/S3A
+    * work like local paths) and only ever touches directories this
+    * object's naming scheme created — a maintenance job can point it
+    * at a shared path without risking neighbors. Returns the deleted
+    * paths.
+    *
+    * Stores are consumed within the job that wrote them, so any
+    * grace period longer than your longest job is safe; a daily sweep
+    * with a 24 h horizon is the typical deployment.
+    */
+  def sweep(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      olderThanMillis: Long,
+      now: Long = java.lang.System.currentTimeMillis()): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("store-") &&
+          now - st.getModificationTime > olderThanMillis)
+        .flatMap { st =>
+          if (fs.delete(st.getPath, true)) Some(st.getPath.toString) else None
+        }
   }
 }

@@ -850,6 +850,17 @@ class SinkAndPlanSpec extends AnyFunSuite {
         SparkEntry.queries("dedup_clusters")(spark, TestSpark.SfDirSmall).collect()
       assert(clustersReliable.sameElements(clustersDefault),
         "dedup_clusters diverged under the path-backed store")
+      // retention: sweep reclaims only aged store-dirs, never neighbors
+      val rootF = new java.io.File(root)
+      val neighbor = new java.io.File(rootF, "not_a_store"); neighbor.mkdir()
+      val before = rootF.listFiles().count(_.getName.startsWith("store-"))
+      assert(before > 0)
+      assert(Store.sweep(spark, root, olderThanMillis = Long.MaxValue).isEmpty,
+        "nothing is old enough under an infinite horizon")
+      val swept = Store.sweep(spark, root, olderThanMillis = -1L)
+      assert(swept.size == before, s"swept ${swept.size} of $before store dirs")
+      assert(rootF.listFiles().map(_.getName).toSeq == Seq("not_a_store"),
+        "sweep must leave non-store directories untouched")
     } finally spark.conf.unset(Store.PathConf)
   }
 
