@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ByteEntropy, DeflateSize, DictSegment, DistinctBigrams, FreqTopK, MultiContains, NfcNormalize, RegexpExtractGroups, ShingleHashes}
+import graft.functions.{ArrayDot, ByteEntropy, DeflateSize, DictSegment, DistinctBigrams, FreqTopK, IntersectCount, MultiContains, NfcNormalize, RegexpExtractGroups, ShingleHashes}
 
 /** Registers graft's native expressions with the SQL function registry,
   * so `SELECT array_dot(a, b)` / `regexp_groups(line, pat)` work from
@@ -73,7 +73,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => { arity("multi_contains", 2, args); MultiContains(args(0), args(1)) }),
     ("dict_segment",
       new ExpressionInfo(classOf[DictSegment].getName, "dict_segment"),
-      (args: Seq[Expression]) => { arity("dict_segment", 2, args); DictSegment(args(0), args(1)) }))
+      (args: Seq[Expression]) => { arity("dict_segment", 2, args); DictSegment(args(0), args(1)) }),
+    ("intersect_count",
+      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      (args: Seq[Expression]) => { arity("intersect_count", 2, args); IntersectCount(args(0), args(1)) }))
 
   /** Extract a non-null foldable integer argument at analysis time —
     * k/capacity must be literals (they size driver-side structures).

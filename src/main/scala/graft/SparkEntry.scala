@@ -4481,7 +4481,7 @@ object SparkEntry {
     * oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| — each triangle is seen
     * exactly once, at its (deg,id)-minimum apex's out-edge. The
     * intersection runs ROW-LOCALLY over grouped out-adjacency arrays
-    * (hash-based `array_intersect`, O(|N⁺(u)|+|N⁺(v)|) per edge), so
+    * (the codegen'd count-only `intersect_count`, sort+merge per edge — no per-row intersection array), so
     * the only materialized relations are edges (m rows) and the
     * nodes-sized adjacency — never the Σ out-deg² wedge expansion a
     * naive wedge-join ships through the shuffle (~m^1.5 rows; 72M at
@@ -4527,7 +4527,7 @@ object SparkEntry {
         .join(maybeBroadcast(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
           col("sv") === col("w2"), "left")
         .select(when(col("n2").isNull, lit(0))
-          .otherwise(size(array_intersect(col("n1"), col("n2")))).as("c"))
+          .otherwise(graft.functions.IntersectCount(col("n1"), col("n2"))).as("c"))
         .agg(sum(col("c"))).head().getLong(0)
       val clustering = // 3 × triangles / wedges over exact longs; HALF_UP
         // at the display boundary like every other rounded scalar in the

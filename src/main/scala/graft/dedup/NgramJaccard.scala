@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Store.Materializable
+import graft.functions.IntersectCount
 
 /** Exact n-gram Jaccard near-duplicate pairs via an inverted-index join
   * (LLM-pipeline brief). Never all-pairs: candidate pairs are generated
@@ -108,7 +109,7 @@ object NgramJaccard {
       .join(docSets.select(col("id"), col("set").as("sa"), col("m").as("na")), col("a") === col("id")).drop("id")
       .join(docSets.select(col("id"), col("set").as("sb"), col("m").as("nb")), col("b") === col("id")).drop("id")
       .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        IntersectCount(col("sa"), col("sb")).as("inter"),
         col("na"), col("nb"))
       .select(
         col("a"), col("b"),
@@ -189,7 +190,7 @@ object NgramJaccard {
       .join(docSets.select(col("id"), col("set").as("sa"), col("nfull").as("na")), col("a") === col("id")).drop("id")
       .join(docSets.select(col("id"), col("set").as("sb")), col("b") === col("id")).drop("id")
       .select(col("a"), col("b"),
-        round(size(array_intersect(col("sa"), col("sb"))) / col("na"), 4).as("containment"))
+        round(IntersectCount(col("sa"), col("sb")) / col("na"), 4).as("containment"))
       .where(col("containment") >= minContainment)
   }
 

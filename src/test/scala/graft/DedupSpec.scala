@@ -398,6 +398,50 @@ class DedupSpec extends AnyFunSuite {
     assert(mined.map(_._3) == mined.map(_._3).sortBy(-_))
   }
 
+  test("intersect_count is observationally size(array_intersect) on randomized long arrays") {
+    import org.apache.spark.sql.functions.{array_intersect, col, size => asize}
+    import graft.functions.IntersectCount
+    // duplicates, disjoint, identical, empty, and null-element cases —
+    // the expression must match the builtin's distinct-element and
+    // null-element semantics exactly (it replaces it on the triangle
+    // and Jaccard/containment verify hot paths, count-only)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq(1L, 2L, 2L, 3L), Seq(2L, 2L, 4L, 3L)), // dups on both sides → {2,3}
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L, 5L, 5L), Seq(5L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))) ++
+      (1 to 40).map { _ =>
+        (Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toLong),
+          Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toLong))
+      }
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        IntersectCount(col("a"), col("b")).as("fast"),
+        asize(array_intersect(col("a"), col("b"))).as("builtin"))
+    val bad = df.where(col("fast") =!= col("builtin")).collect()
+    assert(bad.isEmpty, s"intersect_count diverged from array_intersect size: ${bad.toSeq}")
+    // null elements: present on both sides counts once, like the builtin
+    val withNulls = Seq(
+      (Seq[java.lang.Long](1L, null, 2L), Seq[java.lang.Long](null, 3L, 1L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(
+        IntersectCount(col("a"), col("b")).as("fast"),
+        asize(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    assert(withNulls.forall(r => r.getInt(0) == r.getInt(1)),
+      s"null-element semantics diverged: ${withNulls.toSeq}")
+    // SQL registration through GraftExtensions
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT intersect_count(array(1L,2L,2L), array(2L,3L))").head().getInt(0)
+    assert(viaSql == 1)
+    // null ARRAY → null, matching the builtin
+    val nullArr = Seq((Seq(1L, 2L), null: Seq[Long])).toDF("a", "b")
+      .select(IntersectCount(col("a"), col("b"))).head()
+    assert(nullArr.isNullAt(0))
+  }
+
   test("candidate generation is never all-pairs (no cartesian/nested-loop join)") {
     val docs = Tables(spark, TestSpark.SfDir, "documents")
     for (df <- Seq(
