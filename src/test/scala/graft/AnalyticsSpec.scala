@@ -611,6 +611,44 @@ class AnalyticsSpec extends AnyFunSuite {
     tmp
   }
 
+  test("q8 market share: supplier nation feeds the numerator, customer nation only the region gate") {
+    // The dimension-role split is the shape under test — the two
+    // nation roles must not cross: a sale by the measured nation's
+    // supplier counts ONLY when the CUSTOMER sits in the measured
+    // region, and a promo sale by another nation's supplier lands in
+    // the denominator only. Out-of-window and non-promo lines vanish.
+    import org.apache.spark.sql.functions.to_timestamp_ntz
+    val dir = scratchDir { d =>
+      Seq((1L, "ASIA"), (2L, "OTHER")).toDF("r_regionkey", "r_name")
+        .write.parquet(s"$d/region.parquet")
+      Seq((1L, "NATION_1", 1L), (2L, "NATION_2", 1L), (3L, "NATION_3", 2L))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.parquet(s"$d/nation.parquet")
+      Seq((1L, 1L), (2L, 3L)).toDF("c_custkey", "c_nationkey") // c2 outside ASIA
+        .write.parquet(s"$d/customer.parquet")
+      Seq((1L, 1L), (2L, 2L)).toDF("s_suppkey", "s_nationkey")
+        .write.parquet(s"$d/supplier.parquet")
+      Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+        .write.parquet(s"$d/part.parquet")
+      Seq((1L, 1L, "1995-06-01"), (2L, 2L, "1995-06-01"), (3L, 1L, "1997-06-01"))
+        .toDF("o_orderkey", "o_custkey", "d")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_timestamp_ntz(col("d"), lit("yyyy-MM-dd")).as("o_orderdate"))
+        .write.parquet(s"$d/orders.parquet")
+      Seq(
+        (1L, 1L, 1L, 100.0, 0.0), // counted: NATION_1 numerator + denominator
+        (1L, 1L, 2L, 50.0, 0.0),  // counted: denominator only (supplier NATION_2)
+        (1L, 2L, 1L, 999.0, 0.0), // dropped: not a promo part
+        (2L, 1L, 1L, 77.0, 0.0),  // dropped: customer outside ASIA
+        (3L, 1L, 1L, 88.0, 0.0))  // dropped: order outside the window
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .write.parquet(s"$d/lineitem.parquet")
+    }
+    val got = SparkEntry.queries("q8_market_share")(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1995L, 100.0, 150.0, 66.6667)), s"got $got")
+  }
+
   test("phrase_search matches only CONSECUTIVE in-order tokens") {
     val dir = scratchDir { d =>
       Seq(
