@@ -73,7 +73,7 @@ object Bench {
         case (name, t) if prev.get(name).exists(_ > 0) => t / prev(name)
       }.sorted
       if (ratios.size < 20) None
-      else Some((math.rint(ratios(ratios.size / 2) * 1000) / 1000,
+      else Some((math.rint(median(ratios) * 1000) / 1000,
         ratios.count(_ > 3.0)))
     }
   }

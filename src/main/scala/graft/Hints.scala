@@ -28,8 +28,13 @@ object Hints {
 
   def maybeBroadcast(df: DataFrame): DataFrame = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // withCachedData = analyzed plan with cache substitution: size
+    // estimates see materialized InMemoryRelations (accurate bytes)
+    // WITHOUT running the optimizer on the subtree — the enclosing
+    // query optimizes it once anyway, so the gate stays O(stats visit)
+    // per call instead of a duplicate optimizer pass
     if (threshold > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+        df.queryExecution.withCachedData.stats.sizeInBytes <= BigInt(threshold))
       broadcast(df)
     else df
   }

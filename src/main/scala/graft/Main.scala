@@ -27,9 +27,14 @@ import graft.streaming.TailManager
   *  4. the supervision loop — `superviseOnce` starts everything on the
   *     first pass, then every poll: restart dead queries, roll
   *     `{date}`-templated sources onto the new day's path
-  *     (Manager.php:57-117), with `awaitAnyTermination` as the sleep
-  *     so a dying query wakes the supervisor immediately instead of at
-  *     the next poll boundary.
+  *     (Manager.php:57-117). `awaitAnyTermination` is the sleep, so a
+  *     dying query wakes the supervisor early — but passes are paced
+  *     at a MINIMUM of the poll interval, so a query that dies the
+  *     instant it starts cannot spin the loop into a restart storm
+  *     (the reference Manager's fixed sleep gives the same bound).
+  *     A pass that itself throws (rollover onto a path that does not
+  *     exist yet, a transient FS error) logs and retries next pass —
+  *     the supervisor never dies with a worker.
   *
   * The session comes from `SparkSession.builder.getOrCreate`, so
   * cluster deployments keep every `--conf`/`--master` they were
@@ -38,8 +43,8 @@ import graft.streaming.TailManager
   */
 object Main {
 
-  /** Poll cadence between supervision passes; `supervise_poll_secs` in
-    * the config root overrides (the reference Manager sleeps 10 s,
+  /** Poll cadence between supervision passes when the config does not
+    * carry `supervise_poll_secs` (the reference Manager sleeps 10 s,
     * Manager.php:57).
     */
   val DefaultPollSecs = 10L
@@ -56,18 +61,19 @@ object Main {
     val spark =
       (if (sys.props.contains("spark.master")) builder else builder.master("local[*]"))
         .getOrCreate()
-    val (manager, _) = boot(spark, args(0))
-    supervise(spark, manager, DefaultPollSecs, () => true)
+    val (manager, _, conf) = boot(spark, args(0))
+    supervise(spark, manager, conf.pollSecs.getOrElse(DefaultPollSecs), () => true)
   }
 
   /** Load the config, wire the manager, register the drain-on-kill
     * hook. Separated from [[main]] so StreamingSpec can boot the full
     * engine from a config file without owning the process.
     */
-  def boot(spark: SparkSession, configPath: String): (TailManager, TailManager.ShutdownHook) = {
+  def boot(spark: SparkSession, configPath: String)
+      : (TailManager, TailManager.ShutdownHook, ConfigLoader.EngineConfig) = {
     val conf = ConfigLoader.load(spark, configPath)
     val manager = ConfigLoader.manager(spark, conf)
-    (manager, manager.registerShutdownHook())
+    (manager, manager.registerShutdownHook(), conf)
   }
 
   /** The supervision loop. `keepRunning` is the exit valve — `main`
@@ -81,13 +87,26 @@ object Main {
       keepRunning: () => Boolean,
       clock: Clock = Clock.systemUTC()): Unit = {
     spark.streams.resetTerminated() // don't inherit pre-loop terminations
+    var lastPassNanos = 0L
     while (keepRunning()) {
-      manager.superviseOnce(LocalDate.now(clock))
+      // pace every pass at >= pollSecs no matter why the previous one
+      // woke: an instantly-dying query otherwise turns the
+      // wake-on-termination feature into a hot restart loop
+      val sinceMs = (java.lang.System.nanoTime() - lastPassNanos) / 1000000L
+      if (lastPassNanos != 0L && sinceMs < pollSecs * 1000L)
+        Thread.sleep(pollSecs * 1000L - sinceMs)
+      lastPassNanos = java.lang.System.nanoTime()
+      // a failed pass must not kill the supervisor — the whole point
+      // of the loop is that the restart is the remedy (Manager.php:
+      // 63-66 restarts dead workers, it does not die with them)
+      try manager.superviseOnce(LocalDate.now(clock))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] supervision pass failed (will retry): $e")
+      }
       // sleep-with-ears: returns early iff some query terminated (the
       // next pass restarts it and logs restarted-dead). A query that
-      // died WITH an exception rethrows it here — log and keep
-      // supervising; the restart is the remedy (Manager.php:63-66
-      // restarts dead workers, it does not die with them).
+      // died WITH an exception rethrows it here — log and keep going.
       try {
         if (spark.streams.awaitAnyTermination(pollSecs * 1000L))
           spark.streams.resetTerminated()

@@ -4508,8 +4508,9 @@ object SparkEntry {
       val degRow = deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
         sum(col("d") * (col("d") - 1L)).as("dd")).head()
       val nNodes = degRow.getLong(0)
-      val nEdges = degRow.getLong(1) / 2 // handshake: Σd = 2m — no extra action
-      val sumDd = degRow.getLong(2) // Σ d(d-1) = 2 × wedge count, exact
+      // edge-free graph → both sums are NULL (the q11 empty-fact guard)
+      val nEdges = if (degRow.isNullAt(1)) 0L else degRow.getLong(1) / 2 // handshake: Σd = 2m
+      val sumDd = if (degRow.isNullAt(2)) 0L else degRow.getLong(2) // Σ d(d-1) = 2 × wedges, exact
       val du = deg.select(col("x").as("u2"), col("d").as("du"))
       val dv = deg.select(col("x").as("v2"), col("d").as("dv"))
       val fromU = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
@@ -4521,19 +4522,22 @@ object SparkEntry {
       // compact-forward: for edge u→v, common out-neighbors of u and v
       // are exactly the triangles whose (deg,id)-minimum apex is u
       val adj = oriented.groupBy(col("su").as("w")).agg(collect_list(col("sv")).as("nbrs"))
-      val nTri = oriented
+      val triRow = oriented
         .join(maybeBroadcast(adj.select(col("w").as("w1"), col("nbrs").as("n1"))),
           col("su") === col("w1"))
         .join(maybeBroadcast(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
           col("sv") === col("w2"), "left")
         .select(when(col("n2").isNull, lit(0))
           .otherwise(graft.functions.IntersectCount(col("n1"), col("n2"))).as("c"))
-        .agg(sum(col("c"))).head().getLong(0)
+        .agg(sum(col("c"))).head()
+      val nTri = if (triRow.isNullAt(0)) 0L else triRow.getLong(0)
       val clustering = // 3 × triangles / wedges over exact longs; HALF_UP
         // at the display boundary like every other rounded scalar in the
         // registry (math.rint's half-to-even would diverge from the
-        // oracle's round() on an exact .5 tie)
-        BigDecimal(3.0 * nTri / (sumDd / 2.0))
+        // oracle's round() on an exact .5 tie); a wedge-free graph has
+        // nothing to close — clustering is 0, not 0/0
+        if (sumDd == 0L) 0.0
+        else BigDecimal(3.0 * nTri / (sumDd / 2.0))
           .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((nNodes, nEdges, sumDd / 2, nTri, clustering))
         .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")

@@ -41,7 +41,10 @@ object Store {
     val spark = df.sparkSession
     spark.conf.getOption(PathConf) match {
       case Some(root) if root.nonEmpty =>
-        val dir = s"$root/store-${java.lang.System.identityHashCode(df)}-${counter.incrementAndGet()}"
+        // applicationId is unique per driver, the counter per store in
+        // it — two drivers sharing one root can never collide (write
+        // would otherwise abort on SaveMode.ErrorIfExists)
+        val dir = s"$root/store-${spark.sparkContext.applicationId}-${counter.incrementAndGet()}"
         df.write.parquet(dir)
         spark.read.parquet(dir)
       case _ => df.localCheckpoint(eager)

@@ -75,7 +75,8 @@ object ConfigLoader {
       defaultSink: LogSink,
       checkpointRoot: String,
       tails: Seq[TailEntry],
-      supervisionLog: Option[SupervisionLog] = None)
+      supervisionLog: Option[SupervisionLog] = None,
+      pollSecs: Option[Long] = None)
 
   def load(spark: SparkSession, path: String): EngineConfig = {
     val p = new Path(path)
@@ -124,7 +125,10 @@ object ConfigLoader {
         repo = Option(n.get("repo")).map(_.asText()).getOrElse("graft"),
         host = Option(n.get("host")).map(_.asText()).getOrElse(TailConfig.defaultHost))
     }
-    EngineConfig(defaultSink, checkpointRoot, tails, supervision)
+    // optional supervision cadence for graft.Main's loop (the reference
+    // Manager's fixed 10 s sleep, Manager.php:57)
+    val pollSecs = Option(root.get("supervise_poll_secs")).map(_.asLong())
+    EngineConfig(defaultSink, checkpointRoot, tails, supervision, pollSecs)
   }
 
   private def sinkOf(n: JsonNode): LogSink =

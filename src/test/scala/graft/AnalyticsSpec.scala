@@ -611,6 +611,24 @@ class AnalyticsSpec extends AnyFunSuite {
     tmp
   }
 
+  test("graph_triangles degenerate graphs: wedge-free yields clustering 0, edge-free all zeros") {
+    // 0/0 regression guards: a wedge-free graph (every degree 1) used
+    // to put NaN into BigDecimal (NumberFormatException), an edge-free
+    // one NPE'd on the NULL degree sums
+    def run(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+      val dir = scratchDir { d =>
+        rows.toDF("l_orderkey", "l_partkey")
+          .write.parquet(s"$d/lineitem.parquet")
+      }
+      SparkEntry.queries("graph_triangles")(spark, dir)
+        .as[(Long, Long, Long, Long, Double)].head()
+    }
+    // one order, two parts: a single edge, two degree-1 nodes, no wedge
+    assert(run(Seq((1L, 10L), (1L, 20L))) == ((2L, 1L, 0L, 0L, 0.0)))
+    // single-part orders: no co-purchase pair at all
+    assert(run(Seq((1L, 10L), (2L, 20L))) == ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("q8 market share: supplier nation feeds the numerator, customer nation only the region gate") {
     // The dimension-role split is the shape under test — the two
     // nation roles must not cross: a sale by the measured nation's

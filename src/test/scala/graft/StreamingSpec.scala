@@ -652,6 +652,7 @@ class StreamingSpec extends AnyFunSuite {
       s"""{
          |  "sink": {"path": "${base.resolve("wh")}", "ttl_days": 7},
          |  "supervision": {"path": "${base.resolve("sup")}", "ttl_days": 30, "repo": "ops"},
+         |  "supervise_poll_secs": 3,
          |  "checkpoint_root": "${base.resolve("ck")}",
          |  "tails": [
          |    {"name": "access", "repo": "api2", "host": "web1",
@@ -672,6 +673,7 @@ class StreamingSpec extends AnyFunSuite {
     val cfgPath = base.resolve("graft.json")
     Files.write(cfgPath, json.getBytes)
     val conf = graft.logs.ConfigLoader.load(spark, cfgPath.toString)
+    assert(conf.pollSecs.contains(3L), "supervise_poll_secs must parse into the engine config")
     val defaultSink = conf.defaultSink.asInstanceOf[MergeTreeSink]
     assert(defaultSink.path == base.resolve("wh").toString && defaultSink.ttlDays == 7)
     assert(conf.tails.map(_.cfg.name) == Seq("access", "raw_tail", "to_ch"))
@@ -740,7 +742,8 @@ class StreamingSpec extends AnyFunSuite {
     val cfgPath = base.resolve("graft.json")
     Files.write(cfgPath, json.getBytes)
     writeLog(in, "a.log", Seq(line(1, "booted via Main"), line(2, "second")))
-    val (mgr, hook) = graft.Main.boot(spark, cfgPath.toString)
+    val (mgr, hook, bootConf) = graft.Main.boot(spark, cfgPath.toString)
+    assert(bootConf.pollSecs.isEmpty, "no supervise_poll_secs in this config")
     try {
       // one pass of the supervision loop (the test's latch stops it;
       // main passes a constant true and runs until killed)
@@ -757,7 +760,11 @@ class StreamingSpec extends AnyFunSuite {
         .select("message").as[String].collect().sorted.toSeq
       assert(sup == Seq("worker started", "worker stopped"),
         s"supervision history rows: $sup")
-    } finally { hook.remove(); () }
+    } finally {
+      // shutdown even on a mid-test assertion failure — a leaked live
+      // query would haunt later tests on the shared session
+      mgr.shutdown(); hook.remove(); ()
+    }
   }
 
   test("manager supervises multiple sources and rolls daily-templated paths") {
