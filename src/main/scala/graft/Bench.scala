@@ -42,6 +42,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** JSON string escaping, shared by the artifact writer and the
+    * drift reader so both sides agree on the encoded form.
+    */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -60,8 +71,12 @@ object Bench {
       prevTxt: String,
       sfDir: String,
       timings: Map[String, Double]): Option[(Double, Int)] = {
-    // only comparable against a previous artifact of the SAME sf
-    if (!prevTxt.contains(s""""sf":"$sfDir"""")) None
+    // only comparable against a previous artifact of the SAME sf.
+    // Compare against jstr(sfDir) — the ESCAPED form the artifact
+    // writer actually emits — so an sfDir containing a quote or
+    // backslash still matches its own recording instead of silently
+    // disabling drift.
+    if (!prevTxt.contains("\"sf\":" + jstr(sfDir))) None
     else {
       val entry = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
       val inQueries = prevTxt.substring(
@@ -221,13 +236,6 @@ object Bench {
         }
       }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val total = timings.values.sum
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

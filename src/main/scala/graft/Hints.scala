@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions.broadcast
   * (≤1-row) aggregates, explicit limits, and per-probe rank-filtered
   * shortlists. SinkAndPlanSpec asserts every shipped plan honors this
   * split.
+  *
+  * Known conservative bias: without CBO column stats, the analyzed
+  * plan's `Filter` nodes inherit their child's sizeInBytes, so a
+  * heavily filtered dimension (q3's BUILDING customers) is judged by
+  * its pre-filter size and may miss the hint when the unfiltered table
+  * sits just over the threshold. That errs in the SAFE direction — the
+  * join falls back to AQE, which re-plans a broadcast from the true
+  * runtime size — so we deliberately keep the cheap analyzed-plan
+  * probe rather than paying a duplicate optimizer pass per call.
   */
 object Hints {
 

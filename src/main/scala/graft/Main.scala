@@ -93,8 +93,18 @@ object Main {
       // woke: an instantly-dying query otherwise turns the
       // wake-on-termination feature into a hot restart loop
       val sinceMs = (java.lang.System.nanoTime() - lastPassNanos) / 1000000L
-      if (lastPassNanos != 0L && sinceMs < pollSecs * 1000L)
-        Thread.sleep(pollSecs * 1000L - sinceMs)
+      // Treat thread interruption as an orderly shutdown signal: exit
+      // the loop (restoring the flag for the caller) instead of letting
+      // InterruptedException kill the supervisor outside the
+      // 'will retry' logging paths.
+      try {
+        if (lastPassNanos != 0L && sinceMs < pollSecs * 1000L)
+          Thread.sleep(pollSecs * 1000L - sinceMs)
+      } catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          return
+      }
       lastPassNanos = java.lang.System.nanoTime()
       // a failed pass must not kill the supervisor — the whole point
       // of the loop is that the restart is the remedy (Manager.php:
@@ -114,6 +124,9 @@ object Main {
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
           System.err.println(s"[graft] query died (will restart): ${e.getMessage}")
           spark.streams.resetTerminated()
+        case _: InterruptedException => // same orderly-shutdown contract
+          Thread.currentThread().interrupt()
+          return
       }
     }
   }

@@ -126,8 +126,17 @@ object ConfigLoader {
         host = Option(n.get("host")).map(_.asText()).getOrElse(TailConfig.defaultHost))
     }
     // optional supervision cadence for graft.Main's loop (the reference
-    // Manager's fixed 10 s sleep, Manager.php:57)
-    val pollSecs = Option(root.get("supervise_poll_secs")).map(_.asLong())
+    // Manager's fixed 10 s sleep, Manager.php:57). Jackson's asLong()
+    // silently yields 0 for non-numeric nodes, and 0/negative would
+    // turn the loop into a busy spin (sleep skipped,
+    // awaitAnyTermination(0) returns immediately) — reject both here,
+    // consistent with the strict validation everywhere else in load.
+    val pollSecs = Option(root.get("supervise_poll_secs")).map { n =>
+      if (!n.isIntegralNumber || n.asLong() <= 0)
+        throw new IllegalArgumentException(
+          s"supervise_poll_secs must be a positive integer, got: $n")
+      n.asLong()
+    }
     EngineConfig(defaultSink, checkpointRoot, tails, supervision, pollSecs)
   }
 

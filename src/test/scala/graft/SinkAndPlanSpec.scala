@@ -884,6 +884,12 @@ class SinkAndPlanSpec extends AnyFunSuite {
     intercept[Exception] {
       Bench.driftVsPrev("""{"not":"an artifact","sf":"/data/sf0.1"}""", "/data/sf0.1", timings)
     }
+    // an sfDir needing JSON escaping still matches its own recording:
+    // the comparator must use the same escaped form the writer emits
+    val oddSf = """/data/sf"0.1\x"""
+    val oddTxt = s"""{"metric":"total","value":25.0,"queries":{$prevQs},"errors":{},"sf":${Bench.jstr(oddSf)}}"""
+    assert(Bench.driftVsPrev(oddTxt, oddSf, timings) == Some((1.2, 1)),
+      "escaped sf dir must not silently disable drift")
     ()
   }
 

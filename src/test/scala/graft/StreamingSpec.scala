@@ -700,6 +700,16 @@ class StreamingSpec extends AnyFunSuite {
     // the loaded config builds a runnable manager
     val mgr = graft.logs.ConfigLoader.manager(spark, conf)
     assert(mgr.activeQueries.isEmpty)
+    // a non-positive or non-numeric cadence is rejected at load time
+    // (Jackson's asLong() would otherwise coerce junk to 0 and turn
+    // the supervision loop into a busy spin)
+    for (bad <- Seq("0", "-5", "\"ten\"", "3.5")) {
+      val badJson = json.replace("\"supervise_poll_secs\": 3", s""""supervise_poll_secs": $bad""")
+      Files.write(cfgPath, badJson.getBytes)
+      intercept[IllegalArgumentException] {
+        graft.logs.ConfigLoader.load(spark, cfgPath.toString)
+      }
+    }
   }
 
   test("config-loaded deployment ingests end to end") {
