@@ -682,6 +682,42 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Bucketed co-located join (SURVEY §2.A row 13c): the repeated
+    * lineitem⋈orders star shape with BOTH sides materialized once
+    * through [[graft.ops.BucketedStore]] — one layout shuffle up
+    * front, then every run of the join is exchange-free (the scans
+    * report `HashPartitioning(orderkey, 8)`, plan-asserted zero
+    * Exchange and no global Sort on the join subtree in
+    * SinkAndPlanSpec). The
+    * oracle computes the same aggregate from the raw tables, proving
+    * the layout path changes the plan, not the answer. Amortization is
+    * the 100 TB story: a nightly pipeline joining the same fact on the
+    * same key N times pays one shuffle, not N.
+    */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val li = graft.ops.BucketedStore.materializeOnce(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      name = s"graft_bkt_lineitem_$tag", key = "l_orderkey", buckets = 8)
+    val o = graft.ops.BucketedStore.materializeOnce(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      name = s"graft_bkt_orders_$tag", key = "o_orderkey", buckets = 8)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H q18 shape (SURVEY §2.A row 19t): large-volume orders via a
     * HAVING subquery, joined back to customers. The qualifying-key set
     * (the aggregate's survivors — a tiny fraction of orders, but a
@@ -7360,6 +7396,7 @@ object SparkEntry {
     "q1_agg" -> Q(q1Agg, Some(q1AggSql)),
     "q3_join" -> Q(q3Join, Some(q3JoinSql)),
     "q5_join" -> Q(q5Join, Some(q5JoinSql)),
+    "bucketed_join" -> Q(bucketedJoin, Some(bucketedJoinSql)),
     "sink_roundtrip" -> Q(sinkRoundtrip, Some(sinkRoundtripSql)),
     "sink_replacing" -> Q(sinkReplacing, Some(sinkReplacingSql)),
     "supervision_events" -> Q(supervisionEvents, Some(supervisionEventsSql)),

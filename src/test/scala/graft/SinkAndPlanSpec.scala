@@ -508,17 +508,61 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(plain.sameElements(salted))
   }
 
-  test("bucketed tables join without a shuffle (co-located join)") {
-    val li = Tables(spark, TestSpark.SfDirSmall, "lineitem").select("l_orderkey", "l_quantity")
-    li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_bucket_a")
-    li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_bucket_b")
+  test("BucketedStore layout: one file per bucket, idempotent, exchange-free join, oracle-equal") {
+    val dir = TestSpark.SfDirSmall
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val j = spark.table("li_bucket_a").join(spark.table("li_bucket_b"), "l_orderkey")
+      // the registry query itself is the write path (materializeOnce
+      // both sides) — run it first so the layout exists
+      val out = SparkEntry.queries("bucketed_join")(spark, dir).collect()
+      assert(out.nonEmpty)
+      val a = spark.table(s"graft_bkt_lineitem_$tag")
+      val b = spark.table(s"graft_bkt_orders_$tag")
+      // one file per bucket (the pre-write repartition at work): more
+      // files would both storm an object-store listing at scale and
+      // void the scan's outputOrdering, resurrecting the Sort
+      assert(a.inputFiles.length == 8, s"lineitem layout has ${a.inputFiles.length} files, want 8")
+      assert(b.inputFiles.length == 8, s"orders layout has ${b.inputFiles.length} files, want 8")
+      // the join subtree: no Exchange on either side — the scans'
+      // HashPartitioning satisfies the merge join's distribution
+      // outright. Any Sort that remains must be partition-local
+      // (global=false): Spark only propagates bucket sort order behind
+      // spark.sql.legacy.bucketedTableScan.outputOrdering, so the
+      // default plan re-sorts within partitions — linear, no shuffle.
+      val j = a.join(b, a("l_orderkey") === b("o_orderkey"))
       val plan = j.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
-      assert(j.count() > 0)
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(!plan.split("\n").exists(l => l.contains("Sort [") && l.contains(" true,")),
+        s"no GLOBAL sort may appear over a bucketed scan:\n$plan")
+      // idempotence: a second materializeOnce reuses the files already
+      // written (no rewrite — same file set)
+      val again = graft.ops.BucketedStore.materializeOnce(
+        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        name = s"graft_bkt_lineitem_$tag", key = "l_orderkey", buckets = 8)
+      assert(again.inputFiles.sorted.toSeq == a.inputFiles.sorted.toSeq,
+        "second materializeOnce must reuse the layout, not rewrite it")
+      // the layout changes the plan, not the answer: same aggregate
+      // from the raw (unbucketed) tables
+      val naive = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority")).collect()
+      assert(out.toSeq == naive.toSeq, "bucketed result must equal the plain-join result")
+      // guard rails: unsafe names and non-positive bucket counts throw
+      intercept[IllegalArgumentException] {
+        graft.ops.BucketedStore.materializeOnce(a, "bad name; drop", "l_orderkey", 8)
+      }
+      intercept[IllegalArgumentException] {
+        graft.ops.BucketedStore.materializeOnce(a, "ok_name", "l_orderkey", 0)
+      }
+      ()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
