@@ -802,4 +802,50 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("S2", 2L), ("S1", 1L)), s"got $got")
   }
+
+  test("dict_segment equals a naive greedy matcher on randomized vocab/text") {
+    import graft.functions.SegTrie.dictSegment
+    // independent reference: straight-line longest-substring-first
+    // greedy over the vocab as a Set — no trie, no shared code with
+    // the expression under test. Both sides operate on UTF-16 code
+    // units, so the surrogate-pair alphabet entry exercises the
+    // boundary the trie walks one unit at a time.
+    def naive(text: String, vocab: Set[String]): (Long, Long) = {
+      var pieces = 0L
+      var unk = 0L
+      text.split(' ').foreach { word =>
+        var i = 0
+        while (i < word.length) {
+          (word.length - i).to(1, -1)
+            .find(len => vocab.contains(word.substring(i, i + len))) match {
+            case Some(l) => pieces += 1; i += l
+            case None => pieces += 1; unk += 1; i += 1
+          }
+        }
+      }
+      (pieces, unk)
+    }
+    val rnd = new scala.util.Random(31337)
+    val alphabet = Vector("a", "b", "c", "λ", "日", "🎈")
+    def randPiece(): String =
+      Seq.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(alphabet.size))).mkString
+    for (round <- 1 to 25) {
+      val vocab = (1 to (2 + rnd.nextInt(8))).map(_ => randPiece()).distinct
+      val texts = (1 to 40).map { _ =>
+        Seq.fill(rnd.nextInt(6))(
+          Seq.fill(rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+          .mkString(" " * (1 + rnd.nextInt(2))) // 1-2 separators: empty-word path
+      }
+      val vcol = array(vocab.map(lit(_)): _*)
+      val got = texts.toDF("t")
+        .select(col("t"), dictSegment(col("t"), vcol).as("s"))
+        .select(col("t"), col("s.n_pieces"), col("s.n_unk"))
+        .as[(String, Long, Long)].collect()
+      val vset = vocab.toSet
+      got.foreach { case (t, p, u) =>
+        assert((p, u) == naive(t, vset),
+          s"round $round vocab=${vocab.mkString(",")} diverged on <$t>: got ($p,$u), want ${naive(t, vset)}")
+      }
+    }
+  }
 }

@@ -88,4 +88,44 @@ class MonologParserSpec extends AnyFunSuite {
     val plan = MonologParser.parse(lines, cfg).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in parse plan:\n$plan")
   }
+
+  test("regexp_groups equals java.util.regex on randomized monolog-ish lines") {
+    import java.util.regex.Pattern
+    import graft.functions.RegexpExtractGroups
+    // The engine's front door: lines assembled at random from
+    // adversarial fragments — malformed separators, half-formed
+    // timestamps, bracket noise, multi-byte unicode, long runs —
+    // checked for exact agreement (including null groups and
+    // no-match NULLs) with java.util.regex find semantics, the
+    // independent reference the expression claims to match. Seeded
+    // for reproducibility; the DataFrame path exercises codegen.
+    val frags = Vector(
+      "[2024-01-01 10:00:00]", "[2024-13-99 :0:]", "[", "]", "app.ERROR:",
+      "app.ERROR", ".", ":", " ", "  ", "msg", "boom happened", "{\"a\":1}",
+      "[]", "{}", "λόγος.ИНФО:", "日本語", "émo🎈ji", "x" * 120,
+      "web.INFO: ok {} []", "\t")
+    val patterns = Seq(
+      MonologParser.DefaultPattern, // what every production line runs through
+      "\\[(.*?)\\] (\\w+)(?:\\.(\\w+))?: (.*)", // optional group -> null entries
+      "(\\p{L}+)\\.(\\p{Lu}+)", // unicode character classes
+      "([^ ]+) ([^ ]+)$") // anchored tail
+    val rnd = new scala.util.Random(2026)
+    val fuzzed = (1 to 500).map { _ =>
+      Seq.fill(rnd.nextInt(8))(frags(rnd.nextInt(frags.size))).mkString
+    } ++ Seq("", " ")
+    val df = fuzzed.toDF("line")
+    for (p <- patterns) {
+      val compiled = Pattern.compile(p)
+      def expected(l: String): Option[Seq[String]] = {
+        val m = compiled.matcher(l)
+        if (m.find()) Some((1 to m.groupCount()).map(m.group)) else None
+      }
+      val got = df
+        .select(col("line"), RegexpExtractGroups(col("line"), p).as("g"))
+        .as[(String, Option[Seq[String]])].collect()
+      got.foreach { case (l, g) =>
+        assert(g == expected(l), s"pattern <$p> diverged on line <$l>: got $g, want ${expected(l)}")
+      }
+    }
+  }
 }
