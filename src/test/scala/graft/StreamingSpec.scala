@@ -959,4 +959,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(byBatch(1).psi - batchPsi) < 1e-4,
       s"stream ${byBatch(1).psi} vs batch $batchPsi")
   }
+
+  test("multi-source ceiling: 16 concurrent tails in one session — startup, supervision cost, aggregate throughput") {
+    // The reference runs one OS process per tail (Manager.php forks a
+    // Worker each); graft multiplexes every tail as a streaming query
+    // in ONE session. This measurement pins the cost of that choice at
+    // 16 sources: per-query startup, the no-op supervision-pass cost
+    // (the steady-state scheduling overhead the loop pays every poll),
+    // and aggregate drain throughput — the numbers behind the
+    // queries-per-session guidance in BENCH_NOTES.md. Correctness
+    // asserts are hard (exact per-sink counts, all queries live,
+    // supervision restart at width); timing is reported via info(),
+    // not asserted, because the host wobbles.
+    val base = tmp("ceiling")
+    val nTails = 16
+    val rowsPerTail = 2000
+    val day = LocalDate.of(2024, 1, 1)
+    val pipes = (0 until nTails).map { i =>
+      val in = base.resolve(s"in$i"); Files.createDirectories(in)
+      writeLog(in, "a.log", (0 until rowsPerTail).map(r => line(r % 60, s"t$i r$r")))
+      TailPipeline(spark, TailConfig(name = s"ceil$i", repo = "bench"),
+        in.toString, base.resolve(s"ck$i").toString,
+        MergeTreeSink(base.resolve(s"wh$i").toString))
+    }
+    val mgr = new TailManager(pipes)
+    try {
+      // (1) cold boot: one supervision pass starts all 16 queries
+      val t0 = System.nanoTime()
+      assert(mgr.superviseOnce(day).size == nTails)
+      val bootSecs = (System.nanoTime() - t0) / 1e9
+      assert(mgr.activeQueries.size == nTails && mgr.activeQueries.values.forall(_.isActive))
+
+      // (2) steady state: a pass with nothing to do — what the
+      // supervision loop pays per poll at this width
+      val t1 = System.nanoTime()
+      assert(mgr.superviseOnce(day).isEmpty)
+      val idlePassMs = (System.nanoTime() - t1) / 1e6
+
+      // (3) drain all 16 and measure aggregate ingest
+      val t2 = System.nanoTime()
+      mgr.activeQueries.values.foreach(_.processAllAvailable())
+      val drainSecs = (System.nanoTime() - t2) / 1e9
+      pipes.foreach { p =>
+        assert(p.sink.asInstanceOf[MergeTreeSink].read(spark).count() == rowsPerTail.toLong,
+          s"${p.cfg.name} lost rows at width $nTails")
+      }
+      val aggRows = nTails.toLong * rowsPerTail
+      // per-microbatch execution cost at width (driver planning +
+      // execution, from the progress log): the number that bounds
+      // queries-per-session — N queries x this must fit the trigger
+      // cadence on one driver
+      val batchMs = mgr.activeQueries.values.toSeq
+        .flatMap(_.recentProgress.toSeq)
+        .filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble)
+      info(f"boot: $nTails queries in $bootSecs%.1f s (${bootSecs / nTails * 1000}%.0f ms/query)")
+      info(f"idle supervision pass at width $nTails: $idlePassMs%.0f ms")
+      info(f"drain: $aggRows rows across $nTails sinks in $drainSecs%.1f s = ${aggRows / drainSecs}%.0f rows/s aggregate")
+      info(f"non-empty microbatch triggerExecution at width $nTails: median ${batchMs.sorted.apply(batchMs.size / 2)}%.0f ms over ${batchMs.size} batches")
+
+      // (4) supervision still functions at width: kill one query, the
+      // next pass restarts exactly it
+      mgr.activeQueries("ceil7").stop()
+      assert(mgr.superviseOnce(day) == Seq("ceil7"), "restart-dead must single out the dead query")
+      assert(mgr.activeQueries.size == nTails)
+    } finally mgr.shutdown()
+  }
 }

@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // default 4 keeps the suite light; GRAFT_TEST_CPUS=32 reproduces
+    // the deployment contract for measurement tests (the multi-source
+    // ceiling numbers in BENCH_NOTES.md were recorded at both)
+    val cpus = sys.env.getOrElse("GRAFT_TEST_CPUS", "4")
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
