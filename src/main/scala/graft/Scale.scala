@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale measurement for the candidate-bounded families —
+  * the evidence behind SCALE.md.
+  *
+  * For each input dir (the read-only sf0.1 plus `tools/gen_scale.py`
+  * corpora at 3× and 10×, same marginal distributions), this main
+  * measures, per family: the CANDIDATE VOLUME the operator's pruning
+  * structure admits (band collisions, prefix survivors, Σ C(|cell|,2),
+  * probed-cell rows, capped-df pair volume, oriented wedges) against
+  * the unpruned baseline it displaces (all-pairs / Σ df² / full
+  * wedges), plus the operator's wall time. Candidate counts are
+  * computed with the operators' own building blocks and parameters
+  * (`Shingles.hashedShingles`, `MinHashLSH.signatures`,
+  * `IvfAnn.train/assign`) — where a count mirrors an internal stage
+  * (the n-gram prefix join) the formulas are copied verbatim from the
+  * module and noted there.
+  *
+  * Scale-path parameters follow each operator's documented scaling
+  * rule: cell counts grow with the corpus (`SemDedup.TargetCellSize`
+  * vectors per cell — the adaptive default), df caps and band counts
+  * stay fixed. Fixed-parameter oracle pins (16 cells in the
+  * `dedup_semantic` registry query) are correctness gates, not the
+  * scale configuration; both are reported where they differ.
+  *
+  * Output: one JSON line per (dir, family) on stdout.
+  */
+object Scale {
+
+  private def jnum(v: Double): String =
+    if (v == math.rint(v) && v.abs < 1e15) v.toLong.toString else v.toString
+
+  private def num(r: org.apache.spark.sql.Row, i: Int): Double =
+    r.get(i) match { case null => 0.0; case v: Number => v.doubleValue() }
+
+  private def time(f: => Unit): Double = {
+    val t0 = java.lang.System.nanoTime()
+    f
+    math.rint((java.lang.System.nanoTime() - t0) / 1e9 * 100) / 100
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def emit(dir: String, family: String, fields: (String, Double)*): Unit = {
+    val fs = fields.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")
+    println(s"""SCALE {"sf":"$dir","family":"$family",$fs}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/scaledata/sf0.3", "/root/repo/scaledata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    dirs.foreach(measure(spark, _))
+    spark.stop()
+  }
+
+  private def measure(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    val nDocs = docs.count().toDouble
+    val nEmb = emb.count().toDouble
+
+    minhash(spark, dir, docs, nDocs)
+    ngram(spark, dir, docs, nDocs)
+    containment(spark, dir, docs, nDocs)
+    semantic(spark, dir, emb, nEmb, hier = false)
+    semantic(spark, dir, emb, nEmb, hier = true)
+    ivfpq(spark, dir, emb, nEmb)
+    triangles(spark, dir)
+  }
+
+  /** Band collisions (Σ C(bucket, 2) over the 16 band buckets — the
+    * LSH join's exact pre-distinct volume) vs the all-pairs baseline.
+    */
+  private def minhash(spark: SparkSession, dir: String, docs: DataFrame, n: Double): Unit = {
+    val bands = 16
+    val r = 4 // 64 hashes / 16 bands
+    val sigs = graft.dedup.MinHashLSH.signatures(docs, "doc_id", "text", n = 3, numHashes = 64)
+    // the band/bucket derivation below is MinHashLSH.candidatePairs's,
+    // verbatim
+    val bandRows = sigs.select(
+      col("id"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"),
+      col("sig"))
+      .withColumn("bucket", xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+      .select("id", "band", "bucket")
+    val collisions = num(bandRows.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2)).head(), 0)
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count().toDouble
+    val wall = time(force(SparkEntry.queries("dedup_minhash")(spark, dir)))
+    emit(dir, "dedup_minhash", "n_docs" -> n, "all_pairs" -> n * (n - 1) / 2,
+      "band_collisions" -> collisions, "distinct_candidates" -> candidates,
+      "wall_sec" -> wall)
+  }
+
+  /** Prefix survivors (the AllPairs/PPJoin candidate count — formulas
+    * copied from NgramJaccard.pairsExhaustive's candidate stage) vs
+    * the unfiltered inverted-index volume Σ C(df, 2).
+    */
+  private def ngram(spark: SparkSession, dir: String, docs: DataFrame, n: Double): Unit = {
+    val tEff = 0.6 - 0.00005
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(graft.dedup.Shingles.hashedShingles(col("text"), 3)).as("s"))
+    val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val invVolume = num(dfCounts.agg(sum(col("df") * (col("df") - 1) / 2)).head(), 0)
+    val docSets = sh.join(dfCounts, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("id"),
+        transform(col("arr"), x => x.getField("s")).as("set"),
+        size(col("arr")).as("m"))
+    val prefix = docSets.select(
+      col("id"), col("m"),
+      posexplode(slice(col("set"), lit(1),
+        (col("m") - ceil(lit(tEff) * col("m")) + 1).cast("int"))))
+      .select(col("id"), col("m"), col("pos").as("rk"), col("col").as("s"))
+    val minOverlap = lit(tEff / (1 + tEff)) * (col("a.m") + col("b.m"))
+    val survivors = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.m") >= lit(tEff) * col("b.m") && col("b.m") >= lit(tEff) * col("a.m") &&
+          least(col("a.m") - col("a.rk"), col("b.m") - col("b.rk")) >= minOverlap)
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct().count().toDouble
+    val wall = time(force(SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)))
+    val wallCapped = time(force(SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, dir)))
+    emit(dir, "dedup_ngram_jaccard", "n_docs" -> n,
+      "inverted_index_pairs" -> invVolume, "prefix_survivors" -> survivors,
+      "wall_sec" -> wall, "wall_sec_capped" -> wallCapped)
+  }
+
+  /** Capped-df inverted-index volume (Σ C(df,2) over shingles with
+    * df ≤ 64 — what the maxDf cap admits) vs the uncapped Σ C(df,2).
+    */
+  private def containment(spark: SparkSession, dir: String, docs: DataFrame, n: Double): Unit = {
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(graft.dedup.Shingles.hashedShingles(col("text"), 4)).as("s"))
+    val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val pairVol = dfCounts.agg(
+      sum(col("df") * (col("df") - 1) / 2).as("all"),
+      sum(when(col("df") <= 64, col("df") * (col("df") - 1) / 2).otherwise(0L)).as("capped"))
+      .head()
+    val wall = time(force(SparkEntry.queries("dedup_containment")(spark, dir)))
+    emit(dir, "dedup_containment", "n_docs" -> n,
+      "uncapped_pairs" -> num(pairVol, 0),
+      "capped_pairs" -> num(pairVol, 1),
+      "wall_sec" -> wall)
+  }
+
+  /** Σ C(cell-occupancy, 2) under the adaptive cell count (the
+    * TargetCellSize scaling rule, probes=2) vs corpus², for both the
+    * literal and hierarchical assignment paths.
+    */
+  private def semantic(spark: SparkSession, dir: String, emb: DataFrame, n: Double,
+      hier: Boolean): Unit = {
+    val numCells = math.max(4L, (n.toLong + graft.dedup.SemDedup.TargetCellSize - 1) /
+      graft.dedup.SemDedup.TargetCellSize).toInt
+    val cs = graft.sim.IvfAnn.train(emb, numCells)
+    val assigner: (DataFrame, graft.sim.IvfAnn.Centroids, Int) => DataFrame =
+      if (hier)
+        graft.sim.IvfAnn.assignHierarchical(_, _, _,
+          superCells = math.max(4, numCells / 4), superProbes = 2)
+      else graft.sim.IvfAnn.assign(_, _, _)
+    val cells = assigner(emb, cs, 2)
+    val volRow = cells.groupBy("cell").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).as("vol"), max(col("c")).as("mx")).head()
+    val fam = if (hier) "dedup_semantic_hier" else "dedup_semantic"
+    val wall = time(force(
+      graft.dedup.SemDedup.pairsWith(emb, cs, minCosine = 0.4, probes = 2, assigner = assigner)))
+    emit(dir, fam, "n_vectors" -> n, "num_cells" -> numCells.toDouble,
+      "all_pairs" -> n * (n - 1) / 2,
+      "cell_pair_volume" -> num(volRow, 0),
+      "max_cell" -> num(volRow, 1),
+      "wall_sec" -> wall)
+  }
+
+  /** Probed-cell candidate rows for the 10 registry probe vectors at
+    * the adaptive cell count (nProbe = 8 fixed) vs brute force
+    * (10 × corpus). Probe-cell selection mirrors IvfAnn's cosine
+    * scoring driver-side over the collected centroids.
+    */
+  private def ivfpq(spark: SparkSession, dir: String, emb: DataFrame, n: Double): Unit = {
+    val numCells = math.max(16L, (n.toLong + 511) / 512).toInt
+    val nProbe = 8
+    val cs = graft.sim.IvfAnn.train(emb, numCells)
+    val sizes = graft.sim.IvfAnn.assign(emb, cs, 1)
+      .groupBy("cell").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val queries = emb.where(col("id") < 10)
+    val qvecs = queries.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val candidates = qvecs.map { case (_, q) =>
+      cs.cells.map { case (cid, c) =>
+        (q.zip(c).map { case (a, b) => a * b }.sum / norm(c), cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nProbe)
+        .map { case (_, cid) => sizes.getOrElse(cid, 0L) }.sum
+    }.sum.toDouble
+    val wall = time(force(
+      graft.sim.PqAnn.topKIvfPq(
+        queries.select(col("id").as("qid"), col("vec").as("qvec")), emb, 5,
+        numCells = numCells, nProbe = nProbe, m = 4, kCodes = 16, shortlist = 50)))
+    emit(dir, "ann_ivfpq", "n_vectors" -> n, "num_cells" -> numCells.toDouble,
+      "brute_force_rows" -> 10 * n, "probed_cell_rows" -> candidates,
+      "wall_sec" -> wall)
+  }
+
+  /** Oriented-wedge volume (Σ C(out-deg, 2) on the degree-oriented
+    * DAG — what compact-forward actually intersects) vs the full wedge
+    * count Σ C(deg, 2) a naive wedge join ships, plus the max
+    * out-degree against its O(√m) bound.
+    */
+  private def triangles(spark: SparkSession, dir: String): Unit = {
+    val pp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = pp.as("a").join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .persist()
+    try {
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val degRow = deg.agg(count(lit(1)), sum(col("d")), sum(col("d") * (col("d") - 1) / 2)).head()
+      val nNodes = num(degRow, 0)
+      val m = num(degRow, 1) / 2.0
+      val wedges = num(degRow, 2)
+      val du = deg.select(col("x").as("u2"), col("d").as("du"))
+      val dv = deg.select(col("x").as("v2"), col("d").as("dv"))
+      val fromU = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val outdeg = e.join(du, col("u") === col("u2")).join(dv, col("v") === col("v2"))
+        .select(when(fromU, col("u")).otherwise(col("v")).as("su"))
+        .groupBy("su").agg(count(lit(1)).as("od"))
+      val oRow = outdeg.agg(sum(col("od") * (col("od") - 1) / 2), max(col("od"))).head()
+      val orientedWedges = num(oRow, 0)
+      val maxOut = num(oRow, 1)
+      val wall = time(force(SparkEntry.queries("graph_triangles")(spark, dir)))
+      emit(dir, "graph_triangles", "n_nodes" -> nNodes, "m_edges" -> m,
+        "full_wedges" -> wedges, "oriented_wedges" -> orientedWedges,
+        "max_outdeg" -> maxOut, "sqrt_2m" -> math.rint(math.sqrt(2 * m)),
+        "wall_sec" -> wall)
+    } finally { e.unpersist(); () }
+  }
+}

@@ -18,12 +18,41 @@ import graft.Store.Materializable
   */
 object CosineDedup {
 
+  /** Target expected bucket occupancy for the adaptive hash width —
+    * the [[SemDedup.TargetCellSize]] discipline applied to LSH: with
+    * `bitsPerTable` FIXED, expected occupancy is n/2^bits and
+    * per-table collisions grow ~n²/2^bits — the round-12 sf1 scale
+    * measurement clocked the fixed-4-bit configuration at ×22-74 wall
+    * for ×10 corpus (SCALE.md). Growing bits with log₂(n/target)
+    * holds occupancy ~constant, so collisions stay ~n·target/2 per
+    * table.
+    */
+  val TargetBucketSize = 512
+
+  /** ceil(log₂(n / [[TargetBucketSize]])) clamped to [4, 20] — 4 bits
+    * (today's fixed default) up to n = 8192, so oracle/spec-scale
+    * behavior is bit-identical; beyond that one more hyperplane per
+    * doubling. The 20-bit ceiling (≈1M buckets/table) is far past any
+    * single-table need.
+    */
+  def adaptiveBits(n: Long): Int =
+    math.min(20, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucketSize)) / math.log(2.0)).toInt))
+
+  /** `bitsPerTable <= 0` (the default) derives the hash width from the
+    * corpus size via [[adaptiveBits]] — one count job, the same
+    * safe-by-default trade as [[SemDedup.pairs]]'s adaptive cell
+    * count. Recall falls as bits rise (a true pair must agree on every
+    * hyperplane of some table); `numTables` remains the recall lever,
+    * and explicit `bitsPerTable` pins the width for tuned deployments.
+    */
   def pairs(
       embeddings: DataFrame, // (id, vec array<double>)
       minCosine: Double,
       numTables: Int = 16,
-      bitsPerTable: Int = 4,
+      bitsPerTable: Int = 0,
       dim: Int = 64): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable else adaptiveBits(embeddings.count())
     // Candidate generation moves only (id, table, bucket) — never the
     // vectors. Shuffling 64-dim payloads through the bucket join and
     // the pair-dedup costs ~60x the bytes and measured ~10x slower;
@@ -38,7 +67,7 @@ object CosineDedup {
     // four plan occurrences (both bucket-join sides + both exact-verify
     // probes) would otherwise each re-scan the corpus and re-derive
     // numTables×bits hyperplane dot products / the norms from parquet.
-    val store = LshAnn.withBuckets(embeddings, "vec", numTables, bitsPerTable, dim)
+    val store = LshAnn.withBuckets(embeddings, "vec", numTables, bits, dim)
       .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
       .materializeOnce()
     val long = store.select(

@@ -453,4 +453,21 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in plan:\n$plan")
     }
   }
+
+  test("cosine LSH adaptive hash width: 4 bits through oracle scale, one more per doubling, clamped") {
+    import graft.dedup.CosineDedup.adaptiveBits
+    // bit-identical to the old fixed default at every oracle/spec
+    // scale (n <= 8192), so existing recall measurements stand
+    for (n <- Seq(1L, 100L, 500L, 2000L, 8192L)) assert(adaptiveBits(n) == 4, s"n=$n")
+    // beyond: occupancy-preserving growth — one hyperplane per doubling
+    assert(adaptiveBits(8193L) == 5)
+    assert(adaptiveBits(16384L) == 5)
+    assert(adaptiveBits(20000L) == 6)
+    assert(adaptiveBits(512L * (1L << 20)) == 20)
+    assert(adaptiveBits(Long.MaxValue) == 20, "ceiling binds")
+    // expected occupancy under the rule never exceeds 2x the target
+    for (n <- Seq(10000L, 100000L, 10000000L))
+      assert(n.toDouble / (1L << adaptiveBits(n)) <= 2 * graft.dedup.CosineDedup.TargetBucketSize,
+        s"occupancy at n=$n")
+  }
 }
