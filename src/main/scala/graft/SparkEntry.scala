@@ -1785,7 +1785,9 @@ object SparkEntry {
     * exact). The oracle is precision-style: DuckDB recomputes the true
     * cosine of each emitted pair from `embeddings` and re-applies the
     * threshold, so a wrong similarity or sub-threshold pair fails the
-    * hash compare.
+    * hash compare. Hash width rides the adaptive default
+    * (`CosineDedup.adaptiveBits` — occupancy-preserving, measured in
+    * SCALE.md; bit-identical to the old fixed 4 bits at oracle scale).
     */
   private def dedupCosine(s: SparkSession, dir: String): DataFrame =
     graft.dedup.CosineDedup.pairs(
@@ -1816,7 +1818,10 @@ object SparkEntry {
   /** Semantic dedup (SemDeDup shape, SURVEY §2 row 24a): k-means cells
     * bound the candidate join (within-cell pairs only), exact cosine
     * verifies — same precision oracle as the LSH configs (true cosine
-    * recomputed per emitted pair, threshold re-applied).
+    * recomputed per emitted pair, threshold re-applied). The 16-cell
+    * pin here is the oracle configuration; production runs take the
+    * adaptive default (`numCells <= 0` → cells ∝ corpus /
+    * TargetCellSize), measured linear at 1×/3×/10× in SCALE.md.
     */
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     graft.dedup.SemDedup.pairs(
