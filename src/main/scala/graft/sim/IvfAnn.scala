@@ -270,6 +270,18 @@ object IvfAnn {
     * data" regime the literal path already assumes.
     */
   def train(corpus: DataFrame, numCells: Int, iters: Int = 3): Centroids = {
+    // Small models train DRIVER-LOCALLY on a bounded deterministic
+    // sample (LocalTrain — 2 Spark jobs at any corpus size instead of
+    // one shuffle job per iteration; rationale + measurement in
+    // SCALE.md). Same init rule (first-k by id within the collected
+    // set), same cosine argmax with ties to the lowest cid, same
+    // empty-cell-keeps-centroid semantics as the distributed loop.
+    if (numCells <= LocalTrain.MaxLocalCells) {
+      val pts = LocalTrain.collectSample(corpus, LocalTrain.sampleCap(numCells))
+      val init = pts.take(numCells)
+      return Centroids(LocalTrain.lloydCosine(pts, init, iters)
+        .zipWithIndex.map { case (v, i) => (i, v) })
+    }
     var centroids: Centroids = Centroids(
       corpus.orderBy("id").limit(numCells).select("vec").collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) })

@@ -77,6 +77,23 @@ object PqAnn {
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val subDim = dim / m
 
+    // Codebook-sized models (kCodes is 16-256 in practice) train
+    // driver-locally on one bounded deterministic sample shared by all
+    // m subspaces — 2 Spark jobs instead of one shuffle job per
+    // iteration (LocalTrain; measurement in SCALE.md). Per-subspace
+    // semantics mirror the distributed loop: first-k seed, L2
+    // assignment with ties to the lowest code, empty code keeps its
+    // centroid.
+    if (kCodes <= LocalTrain.MaxLocalCells) {
+      val pts = LocalTrain.collectSample(corpus, LocalTrain.sampleCap(kCodes))
+      require(pts.length >= kCodes, s"corpus smaller than kCodes=$kCodes")
+      val books = Array.tabulate(m) { s =>
+        val sub = pts.map(_.slice(s * subDim, (s + 1) * subDim))
+        LocalTrain.lloydL2(sub, sub.take(kCodes), iters)
+      }
+      return Codebooks(m, subDim, books)
+    }
+
     val seed = corpus.orderBy("id").limit(kCodes).select("vec").collect()
       .map(_.getSeq[Double](0).toArray)
     require(seed.length == kCodes, s"corpus smaller than kCodes=$kCodes")

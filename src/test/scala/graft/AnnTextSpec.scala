@@ -492,4 +492,34 @@ class AnnTextSpec extends AnyFunSuite {
     assert(spark.sql("SELECT deflate_size('') z").head.getInt(0) > 0)
     intercept[Exception](spark.sql("SELECT deflate_size(array(1))").collect())
   }
+
+  test("local sampled k-means training: deterministic, distributed-loop semantics preserved") {
+    import graft.sim.{IvfAnn, PqAnn}
+    val e = Tables(spark, TestSpark.SfDir, "embeddings")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    // bit-exact reproducibility across calls (content-hash sample +
+    // id-ordered iteration — no partition-order dependence)
+    val a = IvfAnn.train(e, 16)
+    val b = IvfAnn.train(e, 16)
+    assert(a.cells.map(_._1).toSeq == b.cells.map(_._1).toSeq)
+    a.cells.zip(b.cells).foreach { case ((_, va), (_, vb)) =>
+      assert(va.toSeq == vb.toSeq, "centroids must be bit-identical across train calls")
+    }
+    val ca = PqAnn.train(e, m = 4, kCodes = 16)
+    val cb = PqAnn.train(e, m = 4, kCodes = 16)
+    (0 until 4).foreach { s =>
+      assert(ca.books(s).map(_.toSeq).toSeq == cb.books(s).map(_.toSeq).toSeq)
+    }
+    // the distributed loop's empty-cell rule survives in the local
+    // path: duplicate seeds tie every point to the lowest cid, the
+    // starved cell keeps its seed centroid verbatim
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.9, 0.1))
+    ).toDF("id", "vec")
+    val cs = IvfAnn.train(tiny, 2)
+    assert(cs.cells.length == 2)
+    assert(cs.cells(1)._2.toSeq == Seq(1.0, 0.0),
+      "empty cell must keep its previous centroid")
+    assert(cs.cells(0)._2.toSeq != Seq(1.0, 0.0), "populated cell re-centers")
+  }
 }
