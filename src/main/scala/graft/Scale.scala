@@ -67,6 +67,14 @@ object Scale {
     spark.stop()
   }
 
+  /** `SPARK_GRAFT_SCALE_ONLY=fam1,fam2` filters to named families
+    * (same iteration discipline as the Verify/Bench subset envs).
+    */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+
+  private def wanted(fam: String): Boolean = only.forall(_.contains(fam))
+
   private def measure(spark: SparkSession, dir: String): Unit = {
     val docs = Tables(spark, dir, "documents")
     val emb = Tables(spark, dir, "embeddings")
@@ -74,13 +82,44 @@ object Scale {
     val nDocs = docs.count().toDouble
     val nEmb = emb.count().toDouble
 
-    minhash(spark, dir, docs, nDocs)
-    ngram(spark, dir, docs, nDocs)
-    containment(spark, dir, docs, nDocs)
-    semantic(spark, dir, emb, nEmb, hier = false)
-    semantic(spark, dir, emb, nEmb, hier = true)
-    ivfpq(spark, dir, emb, nEmb)
-    triangles(spark, dir)
+    if (wanted("dedup_minhash")) minhash(spark, dir, docs, nDocs)
+    if (wanted("dedup_ngram_jaccard")) ngram(spark, dir, docs, nDocs)
+    if (wanted("dedup_containment")) containment(spark, dir, docs, nDocs)
+    if (wanted("dedup_semantic")) semantic(spark, dir, emb, nEmb, hier = false)
+    if (wanted("dedup_semantic_hier")) semantic(spark, dir, emb, nEmb, hier = true)
+    if (wanted("ann_ivfpq")) ivfpq(spark, dir, emb, nEmb)
+    if (wanted("graph_triangles")) triangles(spark, dir)
+    if (wanted("fuzzy_join_names")) fuzzyJoin(spark, dir)
+  }
+
+  /** PassJoin candidate volume for `fuzzy_join_names` (k=1 edit
+    * distance over stripped customer/supplier numbers) vs the cross
+    * product a naive levenshtein predicate would BNLJ. The candidate
+    * stage (segment index + ±k probe substrings + equi-join) is
+    * FuzzyJoin.join's own, re-run here up to the pre-distinct join so
+    * the admitted volume is measured, not modeled — digit strings are
+    * the operator's documented worst case (10-symbol alphabet, so
+    * 2-3 char segment keys carry df ∝ n/10^|seg|).
+    */
+  private def fuzzyJoin(spark: SparkSession, dir: String): Unit = {
+    def id(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(nullif(regexp_replace(substring(src, 10, 9), "^0+", ""), lit("")), lit("0"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("cid"), id(col("c_name")).as("cs"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("sid"), id(col("s_name")).as("ss"))
+    val nc = cust.count().toDouble
+    val ns = supp.count().toDouble
+    val stats = graft.ops.FuzzyJoin.candidateStats(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1)
+    val matches = SparkEntry.queries("fuzzy_join_names")(spark, dir).count().toDouble
+    val wall = time(force(SparkEntry.queries("fuzzy_join_names")(spark, dir)))
+    emit(dir, "fuzzy_join_names", "n_left" -> nc, "n_right" -> ns,
+      "cross_product" -> nc * ns,
+      "join_candidates" -> stats.joined,
+      "distinct_candidates" -> stats.distinctPairs,
+      "matches" -> matches,
+      "wall_sec" -> wall)
   }
 
   /** Band collisions (Σ C(bucket, 2) over the 16 band buckets — the

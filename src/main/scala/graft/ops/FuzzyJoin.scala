@@ -61,13 +61,13 @@ object FuzzyJoin {
     })
   }
 
-  /** All pairs (leftId, rightId, dist) with
-    * `levenshtein(left(strCol), right(strCol)) <= k`. Output columns:
-    * left id, right id, `dist`. Strings must be non-null; empty
-    * strings match anything of length <= k (handled by a length-only
-    * fallback key so zero-length segments never generate).
+  /** The pre-distinct candidate join (probe keys ⋈ segment index) —
+    * the volume the pigeonhole scheme admits before dedup + verify.
+    * Shared by [[join]] and the scale measurement
+    * (`graft.Scale.fuzzyJoin`), so the measured volume is the shipped
+    * stage, not a model of it.
     */
-  def join(
+  private def candidateJoin(
       left: DataFrame,
       leftIdCol: String,
       leftStrCol: String,
@@ -119,21 +119,65 @@ object FuzzyJoin {
     // equality with the two starts within ±k. (len, substring) carry
     // the hash-join selectivity; the position band rides along as a
     // post-join conjunct on the same equi key.
-    val cand = probe
+    probe
       .join(idx,
         probe("_key.l") === idx("_rlen") && probe("_key.sub") === idx("_sub") &&
           abs(probe("_key.si") - idx("_si")) <= k)
       .select(col("_lid"), col("_lstr"), col("_rid"), col("_rstr"))
-      .distinct()
+  }
 
-    // bounded form: early-exits at k+1 (O(k·n) per pair, not O(n^2))
-    // and returns -1 past the bound; for kept pairs it IS the distance
-    cand
+  /** All pairs (leftId, rightId, dist) with
+    * `levenshtein(left(strCol), right(strCol)) <= k`. Output columns:
+    * left id, right id, `dist`. Strings must be non-null; empty
+    * strings match anything of length <= k (handled by a length-only
+    * fallback key so zero-length segments never generate).
+    */
+  def join(
+      left: DataFrame,
+      leftIdCol: String,
+      leftStrCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightStrCol: String,
+      k: Int): DataFrame = {
+    // Verify BEFORE dedup: a pair can reach the join through at most
+    // ~(k+1)·(2k+1) duplicate keys (measured 2% extra rows on the
+    // digit-string worst case — SCALE.md), and the bounded
+    // `levenshtein(_, _, k)` early-exits at k+1 edits (O(k·len) per
+    // pair, not O(len²)), so re-verifying a duplicate costs microseconds
+    // while a pre-verify `.distinct()` shuffles EVERY candidate with
+    // both payload strings riding the exchange. Deduping the verified
+    // matches instead shuffles only the output (56× fewer rows, 3
+    // narrow columns, at the measured 10× point).
+    candidateJoin(left, leftIdCol, leftStrCol, right, rightIdCol, rightStrCol, k)
       .withColumn("dist", levenshtein(col("_lstr"), col("_rstr"), k))
       .where(col("dist") >= 0 && col("dist") <= k)
       .select(
         col("_lid").as(leftIdCol),
         col("_rid").as(rightIdCol),
         col("dist"))
+      .distinct()
+  }
+
+  /** Measured candidate volumes for the scale report: the raw join
+    * output (what the shuffle ships) and the distinct pair count (what
+    * the verify kernel scores).
+    */
+  final case class CandidateStats(joined: Double, distinctPairs: Double)
+
+  def candidateStats(
+      left: DataFrame,
+      leftIdCol: String,
+      leftStrCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightStrCol: String,
+      k: Int): CandidateStats = {
+    val cand = candidateJoin(left, leftIdCol, leftStrCol,
+      right, rightIdCol, rightStrCol, k)
+    val r = cand.agg(
+      count(lit(1)).as("j"),
+      count_distinct(col("_lid"), col("_rid")).as("d")).head()
+    CandidateStats(r.getLong(0).toDouble, r.getLong(1).toDouble)
   }
 }

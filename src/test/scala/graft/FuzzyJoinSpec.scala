@@ -54,6 +54,36 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"fuzzy join fell back to a cross product:\n$plan")
   }
 
+  test("pair dedup happens AFTER the verify filter, on narrow output columns") {
+    // The scale measurement (SCALE.md finding #3) showed a pre-verify
+    // distinct shuffling every candidate with both payload strings
+    // aboard for a 2% dedup rate; the shipped plan must dedup the
+    // verified matches instead. Guard: the aggregate (distinct) keys
+    // carry no payload string column, and a levenshtein Filter sits
+    // below it.
+    val l = leftRows.toDF("lid", "ls")
+    val r = rightRows.toDF("rid", "rs")
+    val qe = FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs", 1).queryExecution
+    val aggs = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty, "expected a distinct (Aggregate) in the plan")
+    aggs.foreach { a =>
+      val keys = a.groupingExpressions.flatMap(_.references.map(_.name)).toSet
+      assert(!keys.exists(n => n == "_lstr" || n == "_rstr"),
+        s"distinct still keys on payload strings: $keys")
+      // Catalyst merges the cross-side verify predicate into the join
+      // condition, so look for levenshtein in ANY node below the
+      // aggregate (Filter or Join condition alike)
+      val verifyBelow = a.child.collectFirst {
+        case p if p.expressions.exists(
+            _.toString.toLowerCase.contains("levenshtein")) => p
+      }
+      assert(verifyBelow.isDefined,
+        "verify predicate must run below the dedup aggregate")
+    }
+  }
+
   test("k must be positive") {
     val d = leftRows.toDF("lid", "ls")
     intercept[IllegalArgumentException] {

@@ -9,8 +9,17 @@ planted near-dup rate, same items-per-order histogram — with only the
 corpus size changing. Output dirs are never committed (scaledata/ is
 gitignored) and never touch /root/testdata.
 
-Usage: python3 tools/gen_scale.py <outroot> <k> [<k> ...]
+Usage: python3 tools/gen_scale.py <outroot> <k> [<k> ...] [--only t1,t2]
   k = size multiplier vs sf0.1 (k=10 -> "sf1": 6M lineitem, 50k docs)
+  --only limits output to the named tables (e.g. embeddings for the
+  30x cosine-LSH occupancy check, where the relational fact tables
+  would dominate generation time for no measurement). The rng stream
+  advances only through GENERATED tables, so an --only run's content
+  differs from the same table in a full run — fine for the iid
+  synthetic columns these measurements use, but do not mix full and
+  --only dirs when exact content reproducibility matters. An --only
+  dir is suffixed with "e" (e.g. sf3e) so a partial dir can never be
+  mistaken for a full corpus.
 """
 import json
 import os
@@ -38,7 +47,10 @@ def wr(outdir, name, table):
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen(outroot, label, k, seed=20261):
+def gen(outroot, label, k, seed=20261, only=None):
+    def want(name):
+        return only is None or name in only
+
     rng = np.random.default_rng(seed + k)
     outdir = os.path.join(outroot, label)
     os.makedirs(outdir, exist_ok=True)
@@ -49,115 +61,134 @@ def gen(outroot, label, k, seed=20261):
 
     # fixed dims: copy verbatim (region/nation do not scale)
     for t in ("region", "nation"):
+        if not want(t):
+            continue
         src = pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
         pq.write_table(src, os.path.join(outdir, f"{t}.parquet"))
 
-    wr(outdir, "supplier", pa.table({
-        "s_suppkey": np.arange(n_supp, dtype=np.int64),
-        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-        "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
-        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2)}))
+    if want("supplier"):
+        wr(outdir, "supplier", pa.table({
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2)}))
 
-    wr(outdir, "customer", pa.table({
-        "c_custkey": np.arange(n_cust, dtype=np.int64),
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
-        "c_mktsegment": rng.choice(
-            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"], n_cust)}))
+    if want("customer"):
+        wr(outdir, "customer", pa.table({
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+            "c_mktsegment": rng.choice(
+                ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"], n_cust)}))
 
-    adjectives = ["large", "hot", "blue", "red", "green", "small", "dim", "bright"]
-    nouns = ["ring", "bolt", "gear", "cog", "pin", "shaft", "plate", "tube"]
-    wr(outdir, "part", pa.table({
-        "p_partkey": np.arange(n_part, dtype=np.int64),
-        "p_name": [f"{adjectives[i % 8]} {nouns[(i // 8) % 8]}" for i in range(n_part)],
-        "p_brand": [f"Brand#{i % 25}" for i in range(n_part)],
-        "p_type": rng.choice(
-            ["LARGE", "MEDIUM", "ECONOMY", "PROMO", "SMALL", "STANDARD"], n_part),
-        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
-        "p_retailprice": 900.0 + (np.arange(n_part) % 1000) / 10.0}))
+    if want("part"):
+        adjectives = ["large", "hot", "blue", "red", "green", "small", "dim", "bright"]
+        nouns = ["ring", "bolt", "gear", "cog", "pin", "shaft", "plate", "tube"]
+        wr(outdir, "part", pa.table({
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_name": [f"{adjectives[i % 8]} {nouns[(i // 8) % 8]}" for i in range(n_part)],
+            "p_brand": [f"Brand#{i % 25}" for i in range(n_part)],
+            "p_type": rng.choice(
+                ["LARGE", "MEDIUM", "ECONOMY", "PROMO", "SMALL", "STANDARD"], n_part),
+            "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+            "p_retailprice": 900.0 + (np.arange(n_part) % 1000) / 10.0}))
 
-    # orders: dates uniform over the sf0.1 span, midnight timestamps
-    d0 = np.datetime64("1995-01-01")
-    odays = rng.integers(0, 2405, n_orders)  # 1995-01-01 .. 2001-08-01
-    odate = (d0 + odays.astype("timedelta64[D]")).astype("datetime64[us]")
-    wr(outdir, "orders", pa.table({
-        "o_orderkey": np.arange(n_orders, dtype=np.int64),
-        "o_custkey": rng.integers(0, n_cust, n_orders),
-        "o_orderstatus": rng.choice(["O", "P", "F"], n_orders),
-        "o_totalprice": np.round(rng.uniform(1000, 500000, n_orders), 2),
-        "o_orderdate": odate,
-        "o_orderpriority": rng.choice(
-            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], n_orders)}))
+    # orders + lineitem share the order-date draw; generate together
+    if want("orders") or want("lineitem"):
+        # orders: dates uniform over the sf0.1 span, midnight timestamps
+        d0 = np.datetime64("1995-01-01")
+        odays = rng.integers(0, 2405, n_orders)  # 1995-01-01 .. 2001-08-01
+        odate = (d0 + odays.astype("timedelta64[D]")).astype("datetime64[us]")
+        if want("orders"):
+            wr(outdir, "orders", pa.table({
+                "o_orderkey": np.arange(n_orders, dtype=np.int64),
+                "o_custkey": rng.integers(0, n_cust, n_orders),
+                "o_orderstatus": rng.choice(["O", "P", "F"], n_orders),
+                "o_totalprice": np.round(rng.uniform(1000, 500000, n_orders), 2),
+                "o_orderdate": odate,
+                "o_orderpriority": rng.choice(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], n_orders)}))
 
-    # lineitem: items/order from the empirical histogram
-    sizes_v = np.array([s for s, _ in ITEMS_HIST])
-    sizes_p = np.array([c for _, c in ITEMS_HIST], dtype=float)
-    counts = rng.choice(sizes_v, n_orders, p=sizes_p / sizes_p.sum())
-    n_li = int(counts.sum())
-    okeys = np.repeat(np.arange(n_orders, dtype=np.int64), counts)
-    lnum = (np.arange(n_li) - np.repeat(np.cumsum(counts) - counts, counts) + 1).astype(np.int32)
-    sdate = (np.repeat(odate.astype("datetime64[D]"), counts) +
-             rng.integers(1, 96, n_li).astype("timedelta64[D]")).astype("datetime64[us]")
-    wr(outdir, "lineitem", pa.table({
-        "l_orderkey": okeys,
-        "l_partkey": rng.integers(0, n_part, n_li),
-        "l_suppkey": rng.integers(0, n_supp, n_li),
-        "l_linenumber": lnum,
-        "l_quantity": rng.integers(1, 51, n_li).astype(float),
-        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
-        "l_discount": rng.integers(0, 11, n_li) / 100.0,
-        "l_tax": rng.integers(0, 9, n_li) / 100.0,
-        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
-        "l_linestatus": rng.choice(["O", "F"], n_li),
-        "l_shipdate": sdate}))
+        if want("lineitem"):
+            # lineitem: items/order from the empirical histogram
+            sizes_v = np.array([s for s, _ in ITEMS_HIST])
+            sizes_p = np.array([c for _, c in ITEMS_HIST], dtype=float)
+            counts = rng.choice(sizes_v, n_orders, p=sizes_p / sizes_p.sum())
+            n_li = int(counts.sum())
+            okeys = np.repeat(np.arange(n_orders, dtype=np.int64), counts)
+            lnum = (np.arange(n_li) - np.repeat(np.cumsum(counts) - counts, counts) + 1).astype(np.int32)
+            sdate = (np.repeat(odate.astype("datetime64[D]"), counts) +
+                     rng.integers(1, 96, n_li).astype("timedelta64[D]")).astype("datetime64[us]")
+            wr(outdir, "lineitem", pa.table({
+                "l_orderkey": okeys,
+                "l_partkey": rng.integers(0, n_part, n_li),
+                "l_suppkey": rng.integers(0, n_supp, n_li),
+                "l_linenumber": lnum,
+                "l_quantity": rng.integers(1, 51, n_li).astype(float),
+                "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+                "l_discount": rng.integers(0, 11, n_li) / 100.0,
+                "l_tax": rng.integers(0, 9, n_li) / 100.0,
+                "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+                "l_linestatus": rng.choice(["O", "F"], n_li),
+                "l_shipdate": sdate}))
 
-    # events: nanosecond timestamps (the driver testdata is
-    # TIMESTAMP(NANOS) parquet, readable only via graft.Tables)
-    t0 = np.datetime64("2024-01-01T00:00:00", "ns")
-    span_ns = 30 * 24 * 3600 * 10**9
-    ets = t0 + rng.integers(0, span_ns, n_events).astype("timedelta64[ns]")
-    ets = np.sort(ets)
-    wr(outdir, "events", pa.table({
-        "event_id": np.arange(n_events, dtype=np.int64),
-        "ts": ets,
-        "user_id": rng.integers(0, 1500 * k, n_events),
-        "event_type": rng.choice(["click", "error", "purchase", "signup", "view"], n_events),
-        "value": np.round(np.minimum(rng.exponential(50.0, n_events), 599.0), 2),
-        "props": [json.dumps({"k": int(v)}) for v in rng.integers(0, 100, n_events)]}))
+    if want("events"):
+        # events: nanosecond timestamps (the driver testdata is
+        # TIMESTAMP(NANOS) parquet, readable only via graft.Tables)
+        t0 = np.datetime64("2024-01-01T00:00:00", "ns")
+        span_ns = 30 * 24 * 3600 * 10**9
+        ets = t0 + rng.integers(0, span_ns, n_events).astype("timedelta64[ns]")
+        ets = np.sort(ets)
+        wr(outdir, "events", pa.table({
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": ets,
+            "user_id": rng.integers(0, 1500 * k, n_events),
+            "event_type": rng.choice(["click", "error", "purchase", "signup", "view"], n_events),
+            "value": np.round(np.minimum(rng.exponential(50.0, n_events), 599.0), 2),
+            "props": [json.dumps({"k": int(v)}) for v in rng.integers(0, 100, n_events)]}))
 
-    # documents: 30-word uniform vocab, lengths U{10..100}, 5% planted
-    # near-dups = (random earlier doc) + " dup" — two dups picking the
-    # same base become the corpus's exact dups, as at sf0.1
-    texts = []
-    is_dup = rng.random(n_docs) < 0.05
-    for i in range(n_docs):
-        if is_dup[i] and i > 0:
-            base = int(rng.integers(0, i))
-            texts.append(texts[base] + " dup")
-        else:
-            ln = int(rng.integers(10, 101))
-            texts.append(" ".join(rng.choice(VOCAB, ln)))
-    langs = rng.choice([l for l, _ in LANGS], n_docs, p=[p for _, p in LANGS])
-    wr(outdir, "documents", pa.table({
-        "doc_id": np.arange(n_docs, dtype=np.int64),
-        "text": texts,
-        "lang": langs,
-        "source": [f"src{i % 20}" for i in range(n_docs)],
-        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}))
+    if want("documents"):
+        # documents: 30-word uniform vocab, lengths U{10..100}, 5% planted
+        # near-dups = (random earlier doc) + " dup" — two dups picking the
+        # same base become the corpus's exact dups, as at sf0.1
+        texts = []
+        is_dup = rng.random(n_docs) < 0.05
+        for i in range(n_docs):
+            if is_dup[i] and i > 0:
+                base = int(rng.integers(0, i))
+                texts.append(texts[base] + " dup")
+            else:
+                ln = int(rng.integers(10, 101))
+                texts.append(" ".join(rng.choice(VOCAB, ln)))
+        langs = rng.choice([l for l, _ in LANGS], n_docs, p=[p for _, p in LANGS])
+        wr(outdir, "documents", pa.table({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i % 20}" for i in range(n_docs)],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}))
 
-    # embeddings: isotropic unit vectors, dim 64 (matches sf0.1: unit
-    # norm, near-zero cross/within-label structure), labels U{0..9}
-    v = rng.standard_normal((n_emb, 64)).astype(np.float32)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    wr(outdir, "embeddings", pa.table({
-        "vec_id": np.arange(n_emb, dtype=np.int64),
-        "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
-        "label": rng.integers(0, 10, n_emb).astype(np.int32)}))
+    if want("embeddings"):
+        # embeddings: isotropic unit vectors, dim 64 (matches sf0.1: unit
+        # norm, near-zero cross/within-label structure), labels U{0..9}
+        v = rng.standard_normal((n_emb, 64)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        wr(outdir, "embeddings", pa.table({
+            "vec_id": np.arange(n_emb, dtype=np.int64),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+            "label": rng.integers(0, 10, n_emb).astype(np.int32)}))
 
 
 if __name__ == "__main__":
-    outroot = sys.argv[1]
-    for karg in sys.argv[2:]:
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    outroot = args[0]
+    for karg in args[1:]:
         k = int(karg)
-        gen(outroot, f"sf{k / 10:g}", k)
+        label = f"sf{k / 10:g}" + ("e" if only is not None else "")
+        gen(outroot, label, k, only=only)
