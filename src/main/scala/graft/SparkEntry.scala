@@ -2461,6 +2461,61 @@ object SparkEntry {
       |       END AS funnel_level
       |FROM base b ORDER BY user_id""".stripMargin
 
+  /** Ordered-subsequence pattern matching (SURVEY §2 A17e) —
+    * ClickHouse `sequenceMatch('(?1).*(?2)…')` analog: each user's
+    * event stream, in (ts, event_id) order, is encoded one char per
+    * event (v/c/p/s/e by type) and a regex over the codes decides
+    * whether the ordered chain exists — `v.*c.*p` is windowFunnel's
+    * "reached level 3" WITHOUT the time-window constraint, `s.*p` is
+    * "signed up then ever purchased". The encoded sequence itself is
+    * emitted, so the oracle hash-compares every user's full ordered
+    * encoding, not just the two booleans.
+    *
+    * Scale shape: one user-keyed partial-agg shuffle carrying
+    * (ts, event_id, 1-char code) triples — the same volume
+    * `sessionize` moves; the sort, encode and regex are row-local per
+    * user. Per-user state is bounded by that user's event count (the
+    * sessionize/funnel skew caveat applies: a pathological single-user
+    * feed concentrates one group, mitigable upstream by AQE skew
+    * handling on the exchange, and the regex match stays linear in the
+    * string).
+    */
+  private def sequenceMatchQ(s: SparkSession, dir: String): DataFrame = {
+    val coded = t(s, dir, "events").select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "view", lit("v"))
+        .when(col("event_type") === "click", lit("c"))
+        .when(col("event_type") === "purchase", lit("p"))
+        .when(col("event_type") === "signup", lit("s"))
+        .when(col("event_type") === "error", lit("e"))
+        .otherwise(lit("x")).as("code"))
+    coded
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("code")))).as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        array_join(transform(col("evs"), e => e.getField("code")), "").as("seq"))
+      .withColumn("seq_view_click_buy", col("seq").rlike("v.*c.*p"))
+      .withColumn("seq_signup_buy", col("seq").rlike("s.*p"))
+      .orderBy("user_id")
+  }
+
+  private val sequenceMatchSql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |              WHEN 'error' THEN 'e' ELSE 'x' END AS code
+      |  FROM events),
+      |s AS (SELECT user_id, count(*) AS n_events,
+      |             string_agg(code, '' ORDER BY ts, event_id) AS seq
+      |      FROM c GROUP BY user_id)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, seq,
+      |       regexp_matches(seq, 'v.*c.*p') AS seq_view_click_buy,
+      |       regexp_matches(seq, 's.*p') AS seq_signup_buy
+      |FROM s ORDER BY user_id""".stripMargin
+
   /** Cohort retention (SURVEY §2 A17c) — ClickHouse `retention()`
     * analog: users grouped by signup day (their first `signup` event),
     * counted as retained if active on day 0/1/3/7 after it. Two
@@ -3112,6 +3167,88 @@ object SparkEntry {
       |       CAST(CASE WHEN span_w16 > 0 THEN span_w16 ELSE span_w8 END AS BIGINT)
       |         AS max_dup_span
       |FROM spans ORDER BY doc_id""".stripMargin
+
+  /** Exact-substring span REMOVAL (SURVEY §2 B147) — the dedup ACTION
+    * of Lee et al. 2022 (B109 scores coverage, B115 measures span
+    * length; this op performs the cut): every 8-token window keeps its
+    * globally FIRST occurrence (min (doc_id, pos)) and later
+    * occurrences mark their 8 token positions for removal; a document
+    * re-emits with marked positions dropped. Output is the full
+    * transformed corpus — untouched docs pass through verbatim, a doc
+    * whose every window repeats earlier can empty out entirely.
+    *
+    * Scale shape: two corpus scans (the canonical Lee et al. pipeline
+    * is also two passes — index, then rewrite). Scan 1 emits
+    * (doc_id, pos, hash) positional windows; ONE hash-keyed exchange +
+    * sort computes each occurrence's rank (`row_number` over the
+    * window hash — a window repeated d times costs d rows, never d²),
+    * later-than-first occurrences explode to ≤8 covered positions
+    * each, and a doc-keyed partial-agg collects the covered-position
+    * set (bounded by the doc's own token count). Scan 2 joins that
+    * doc-bounded array back to `documents` on doc_id and rebuilds the
+    * text ROW-LOCALLY (`filter` by index + `array_join`) — bodies
+    * never ride the hash exchange. The oracle replays the rule on
+    * STRING windows; counts match modulo the repo-wide accepted
+    * xxhash64-collision caveat.
+    */
+  private def dedupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val pw = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.ShingleHashes.positional(col("text"), 8)))
+      .toDF("doc_id", "pos", "h")
+    val wFirst = Window.partitionBy("h").orderBy("doc_id", "pos")
+    val covered = pw
+      .withColumn("rn", row_number().over(wFirst))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(7))).as("cp"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("cp")).as("cov"))
+    docs
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(
+          filter(col("tk"), (tok, i) => !array_contains(col("cov"), i)), " ")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSpanRemovalSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |pw AS (SELECT doc_id,
+      |              unnest([{'pos': i, 'g': array_to_string(tk[i:i+7], ' ')}
+      |                      FOR i IN range(1, len(tk) - 6)]) AS u
+      |       FROM toks),
+      |w AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM pw),
+      |dup AS (SELECT doc_id, pos FROM (
+      |          SELECT doc_id, pos,
+      |                 row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |          FROM w)
+      |        WHERE rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, cp FROM (
+      |          SELECT doc_id, unnest(range(pos, pos + 8)) AS cp FROM dup)),
+      |tokpos AS (SELECT doc_id, unnest(tk) AS tok,
+      |                  unnest(range(1, len(tk) + 1)) AS i
+      |           FROM toks),
+      |kept AS (SELECT t.doc_id, t.tok, t.i
+      |         FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.cp
+      |         WHERE c.doc_id IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |               string_agg(tok, ' ' ORDER BY i) AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+      |         AS n_removed,
+      |       coalesce(a.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Deterministic URL per document for the web-corpus family (B113/
     * B114): `documents` carries no URL column, so one is derived from
@@ -7450,6 +7587,7 @@ object SparkEntry {
     "rate_anomaly" -> Q(rateAnomaly, Some(rateAnomalySql)),
     "approx_topk" -> Q(approxTopk, Some(approxTopkSql)),
     "funnel_levels" -> Q(funnelLevels, Some(funnelLevelsSql)),
+    "sequence_match" -> Q(sequenceMatchQ, Some(sequenceMatchSql)),
     "retention_cohorts" -> Q(retentionCohorts, Some(retentionCohortsSql)),
     "approx_freq_cms" -> Q(approxFreqCms, Some(approxFreqCmsSql)),
     "zonemap_prune" -> Q(zonemapPrune, Some(zonemapPruneSql)),
@@ -7491,6 +7629,7 @@ object SparkEntry {
     "k_anonymity" -> Q(kAnonymity, Some(kAnonymitySql)),
     "text_dup_windows" -> Q(textDupWindows, Some(textDupWindowsSql)),
     "text_max_dup_span" -> Q(textMaxDupSpan, Some(textMaxDupSpanSql)),
+    "dedup_span_removal" -> Q(dedupSpanRemoval, Some(dedupSpanRemovalSql)),
     "domain_profile" -> Q(domainProfile, Some(domainProfileSql)),
     "domain_blocklist" -> Q(domainBlocklist, Some(domainBlocklistSql)),
     "domain_pagerank" -> Q(domainPagerank, Some(domainPagerankSql)),

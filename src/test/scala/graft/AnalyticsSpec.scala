@@ -848,4 +848,59 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedup_span_removal keeps the globally-first occurrence and cuts the rest") {
+    // doc 1 owns every window first (lowest doc_id); doc 2 repeats
+    // doc 1's first 8-token window then diverges — exactly positions
+    // 0..7 cut; doc 3 is a verbatim copy of doc 1 — empties entirely;
+    // doc 0 is under the window width — passes through untouched
+    val dir = scratchDir { d =>
+      Seq(
+        (0L, "tiny doc", "en", "s", 8L),
+        (1L, "a b c d e f g h i j", "en", "s", 19L),
+        (2L, "a b c d e f g h z1 z2", "en", "s", 21L),
+        (3L, "a b c d e f g h i j", "en", "s", 19L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val got = SparkEntry.queries("dedup_span_removal")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, "tiny doc"),
+      (1L, 10L, 0L, "a b c d e f g h i j"),
+      (2L, 10L, 8L, "z1 z2"),
+      (3L, 10L, 10L, "")), s"got $got")
+  }
+
+  test("sequence_match demands ORDER, ties break on event_id, gaps are free") {
+    // user 1: v..c..p with an error between — order holds through the
+    // gap; user 2: the same three events reversed in time — no match;
+    // user 3: signup then purchase; user 4: SAME timestamp for p and s
+    // — event_id must decide (p before s => no signup_buy)
+    def e(id: Long, u: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    val dir = scratchDir { d =>
+      Seq(
+        e(10, 1, "2024-01-01 00:00:01", "view"),
+        e(11, 1, "2024-01-01 00:00:02", "error"),
+        e(12, 1, "2024-01-01 00:00:03", "click"),
+        e(13, 1, "2024-01-01 00:00:04", "purchase"),
+        e(20, 2, "2024-01-01 00:00:01", "purchase"),
+        e(21, 2, "2024-01-01 00:00:02", "click"),
+        e(22, 2, "2024-01-01 00:00:03", "view"),
+        e(30, 3, "2024-01-01 00:00:01", "signup"),
+        e(31, 3, "2024-01-01 00:00:02", "purchase"),
+        e(40, 4, "2024-01-01 00:00:05", "purchase"),
+        e(41, 4, "2024-01-01 00:00:05", "signup"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("sequence_match")(spark, dir)
+      .as[(Long, Long, String, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, "vecp", true, false),
+      (2L, 3L, "pcv", false, false),
+      (3L, 2L, "sp", false, true),
+      (4L, 2L, "ps", false, false)), s"got $got")
+  }
 }
