@@ -3549,6 +3549,92 @@ object SparkEntry {
       |       count(DISTINCT event_type) AS n_types
       |FROM events GROUP BY 1 ORDER BY token""".stripMargin
 
+  /** l-diversity profile (SURVEY §2 B148 — k-anonymity's companion
+    * audit, Machanavajjhala et al. 2007: B108 counts how many rows
+    * share each released quasi-identifier combination, but a group can
+    * be large yet still leak if every member shares ONE sensitive
+    * value — l-diversity counts the DISTINCT sensitive values per
+    * group). Release shape: (event_type, hour) activity rows with
+    * user_id as the sensitive attribute — a group whose events all
+    * belong to l=1 user attributes behavior to that user no matter how
+    * many rows it has. Two partial-agg passes: distinct-user counts
+    * per group (one exchange on the group key, distinct folded as a
+    * two-level agg), then the l-band histogram over the GROUPS-sized
+    * relation; BIGINT sums cast before emission (the HUGEINT-oracle
+    * discipline, like B108).
+    */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("l"))
+    groups
+      .select(
+        when(col("l") === 1, "1").when(col("l") < 5, "2-4")
+          .when(col("l") < 20, "5-19").otherwise("20+").as("l_band"),
+        col("n_rows"))
+      .groupBy("l_band")
+      .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"))
+      .orderBy("l_band")
+  }
+
+  private val lDiversitySql =
+    """WITH g AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         count(*) AS n_rows, count(DISTINCT user_id) AS l
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT CASE WHEN l = 1 THEN '1' WHEN l < 5 THEN '2-4'
+      |              WHEN l < 20 THEN '5-19' ELSE '20+' END AS l_band, n_rows
+      |  FROM g)
+      |SELECT l_band, count(*) AS n_groups, CAST(sum(n_rows) AS BIGINT) AS n_rows
+      |FROM b GROUP BY 1 ORDER BY l_band""".stripMargin
+
+  /** Differentially-private release counts (SURVEY §2 B149 — the third
+    * rung of the privacy ladder: B71 erases, B126 de-identifies, B108/
+    * B148 audit, this op NOISES the published aggregate itself): per
+    * (source, lang) document counts with Laplace(1/ε) noise via
+    * inverse-CDF sampling, u uniform from the salted cross-engine MD5
+    * hash of the group key → noise = −(1/ε)·sign(u)·ln(1−2|u|).
+    * Seeded-deterministic noise is the REPRODUCIBLE-RELEASE discipline
+    * (Google's DP library does the same with a secret seed: reruns of
+    * the pipeline must publish the same number, or the noise averages
+    * out across re-releases and privacy decays); a production release
+    * keeps the salt secret — determinism here is what makes the oracle
+    * replayable, and the half-step offset on the uniform keeps
+    * ln(1−2|u|) finite at both grid ends. One partial-agg exchange;
+    * the noise is a row-local fixed-order double expression over the
+    * GROUPS-sized relation (both engines evaluate the identical ln/
+    * abs/sign chain before the round-4, the zipf/NLL discipline).
+    */
+  private def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    val h = expr(
+      "CAST(conv(substring(md5(concat('dp-v1:', source, '|', lang)), 1, 15), 16, 10) AS BIGINT)")
+    val u = (pmod(h, lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0) - lit(0.5)
+    t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", u)
+      .select(
+        col("source"), col("lang"),
+        round(col("n_true") +
+          lit(-1.0 / eps) * signum(col("u")) * log(lit(1.0) - lit(2.0) * abs(col("u"))), 4)
+          .as("n_noised"))
+      .orderBy("source", "lang")
+  }
+
+  private val dpCountsSql =
+    """WITH g AS (
+      |  SELECT source, lang, count(*) AS n_true FROM documents GROUP BY 1, 2),
+      |n AS (
+      |  SELECT source, lang, n_true,
+      |         (CAST(CAST('0x' || substring(md5('dp-v1:' || source || '|' || lang), 1, 15) AS BIGINT) % 1000000
+      |           AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS u
+      |  FROM g)
+      |SELECT source, lang,
+      |       round(n_true + (-1.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 4) AS n_noised
+      |FROM n ORDER BY source, lang""".stripMargin
+
   /** Churn-label construction (SURVEY §2 B127 — supervised-training
     * label building with the time split that PREVENTS leakage:
     * features come strictly from before the cutoff, the label strictly
@@ -7627,6 +7713,8 @@ object SparkEntry {
     "mix_temperature" -> Q(mixTemperature, Some(mixTemperatureSql)),
     "mix_epochs" -> Q(mixEpochs, Some(mixEpochsSql)),
     "k_anonymity" -> Q(kAnonymity, Some(kAnonymitySql)),
+    "l_diversity" -> Q(lDiversity, Some(lDiversitySql)),
+    "dp_counts" -> Q(dpCounts, Some(dpCountsSql)),
     "text_dup_windows" -> Q(textDupWindows, Some(textDupWindowsSql)),
     "text_max_dup_span" -> Q(textMaxDupSpan, Some(textMaxDupSpanSql)),
     "dedup_span_removal" -> Q(dedupSpanRemoval, Some(dedupSpanRemovalSql)),

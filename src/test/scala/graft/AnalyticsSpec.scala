@@ -872,6 +872,56 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 10L, 10L, "")), s"got $got")
   }
 
+  test("l_diversity counts DISTINCT sensitive users per group, not rows") {
+    // group (view, 01:xx): 3 rows but ONE user -> band '1' (the leak
+    // k-anonymity misses: large group, zero diversity); (click, 02:xx):
+    // 2 users -> '2-4'; (error, 03:xx): 5 users -> '5-19'
+    def e(id: Long, u: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    val dir = scratchDir { d =>
+      (Seq(
+        e(1, 7, "2024-01-01 01:00:01", "view"),
+        e(2, 7, "2024-01-01 01:10:02", "view"),
+        e(3, 7, "2024-01-01 01:20:03", "view"),
+        e(4, 1, "2024-01-01 02:00:01", "click"),
+        e(5, 2, "2024-01-01 02:10:02", "click")) ++
+        (1L to 5L).map(u => e(10 + u, u, s"2024-01-01 03:00:0$u", "error")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("l_diversity")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("1", 1L, 3L), ("2-4", 1L, 2L), ("5-19", 1L, 5L)), s"got $got")
+  }
+
+  test("dp_counts noise replays exactly from the salted key hash") {
+    // hand-replay the inverse-CDF Laplace draw for each group key and
+    // demand bit-equal agreement (pre-round), plus sane magnitude
+    val dir = scratchDir { d =>
+      Seq(
+        (1L, "t t t", "en", "web", 5L), (2L, "u u", "en", "web", 3L),
+        (3L, "v", "de", "web", 1L), (4L, "w", "en", "book", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    def laplace(source: String, lang: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp-v1:$source|$lang".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = ((java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble + 0.5) / 1000000.0 - 0.5
+      -1.0 * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u))
+    }
+    val want = Seq(
+      ("book", "en", 1L), ("web", "de", 1L), ("web", "en", 2L))
+      .map { case (s0, l0, n) =>
+        (s0, l0, BigDecimal(n + laplace(s0, l0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("dp_counts")(spark, dir)
+      .as[(String, String, Double)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
+  }
+
   test("sequence_match demands ORDER, ties break on event_id, gaps are free") {
     // user 1: v..c..p with an error between — order holds through the
     // gap; user 2: the same three events reversed in time — no match;
