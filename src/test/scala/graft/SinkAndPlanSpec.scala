@@ -343,6 +343,55 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(one("aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d), (x, y) -> x * y), 0d, (a, v) -> a + v)") == null)
   }
 
+  test("ArrayDot is bit-equal to the HOF fold on randomized vectors (codegen path)") {
+    // the optimizer REWRITES user HOF dot products into ArrayDot
+    // (DotProductRewrite), so the two must agree bit for bit — not
+    // approximately — on arbitrary float content including zeros,
+    // subnormals-ish magnitudes, and negatives; driven through a
+    // DataFrame so the generated code path runs, not the interpreted eval
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    def vec(n: Int): Seq[Double] =
+      Seq.fill(n)(rnd.nextInt(5) match {
+        case 0 => 0.0
+        case 1 => -math.pow(10, rnd.nextInt(20) - 10) * rnd.nextDouble()
+        case _ => math.pow(10, rnd.nextInt(20) - 10) * rnd.nextDouble()
+      })
+    val rows = (1 to 200).map { i => val n = 1 + rnd.nextInt(96); (i, vec(n), vec(n)) }
+    val bad = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.ArrayDot(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("slow"))
+      .where(col("fast") =!= col("slow")) // bit-inequality: both are one L-to-R fold
+      .collect()
+    assert(bad.isEmpty, s"ArrayDot diverged from the HOF fold: ${bad.toSeq.take(3)}")
+  }
+
+  test("nfc_normalize agrees with the JDK normalizer on randomized decomposed unicode") {
+    // the expression's isNormalized fast path must not skip strings
+    // that NEED normalization; randomized mixes of precomposed chars,
+    // combining marks, Hangul jamo, astral-plane chars, and ASCII
+    // drive both the fast and slow paths through codegen
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(31415)
+    val pieces = Vector(
+      "é", "é", "Å", "Å", "ọ̈", "x",
+      "각", "각", "🌈", " ", "ß", "1")
+    val texts = (1 to 300).map(_ =>
+      Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size))).mkString)
+    val got = texts.toDF("t")
+      .select(col("t"), graft.functions.NfcNormalize(col("t")).as("n"))
+      .as[(String, String)].collect()
+    got.foreach { case (t, n) =>
+      val want = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      assert(n == want, s"nfc diverged on ${t.map(c => f"\\u$c%04x").mkString}")
+    }
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) v").head.get(0) == null)
+    assert(spark.sql("SELECT nfc_normalize('') v").head.getString(0) == "")
+  }
+
   test("custom expressions fail at analysis time on bad inputs, not at runtime") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.AnalysisException
