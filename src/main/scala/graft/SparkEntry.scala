@@ -3464,6 +3464,75 @@ object SparkEntry {
       |       round(CAST(errors AS DOUBLE) / total, 4) AS err_rate
       |FROM tr WHERE state <> prev_state ORDER BY hour""".stripMargin
 
+  /** Multi-window multi-burn-rate SLO alerting (SURVEY §2 A15c — the
+    * Google SRE-workbook policy A15a's raw burn rates feed: PAGE only
+    * when a long window proves budget spend AND a short window proves
+    * it is STILL happening — long-alone re-pages on a spent budget
+    * hours after recovery, short-alone pages on noise): 5-minute
+    * bucketing, trailing 1h (12 buckets) + 5m pair at 14.4× burn for
+    * pages, trailing 6h (72) + 30m (6) pair at 6× for tickets; page
+    * outranks ticket. All threshold compares are INTEGER-scaled
+    * (1000·errors > 144·total ⟺ err/total > 14.4% at the 1% SLO — no
+    * float in any predicate, the A15b discipline); burn values divide
+    * exact BIGINT window sums and round at emission. One partial-agg
+    * bucketing pass; every window runs over the BUCKETS-sized
+    * relation.
+    */
+  private def sloMultiburn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def trail(k: Int) = Window.orderBy("bucket").rowsBetween(-(k - 1), 0)
+    val b = t(s, dir, "events")
+      .groupBy(expr("date_trunc('minute', ts) - make_interval(0, 0, 0, 0, 0, minute(ts) % 5, 0)")
+        .as("bucket"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(upper(col("event_type")) === "ERROR", 1L).otherwise(0L)).as("errors"))
+    val wins = b
+      .withColumn("e1h", sum(col("errors")).over(trail(12)))
+      .withColumn("t1h", sum(col("total")).over(trail(12)))
+      .withColumn("e6h", sum(col("errors")).over(trail(72)))
+      .withColumn("t6h", sum(col("total")).over(trail(72)))
+      .withColumn("e30m", sum(col("errors")).over(trail(6)))
+      .withColumn("t30m", sum(col("total")).over(trail(6)))
+    wins
+      .withColumn("severity",
+        when(col("e1h") * 1000L > col("t1h") * 144L &&
+          col("errors") * 1000L > col("total") * 144L, "page")
+          .when(col("e6h") * 1000L > col("t6h") * 60L &&
+            col("e30m") * 1000L > col("t30m") * 60L, "ticket")
+          .otherwise(null))
+      .where(col("severity").isNotNull)
+      .select(col("bucket"), col("severity"),
+        round(col("e1h").cast("double") / col("t1h") / 0.01, 4).as("burn_1h"),
+        round(col("e6h").cast("double") / col("t6h") / 0.01, 4).as("burn_6h"))
+      .orderBy("bucket")
+  }
+
+  private val sloMultiburnSql =
+    """WITH b AS (
+      |  SELECT date_trunc('minute', ts) - (CAST(minute(ts) AS INT) % 5) * INTERVAL 1 MINUTE AS bucket,
+      |         count(*) AS total,
+      |         CAST(sum(CASE WHEN upper(event_type) = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT bucket, total, errors,
+      |         CAST(sum(errors) OVER w12 AS BIGINT) AS e1h, CAST(sum(total) OVER w12 AS BIGINT) AS t1h,
+      |         CAST(sum(errors) OVER w72 AS BIGINT) AS e6h, CAST(sum(total) OVER w72 AS BIGINT) AS t6h,
+      |         CAST(sum(errors) OVER w6 AS BIGINT) AS e30m, CAST(sum(total) OVER w6 AS BIGINT) AS t30m
+      |  FROM b
+      |  WINDOW w12 AS (ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+      |         w72 AS (ORDER BY bucket ROWS BETWEEN 71 PRECEDING AND CURRENT ROW),
+      |         w6 AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT bucket,
+      |         CASE WHEN e1h * 1000 > t1h * 144 AND errors * 1000 > total * 144 THEN 'page'
+      |              WHEN e6h * 1000 > t6h * 60 AND e30m * 1000 > t30m * 60 THEN 'ticket'
+      |              ELSE NULL END AS severity,
+      |         round(CAST(e1h AS DOUBLE) / t1h / 0.01, 4) AS burn_1h,
+      |         round(CAST(e6h AS DOUBLE) / t6h / 0.01, 4) AS burn_6h
+      |  FROM w)
+      |SELECT bucket, severity, burn_1h, burn_6h
+      |FROM s WHERE severity IS NOT NULL ORDER BY bucket""".stripMargin
+
   /** Seasonal-baseline anomaly detection (SURVEY §2 A16a — "compare to
     * the same hour in previous weeks", the dashboard sibling of A19p's
     * EWMA: EWMA tracks level shifts, this knows Monday 9am is always
@@ -6297,6 +6366,99 @@ object SparkEntry {
       |FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.d = a.d
       |ORDER BY s.event_type, s.d""".stripMargin
 
+  /** Visual series downsampling (SURVEY §2 B150 — the dashboard
+    * renderer's op: a 100k-point series cannot ship to a browser;
+    * largest-triangle-three-buckets (Steinarsson 2013) keeps the
+    * visually-salient points). This is the PARALLEL mean-neighbor
+    * variant: canonical LTTB scores each candidate against the
+    * previous bucket's SELECTED point — an inherently sequential
+    * left-to-right dependency — so both neighbors here are bucket
+    * MEANS, which drops the sequential chain at a quality cost the
+    * original paper measures as minor (it uses the same mean for the
+    * NEXT bucket already). First and last points are kept verbatim
+    * (the LTTB contract); 38 interior buckets → ≤40 emitted points.
+    *
+    * Exactness: the series is the hourly event count, so x (epoch
+    * hours) and y (counts) are BIGINT, and the triangle area — scaled
+    * through by the neighbor-bucket counts to clear the mean
+    * denominators — is computed ENTIRELY in integer arithmetic: the
+    * argmax cannot flip on a float ulp between engines, and ties
+    * break on the earlier x. Scale shape: one partial-agg bucketing
+    * pass over events; everything after runs on the HOURS-sized
+    * relation (the bucket-stats side is ≤40 rows — broadcast by
+    * construction). Requires > 40 hourly points (every shipped sf
+    * qualifies); the general form would take (series_id, x, y) and
+    * partition every window by series.
+    */
+  private def downsampleLttb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 38L
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT)"))
+    val n = hourly.count() // hours-sized scalar, bounded
+    require(n > B + 2, s"series of $n points needs no downsampling below ${B + 2}")
+    val pts = hourly
+      .withColumn("idx", row_number().over(Window.orderBy("x")))
+      .withColumn("b",
+        when(col("idx") === 1, lit(-1L))
+          .when(col("idx") === n, lit(B))
+          .otherwise(expr(s"CAST((idx - 2) * $B DIV ${n - 2} AS BIGINT)")))
+    val aggs = pts.groupBy("b")
+      .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("c"))
+    val prev = aggs.select((col("b") + 1).as("b"),
+      col("sx").as("psx"), col("sy").as("psy"), col("c").as("pc"))
+    val next = aggs.select((col("b") - 1).as("b"),
+      col("sx").as("nsx"), col("sy").as("nsy"), col("c").as("nc"))
+    val scored = pts.where(col("b") >= 0 && col("b") < B)
+      .join(broadcast(prev), Seq("b")).join(broadcast(next), Seq("b"))
+      .withColumn("area", abs(
+        (col("psx") * col("nc") - col("nsx") * col("pc")) *
+          (col("y") * col("pc") - col("psy")) -
+          (col("psx") - col("x") * col("pc")) *
+          (col("nsy") * col("pc") - col("psy") * col("nc"))))
+    val picked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("b").orderBy(col("area").desc, col("x").asc)))
+      .where(col("rn") === 1)
+      .select("hour", "x", "y", "b")
+    picked
+      .unionByName(pts.where(col("b") === -1L || col("b") === B).select("hour", "x", "y", "b"))
+      .orderBy("x")
+      .select(col("hour"), col("y"), col("b").as("bucket"))
+  }
+
+  private val downsampleLttbSql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS x,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1),
+      |i AS (SELECT *, row_number() OVER (ORDER BY x) AS idx, count(*) OVER () AS n FROM h),
+      |p AS (
+      |  SELECT hour, x, y,
+      |         CASE WHEN idx = 1 THEN -1 WHEN idx = n THEN 38
+      |              ELSE CAST((idx - 2) * 38 // (n - 2) AS BIGINT) END AS b
+      |  FROM i),
+      |a AS (SELECT b, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             count(*) AS c
+      |      FROM p GROUP BY 1),
+      |sc AS (
+      |  SELECT cand.hour, cand.x, cand.y, cand.b,
+      |         abs((pv.sx * nx.c - nx.sx * pv.c) * (cand.y * pv.c - pv.sy) -
+      |             (pv.sx - cand.x * pv.c) * (nx.sy * pv.c - pv.sy * nx.c)) AS area
+      |  FROM p cand JOIN a pv ON pv.b = cand.b - 1 JOIN a nx ON nx.b = cand.b + 1
+      |  WHERE cand.b BETWEEN 0 AND 37),
+      |pick AS (
+      |  SELECT hour, x, y, b FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY b ORDER BY area DESC, x) AS rn FROM sc)
+      |  WHERE rn = 1)
+      |SELECT hour, y, b AS bucket FROM (
+      |  SELECT hour, x, y, b FROM pick
+      |  UNION ALL SELECT hour, x, y, b FROM p WHERE b IN (-1, 38))
+      |ORDER BY x""".stripMargin
+
   /** Sketch set algebra — audience-overlap estimation without a
     * distinct-pair join: |A∩B| by inclusion–exclusion over three HLL
     * sketches (A, B, A∪B) computed in ONE conditional-agg scan.
@@ -7764,6 +7926,8 @@ object SparkEntry {
     "sample_negatives" -> Q(sampleNegatives, Some(sampleNegativesSql)),
     "vocab_tokenize" -> Q(vocabTokenize, Some(vocabTokenizeSql)),
     "slo_burn" -> Q(sloBurn, Some(sloBurnSql)),
+    "slo_multiburn" -> Q(sloMultiburn, Some(sloMultiburnSql)),
+    "downsample_lttb" -> Q(downsampleLttb, Some(downsampleLttbSql)),
     "alert_transitions" -> Q(alertTransitions, Some(alertTransitionsSql)),
     "seasonal_baseline" -> Q(seasonalBaseline, Some(seasonalBaselineSql)),
     "pseudonymize" -> Q(pseudonymize, Some(pseudonymizeSql)),

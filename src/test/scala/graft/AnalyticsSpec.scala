@@ -922,6 +922,63 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
   }
 
+  test("slo_multiburn: long+short must BOTH fire for a page; slow leaks ticket") {
+    // day 1: a clean hour of views, then one bucket of pure errors —
+    // the 1h window crosses 14.4% AND the bucket itself does: page.
+    // day 2: a 10% drip — never 14.4% in the current bucket (no page)
+    // but both ticket windows (rows-based, trailing into day 1) exceed
+    // 6%: every day-2 bucket tickets
+    def e(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), 1L, typ, 1.0, "{}")
+    var id = 0L
+    def burst(t: String, typ: String, k: Int) =
+      (1 to k).map { i => id += 1; e(id, t, typ) }
+    val day1 = (0 until 12).flatMap { b =>
+      burst(f"2024-01-01 09:${b * 5}%02d:01", "view", 10)
+    } ++ burst("2024-01-01 10:00:01", "error", 20)
+    val day2 = (0 until 6).flatMap { b =>
+      burst(f"2024-01-02 09:${b * 5}%02d:01", "error", 1) ++
+        burst(f"2024-01-02 09:${b * 5}%02d:02", "view", 9)
+    }
+    val dir = scratchDir { d =>
+      (day1 ++ day2).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("slo_multiburn")(spark, dir)
+      .as[(java.sql.Timestamp, String, Double, Double)].collect().toSeq
+    val sev = got.map(r => r._1.toString -> r._2).toMap
+    assert(sev("2024-01-01 10:00:00.0") == "page", s"got $got")
+    (0 until 6).foreach { b =>
+      assert(sev(f"2024-01-02 09:${b * 5}%02d:00.0") == "ticket", s"got $got")
+    }
+    assert(got.size == 7, s"got $got")
+    val page = got.find(_._2 == "page").get
+    assert(page._3 == 15.3846, s"burn_1h ${page._3}") // 20/130/0.01
+  }
+
+  test("downsample_lttb keeps both endpoints and the spike, emitting 40 of 45 points") {
+    // hourly series: y=1 everywhere except a y=50 spike at hour 20 —
+    // the spike dominates its bucket's triangle area and MUST survive
+    def e(id: Long, t: java.sql.Timestamp) = (id, t, 1L, "view", 1.0, "{}")
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:30:00").getTime
+    var id = 0L
+    val rows = (0 until 45).flatMap { h =>
+      val k = if (h == 20) 50 else 1
+      (1 to k).map { _ => id += 1; e(id, new java.sql.Timestamp(t0 + h * 3600_000L)) }
+    }
+    val dir = scratchDir { d =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("downsample_lttb")(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(got.size == 40, s"got ${got.size} rows")
+    assert(got.head._3 == -1L && got.last._3 == 38L, "endpoints must be kept verbatim")
+    assert(got.head._1.getTime == t0 - 1800_000L && got.last._1.getTime == t0 + 44 * 3600_000L - 1800_000L)
+    assert(got.exists(_._2 == 50L), s"the spike must survive downsampling: $got")
+    assert(got.map(_._1.getTime).sliding(2).forall(p => p(0) < p(1)), "x-ordered output")
+  }
+
   test("sequence_match demands ORDER, ties break on event_id, gaps are free") {
     // user 1: v..c..p with an error between — order holds through the
     // gap; user 2: the same three events reversed in time — no match;
