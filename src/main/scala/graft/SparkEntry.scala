@@ -2896,6 +2896,61 @@ object SparkEntry {
       |WHERE levenshtein(cid, sid) <= 1
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** End-to-end entity resolution (SURVEY §2 B151 — the record-linkage
+    * pipeline B106 and B37 are the halves of: BLOCKED fuzzy matching
+    * proposes cross-source record pairs, union-find closes them into
+    * entities, and each entity elects a canonical record): customer
+    * and supplier records share one disjoint id space (2k / 2k+1),
+    * PassJoin-blocked edit-distance≤1 matches on the stripped name key
+    * form the match graph (the B106 operator — segment-key blocking,
+    * never the cross product), and DupClusters' alternating-round
+    * label propagation (the B37 operator — one hash-keyed join per
+    * round against once-materialized edges) assigns each matched
+    * record its component-minimum entity id; `keep` marks the elected
+    * canonical. Unmatched records are absent (the B37 singleton
+    * contract — an ER output lists the merges). Oracle: DuckDB
+    * rebuilds the identical match graph with its own levenshtein and
+    * closes it with a recursive CTE — transitive closure must agree
+    * edge for edge.
+    */
+  private def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    def idn(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(nullif(regexp_replace(substring(src, 10, 9), "^0+", ""), lit("")), lit("0"))
+    val cust = t(s, dir, "customer")
+      .select((col("c_custkey") * 2).as("a_id"), idn(col("c_name")).as("a_name"))
+    val supp = t(s, dir, "supplier")
+      .select((col("s_suppkey") * 2 + 1).as("b_id"), idn(col("s_name")).as("b_name"))
+    val edges = graft.ops.FuzzyJoin.join(cust, "a_id", "a_name", supp, "b_id", "b_name", k = 1)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    graft.dedup.DupClusters.resolve(edges, "a", "b")
+      .select(col("id").as("rec_id"),
+        when(pmod(col("id"), lit(2)) === 0, "customer").otherwise("supplier").as("source"),
+        col("cluster_id").as("entity_id"), col("keep"))
+      .orderBy("rec_id")
+  }
+
+  private val entityResolveSql =
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey * 2 AS id,
+      |         coalesce(nullif(regexp_replace(substring(c_name, 10), '^0+', ''), ''), '0') AS name
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_suppkey * 2 + 1 AS id,
+      |         coalesce(nullif(regexp_replace(substring(s_name, 10), '^0+', ''), ''), '0') AS name
+      |  FROM supplier),
+      |p AS (SELECT c.id AS a, s.id AS b FROM c CROSS JOIN s
+      |      WHERE levenshtein(c.name, s.name) <= 1),
+      |ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM ed),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, ed.dst FROM reach JOIN ed ON ed.src = reach.r)
+      |SELECT id AS rec_id,
+      |       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS source,
+      |       min(r) AS entity_id, (id = min(r)) AS keep
+      |FROM reach GROUP BY id ORDER BY rec_id""".stripMargin
+
   /** Int8 scalar-quantized ANN (SURVEY §2 B25a; graft.sim.Quantized):
     * candidates scored
     * on 4x-smaller quantized vectors, shortlist re-ranked at full
@@ -7868,6 +7923,7 @@ object SparkEntry {
     "pack_chunks" -> Q(packChunks, Some(packChunksSql)),
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
     "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
+    "entity_resolve" -> Q(entityResolve, Some(entityResolveSql)),
     "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
     "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
     "ann_ivfpq" -> Q(annIvfPq, Some(annPrecisionSql)),

@@ -922,6 +922,27 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
   }
 
+  test("entity_resolve closes fuzzy-match chains across sources; unmatched records are absent") {
+    // chain: cust "12" ~ supp "13" ~ cust "93" (each one edit apart,
+    // the ends two apart) must land in ONE entity via transitive
+    // closure; exact pair "77"x"77" forms its own entity with the
+    // SUPPLIER canonical (lower disjoint id 5 < 6); cust "555" matches
+    // nothing and must be absent
+    val dir = scratchDir { d =>
+      Seq((1L, "Customer#000000012"), (2L, "Customer#000000093"),
+        (3L, "Customer#000000077"), (4L, "Customer#000000555"))
+        .toDF("c_custkey", "c_name").write.mode("overwrite").parquet(s"$d/customer.parquet")
+      Seq((1L, "Supplier#000000013"), (2L, "Supplier#000000077"))
+        .toDF("s_suppkey", "s_name").write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    }
+    val got = SparkEntry.queries("entity_resolve")(spark, dir)
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (2L, "customer", 2L, true), (3L, "supplier", 2L, false),
+      (4L, "customer", 2L, false), (5L, "supplier", 5L, true),
+      (6L, "customer", 5L, false)), s"got $got")
+  }
+
   test("slo_multiburn: long+short must BOTH fire for a page; slow leaks ticket") {
     // day 1: a clean hour of views, then one bucket of pure errors —
     // the 1h window crosses 14.4% AND the bucket itself does: page.
