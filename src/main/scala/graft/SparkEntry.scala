@@ -1524,6 +1524,38 @@ object SparkEntry {
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 25""".stripMargin
 
+  /** Full BPE training loop (SURVEY §2 B153; graft.text.BpeTrain) —
+    * B50 counts one round's merge candidates, this runs the loop and
+    * emits the learned merge table. Six rounds; the oracle unrolls
+    * all six as chained CTEs (the domain_pagerank discipline), each
+    * re-deriving pair counts, the (cnt desc, pair asc) argmax, and
+    * the token-wrapped replace — so the loop's every intermediate
+    * state is value-checked, not just the final table.
+    */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeTrain.merges(t(s, dir, "documents"), "text", rounds = 6)
+
+  private val bpeTrainSql = {
+    def round(k: Int) =
+      s"""p$k AS (SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS pair, freq
+         |        FROM (SELECT string_split(trim(state, '|'), '||') AS toks, freq FROM w${k - 1})),
+         |b$k AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k GROUP BY 1
+         |        ORDER BY cnt DESC, pair LIMIT 1),
+         |w$k AS (SELECT replace(state,
+         |          '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+         |          '|' || replace(pair, ' ', '') || '|') AS state, freq
+         |        FROM w${k - 1}, b$k)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS state, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$') GROUP BY 1),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT round, string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,
+       |       replace(pair, ' ', '') AS merged, cnt
+       |FROM (${(1 to 6).map(k => s"SELECT $k AS round, pair, cnt FROM b$k").mkString("\n      UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
+
   /** Overlapping context-window chunking (SURVEY §2 B51): 32-token
     * windows every 16 tokens — consecutive chunks share a 16-token
     * overlap; trailing windows shorter; every token covered. Row-local,
@@ -6514,6 +6546,68 @@ object SparkEntry {
       |  UNION ALL SELECT hour, x, y, b FROM p WHERE b IN (-1, 38))
       |ORDER BY x""".stripMargin
 
+  /** Additive time-series decomposition (SURVEY §2 B152 — the
+    * STL-shaped observability triple the family's other ops each use
+    * one slice of: A16a compares against a seasonal baseline, B138
+    * finds the changepoint, B142 detects seasonality — this op emits
+    * the decomposition itself, y = trend + seasonal + residual, the
+    * first chart an incident review draws): trend is the centered
+    * 7-day moving average (full windows only — edge days have no
+    * trend and are absent), seasonal is the per-day-of-week mean of
+    * the detrended series, residual is what remains.
+    *
+    * Exactness: daily counts are BIGINT, so the detrended value is
+    * kept as the exact integer numerator 7·y − Σ7 until the single
+    * division per emitted column — trend = Σ7/7, seasonal =
+    * Σdow(7y−Σ7)/(7·n_dow), residual = (7y−Σ7)/7 − seasonal: every
+    * double is one fixed-order expression over exact integers (the
+    * trend_slope discipline), so both engines round the same value.
+    * Day-of-week is datediff-from-anchor mod 7 (the engines disagree
+    * on dayofweek numbering — the documented DuckDB trap). One
+    * partial-agg bucketing pass; windows and the dow join run over
+    * the DAYS-sized relation.
+    */
+  private def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val trended = daily
+      .withColumn("sum7", sum(col("y")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .where(col("n7") === 7)
+      .withColumn("num", lit(7L) * col("y") - col("sum7"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7)))
+    val seasonal = trended.groupBy("dow")
+      .agg((sum(col("num")).cast("double") / (lit(7.0) * count(lit(1)))).as("seasonal_raw"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("y"),
+        round(col("sum7").cast("double") / 7.0, 4).as("trend"),
+        round(col("seasonal_raw"), 4).as("seasonal"),
+        round(col("num").cast("double") / 7.0 - col("seasonal_raw"), 4).as("resid"))
+      .orderBy("day")
+  }
+
+  private val tsDecomposeSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, y,
+      |         CAST(sum(y) OVER w AS BIGINT) AS sum7, count(*) OVER w AS n7
+      |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |f AS (
+      |  SELECT day, y, sum7, 7 * y - sum7 AS num,
+      |         (day - DATE '2024-01-01') % 7 AS dow
+      |  FROM t WHERE n7 = 7),
+      |s AS (
+      |  SELECT dow, CAST(CAST(sum(num) AS BIGINT) AS DOUBLE) / (7.0 * count(*)) AS seasonal_raw
+      |  FROM f GROUP BY 1)
+      |SELECT day, y,
+      |       round(CAST(sum7 AS DOUBLE) / 7.0, 4) AS trend,
+      |       round(seasonal_raw, 4) AS seasonal,
+      |       round(CAST(num AS DOUBLE) / 7.0 - seasonal_raw, 4) AS resid
+      |FROM f JOIN s USING (dow) ORDER BY day""".stripMargin
+
   /** Sketch set algebra — audience-overlap estimation without a
     * distinct-pair join: |A∩B| by inclusion–exclusion over three HLL
     * sketches (A, B, A∪B) computed in ONE conditional-agg scan.
@@ -7984,6 +8078,8 @@ object SparkEntry {
     "slo_burn" -> Q(sloBurn, Some(sloBurnSql)),
     "slo_multiburn" -> Q(sloMultiburn, Some(sloMultiburnSql)),
     "downsample_lttb" -> Q(downsampleLttb, Some(downsampleLttbSql)),
+    "ts_decompose" -> Q(tsDecompose, Some(tsDecomposeSql)),
+    "bpe_train" -> Q(bpeTrain, Some(bpeTrainSql)),
     "alert_transitions" -> Q(alertTransitions, Some(alertTransitionsSql)),
     "seasonal_baseline" -> Q(seasonalBaseline, Some(seasonalBaselineSql)),
     "pseudonymize" -> Q(pseudonymize, Some(pseudonymizeSql)),

@@ -922,6 +922,50 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
   }
 
+  test("bpe_train learns the hand-computed merge sequence and stops when pairs run out") {
+    // corpus "aaab aaab ab": round 1 merges (a,a) cnt 4 — greedy-left,
+    // so "a a a" merges ONCE; round 2 (a,b) cnt 3; round 3 (aa,ab)
+    // cnt 2; round 4 finds no pair and the loop stops at 3 of 6 rows
+    val dir = scratchDir { d =>
+      Seq((1L, "aaab aaab ab", "en", "s", 12L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val got = SparkEntry.queries("bpe_train")(spark, dir)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)), s"got $got")
+  }
+
+  test("ts_decompose splits a flat-plus-Monday series into exact trend/seasonal/zero-residual") {
+    // 14 days, y=15 every Monday else 10: every full 7-day window
+    // holds exactly one Monday so trend is flat 75/7; each dow group
+    // has one member so residuals vanish identically
+    def day(d: Int) = f"2024-01-${d}%02d 12:00:"
+    var id = 0L
+    val rows = (1 to 14).flatMap { d =>
+      val k = if (d % 7 == 1) 15 else 10 // Jan 1, 8 are Mondays (dow 0)
+      (1 to k).map { i =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(day(d) + f"${i}%02d"), 1L, "view", 1.0, "{}")
+      }
+    }
+    val dir = scratchDir { d =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("ts_decompose")(spark, dir)
+      .as[(java.sql.Date, Long, Double, Double, Double)].collect().toSeq
+    assert(got.size == 8, s"got $got") // Jan 4..11 have full windows
+    val monday = got.find(_._1.toString == "2024-01-08").get
+    assert((monday._2, monday._3, monday._4, monday._5) == (15L, 10.7143, 4.2857, 0.0), s"got $monday")
+    val thursday = got.find(_._1.toString == "2024-01-05").get
+    assert((thursday._2, thursday._3, thursday._4, thursday._5) == (10L, 10.7143, -0.7143, 0.0), s"got $thursday")
+    got.foreach { r => assert(r._5 == 0.0, s"one-member dow groups must have zero residual: $r") }
+  }
+
   test("entity_resolve closes fuzzy-match chains across sources; unmatched records are absent") {
     // chain: cust "12" ~ supp "13" ~ cust "93" (each one edit apart,
     // the ends two apart) must land in ONE entity via transitive
