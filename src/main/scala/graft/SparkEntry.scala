@@ -6833,6 +6833,103 @@ object SparkEntry {
       |             CAST(n_days AS DOUBLE), 6) AS intercept
       |FROM r ORDER BY event_type""".stripMargin
 
+  /** Robust trend estimation (SURVEY §2 B154 — the outlier-proof
+    * sibling of B75's OLS, paired the classical way: Theil–Sen slope
+    * + Mann–Kendall significance; one corrupted day can move an OLS
+    * slope arbitrarily, Theil–Sen tolerates up to 29% outliers and MK
+    * never looks at magnitudes at all): per event_type over daily
+    * counts, the slope is the MEDIAN of all pairwise slopes and MK's
+    * S = Σ sign(y_j − y_i) with the tie-corrected variance.
+    *
+    * Exactness: S, the tie correction Σt(t−1)(2t+5) and 18·Var are
+    * pure BIGINT; the continuity correction (S∓1) applies in integer
+    * space; pairwise slopes divide BIGINT deltas once; the median
+    * avoids engine-ordered averaging by taking (min+max)/2 of the one
+    * or two middle-ranked VALUES (rank cutoffs via integer DIV). Scale
+    * shape: the corpus is touched once by the daily partial agg; the
+    * per-type pair join (equi on type + range filter, never a
+    * cartesian) and everything after run over the DAYS-sized relation
+    * — the op is for dashboard-sized series, like B75.
+    */
+  private def trendRobust(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
+    val b = daily.select(col("event_type"), col("d").as("db"), col("y").as("yb"))
+    val pairs = a.join(b, Seq("event_type")).where(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("yb") - col("ya")).cast("double") / (col("db") - col("da")).cast("double"))
+          .as("slope"),
+        when(col("yb") > col("ya"), 1L).when(col("yb") < col("ya"), -1L).otherwise(0L)
+          .as("sgn"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy("slope")))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+    val med = ranked
+      .where(col("rn") === expr("(np + 1) DIV 2") || col("rn") === expr("(np + 2) DIV 2"))
+      .groupBy("event_type")
+      .agg(((min("slope") + max("slope")) / 2).as("ts_raw"))
+    val sAgg = pairs.groupBy("event_type").agg(sum("sgn").as("mk_s"))
+    val ties = daily.groupBy("event_type", "y").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie18"),
+        sum(col("t")).as("n_days"))
+    sAgg.join(ties, Seq("event_type")).join(med, Seq("event_type"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) - col("tie18"))
+      .withColumn("s_adj",
+        when(col("mk_s") > 0, col("mk_s") - 1).when(col("mk_s") < 0, col("mk_s") + 1)
+          .otherwise(0L))
+      .select(col("event_type"), col("n_days"), col("mk_s"),
+        round(when(col("var18") > 0,
+          col("s_adj").cast("double") / sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(0.0), 4).as("mk_z"),
+        round(col("ts_raw"), 4).as("theil_slope"))
+      .orderBy("event_type")
+  }
+
+  private val trendRobustSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |         CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+      |         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d),
+      |ranked AS (
+      |  SELECT event_type, slope,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS np
+      |  FROM pairs),
+      |med AS (
+      |  SELECT event_type, (min(slope) + max(slope)) / 2 AS ts_raw
+      |  FROM ranked WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      |  GROUP BY 1),
+      |sa AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS mk_s FROM pairs GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+      |         CAST(sum(t) AS BIGINT) AS n_days
+      |  FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT sa.event_type, n_days, mk_s, ts_raw,
+      |         n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18,
+      |         CASE WHEN mk_s > 0 THEN mk_s - 1 WHEN mk_s < 0 THEN mk_s + 1 ELSE 0 END AS s_adj
+      |  FROM sa JOIN ties ON sa.event_type = ties.event_type
+      |          JOIN med ON sa.event_type = med.event_type)
+      |SELECT event_type, n_days, mk_s,
+      |       round(CASE WHEN var18 > 0
+      |                  THEN CAST(s_adj AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |                  ELSE 0.0 END, 4) AS mk_z,
+      |       round(ts_raw, 4) AS theil_slope
+      |FROM j ORDER BY event_type""".stripMargin
+
   /** Chi-square distribution-shift test (SURVEY §2 B74): event-type
     * mix, first half of the month vs second, with per-type χ²
     * contributions. Contingency cells are one partial-agg pass;
@@ -8112,6 +8209,7 @@ object SparkEntry {
     "drift_psi" -> Q(driftPsi, Some(driftPsiSql)),
     "drift_ks" -> Q(driftKs, Some(driftKsSql)),
     "trend_slope" -> Q(trendSlope, Some(trendSlopeSql)),
+    "trend_robust" -> Q(trendRobust, Some(trendRobustSql)),
     "chisq_shift" -> Q(chisqShift, Some(chisqShiftSql)),
     "time_weighted_avg" -> Q(timeWeightedAvg, Some(timeWeightedAvgSql)),
     "sample_per_key" -> Q(samplePerKey, Some(samplePerKeySql)),

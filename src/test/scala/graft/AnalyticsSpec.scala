@@ -922,6 +922,33 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
   }
 
+  test("trend_robust: Theil-Sen median slope resists the outlier OLS would chase; MK ties zero the variance") {
+    // "up": y = 1..5 -> slope 1, S = 10, z = 9/sqrt(300/18) = 2.2045
+    // "flat": constant y -> one tie group of 5 zeroes the MK variance
+    //         (the var18 > 0 guard) and the slope is 0
+    // "noisy": y = 1,5,2,6,3 -> sorted pair slopes put BOTH middles at
+    //          0.5 (median 0.5 despite slopes from -3 to 4), S = 4
+    var id = 0L
+    def mk(typ: String, ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (y, d) =>
+      (1 to y).map { i =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:$i%02d"), 1L, typ, 1.0, "{}")
+      }
+    }
+    val dir = scratchDir { d =>
+      (mk("up", Seq(1, 2, 3, 4, 5)) ++ mk("flat", Seq(3, 3, 3, 3, 3)) ++
+        mk("noisy", Seq(1, 5, 2, 6, 3)))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = SparkEntry.queries("trend_robust")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("flat", 5L, 0L, 0.0, 0.0),
+      ("noisy", 5L, 4L, 0.7348, 0.5),
+      ("up", 5L, 10L, 2.2045, 1.0)), s"got $got")
+  }
+
   test("bpe_train learns the hand-computed merge sequence and stops when pairs run out") {
     // corpus "aaab aaab ab": round 1 merges (a,a) cnt 4 — greedy-left,
     // so "a a a" merges ONCE; round 2 (a,b) cnt 3; round 3 (aa,ab)
