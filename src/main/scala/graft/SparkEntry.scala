@@ -2928,6 +2928,111 @@ object SparkEntry {
       |WHERE levenshtein(cid, sid) <= 1
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** Degree distribution + power-law fit (SURVEY §2 B155 — the
+    * link-graph profile B116/B141 assume and never emit: PageRank and
+    * the triangle census both lean on the degree structure; this op
+    * publishes it — the CCDF per degree, the classic log-log
+    * power-law plot's data, plus the continuous-MLE exponent
+    * α = 1 + n/Σln(d), Clauset et al. 2009 eq. 3.1 at d_min = 1).
+    * Histogram and CCDF are exact BIGINT; Σ n_d·ln(d) runs as a
+    * PINNED-ORDER fold over the degrees-sized histogram (the zipf
+    * discipline — an unordered double sum would drift between
+    * engines); degenerate all-degree-1 graphs yield NULL α, not a
+    * division blowup. Edge derivation is the triangle census's: one
+    * per-order pair join + edge distinct; everything after the degree
+    * agg runs on NODES- then DEGREES-sized relations.
+    */
+  private def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = pp.as("a").join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val h = deg.groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+    val tot = h.agg(sum("n_nodes"),
+      expr("aggregate(array_sort(collect_list(struct(degree, n_nodes))), 0d," +
+        " (a, r) -> a + r.n_nodes * ln(CAST(r.degree AS DOUBLE)))")).head()
+    val n = tot.getLong(0)
+    val slnd = tot.getDouble(1)
+    val alphaCol =
+      if (slnd != 0.0) round(lit(1.0 + n / slnd), 4) else lit(null).cast("double")
+    h.withColumn("ge", sum("n_nodes").over(Window.orderBy(col("degree").desc)))
+      .select(col("degree"), col("n_nodes"),
+        round(col("ge").cast("double") / n, 6).as("ccdf"),
+        alphaCol.as("alpha"))
+      .orderBy("degree")
+  }
+
+  private val graphDegreesSql =
+    """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT x, count(*) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |h AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n,
+      |               list_sum(list(n_nodes * ln(CAST(degree AS DOUBLE)) ORDER BY degree)) AS slnd
+      |        FROM h),
+      |c AS (SELECT degree, n_nodes,
+      |             CAST(sum(n_nodes) OVER (ORDER BY degree DESC) AS BIGINT) AS ge
+      |      FROM h)
+      |SELECT degree, n_nodes,
+      |       round(CAST(ge AS DOUBLE) / tot.n, 6) AS ccdf,
+      |       round(1.0 + tot.n / nullif(tot.slnd, 0.0), 4) AS alpha
+      |FROM c, tot ORDER BY degree""".stripMargin
+
+  /** Survey estimation from a hash sample (SURVEY §2 B156 —
+    * Horvitz–Thompson with uniform Bernoulli inclusion: the 100 TB
+    * technique behind every "how big is this corpus, roughly" answer
+    * that cannot afford the full scan — B32's deterministic sample
+    * becomes an ESTIMATOR with a confidence interval, and this op is
+    * the calibration audit showing the estimator and truth side by
+    * side): per source, a p = 10% cross-engine MD5 sample estimates
+    * document and token totals as sampled/p (exact integers at this
+    * p), with the Bernoulli CI half-width 1.96·√(n_s(1−p))/p and a
+    * `covered` verdict against the true count. One conditional
+    * partial-agg scan computes sample and truth together; in
+    * production the estimator side runs alone on the sample store.
+    */
+  private def sampleEstimate(s: SparkSession, dir: String): DataFrame = {
+    val inS = pmod(expr(
+      "CAST(conv(substring(md5(concat('est-v1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"),
+      lit(1000L)) < 100
+    t(s, dir, "documents")
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(when(inS, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(inS, col("tok")).otherwise(0L)).as("tokens_sampled"),
+        sum("tok").as("tokens_true"))
+      .select(col("source"), col("n_true"), col("n_sampled"),
+        (col("n_sampled") * 10L).as("n_est"),
+        round(lit(19.6) * sqrt(col("n_sampled").cast("double") * 0.9), 2).as("ci95"),
+        (abs(col("n_true") - col("n_sampled") * 10L).cast("double") <=
+          lit(19.6) * sqrt(col("n_sampled").cast("double") * 0.9)).as("covered"),
+        col("tokens_true"), (col("tokens_sampled") * 10L).as("tokens_est"))
+      .orderBy("source")
+  }
+
+  private val sampleEstimateSql =
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS tok,
+      |         CAST('0x' || substring(md5('est-v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |           % 1000 < 100 AS ins
+      |  FROM documents)
+      |SELECT source,
+      |       count(*) AS n_true,
+      |       CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) * 10 AS BIGINT) AS n_est,
+      |       round(19.6 * sqrt(CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) AS DOUBLE) * 0.9), 2) AS ci95,
+      |       CAST(abs(count(*) - sum(CASE WHEN ins THEN 1 ELSE 0 END) * 10) AS DOUBLE)
+      |         <= 19.6 * sqrt(CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) AS DOUBLE) * 0.9) AS covered,
+      |       CAST(sum(tok) AS BIGINT) AS tokens_true,
+      |       CAST(sum(CASE WHEN ins THEN tok ELSE 0 END) * 10 AS BIGINT) AS tokens_est
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** End-to-end entity resolution (SURVEY §2 B151 — the record-linkage
     * pipeline B106 and B37 are the halves of: BLOCKED fuzzy matching
     * proposes cross-source record pairs, union-find closes them into
@@ -8115,6 +8220,8 @@ object SparkEntry {
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
     "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
     "entity_resolve" -> Q(entityResolve, Some(entityResolveSql)),
+    "graph_degrees" -> Q(graphDegrees, Some(graphDegreesSql)),
+    "sample_estimate" -> Q(sampleEstimate, Some(sampleEstimateSql)),
     "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
     "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
     "ann_ivfpq" -> Q(annIvfPq, Some(annPrecisionSql)),

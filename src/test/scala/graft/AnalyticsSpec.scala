@@ -922,6 +922,51 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
   }
 
+  test("graph_degrees: hand-computed CCDF and MLE alpha; all-degree-1 graph yields NULL alpha") {
+    // triangle {1,2,3} + pendant edge (3,4): degrees 2,2,3,1 ->
+    // histogram {1:1, 2:2, 3:1}, CCDF 1.0/0.75/0.25,
+    // alpha = 1 + 4/(2 ln2 + ln3) = 2.6097
+    val dir = scratchDir { d =>
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+        .toDF("l_orderkey", "l_partkey").write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    }
+    val got = SparkEntry.queries("graph_degrees")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1.0, 2.6097), (2L, 2L, 0.75, 2.6097), (3L, 1L, 0.25, 2.6097)),
+      s"got $got")
+    val dir1 = scratchDir { d =>
+      Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    }
+    val deg1 = SparkEntry.queries("graph_degrees")(spark, dir1)
+      .select("degree", "n_nodes", "ccdf", "alpha").collect().toSeq
+    assert(deg1.size == 1 && deg1.head.getLong(0) == 1L && deg1.head.getDouble(2) == 1.0
+      && deg1.head.isNullAt(3), s"got $deg1")
+  }
+
+  test("sample_estimate replays the MD5 inclusion set exactly; estimator is 10x the sample") {
+    val docs = (1L to 60L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim, "en", "web", 10L))
+    val dir = scratchDir { d =>
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    def inSample(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"est-v1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000L < 100L
+    }
+    val expSampled = docs.count(d => inSample(d._1)).toLong
+    val expTokSampled = docs.filter(d => inSample(d._1)).map(_._1 % 7 + 1).sum
+    val row = SparkEntry.queries("sample_estimate")(spark, dir)
+      .as[(String, Long, Long, Long, Double, Boolean, Long, Long)].collect().toSeq
+    assert(row.size == 1)
+    val (_, nTrue, nS, nEst, ci, covered, tokTrue, tokEst) = row.head
+    assert((nTrue, nS, nEst, tokEst) == (60L, expSampled, expSampled * 10, expTokSampled * 10),
+      s"got ${row.head} want sampled=$expSampled")
+    assert(tokTrue == docs.map(_._1 % 7 + 1).sum)
+    assert(covered == (math.abs(nTrue - nEst).toDouble <= 19.6 * math.sqrt(nS * 0.9)), s"ci=$ci")
+  }
+
   test("trend_robust: Theil-Sen median slope resists the outlier OLS would chase; MK ties zero the variance") {
     // "up": y = 1..5 -> slope 1, S = 10, z = 9/sqrt(300/18) = 2.2045
     // "flat": constant y -> one tie group of 5 zeroes the MK variance
