@@ -6577,10 +6577,11 @@ object SparkEntry {
     * argmax cannot flip on a float ulp between engines, and ties
     * break on the earlier x. Scale shape: one partial-agg bucketing
     * pass over events; everything after runs on the HOURS-sized
-    * relation (the bucket-stats side is ≤40 rows — broadcast by
-    * construction). Requires > 40 hourly points (every shipped sf
-    * qualifies); the general form would take (series_id, x, y) and
-    * partition every window by series.
+    * relation (the bucket-stats side is ≤40 rows — size-gated hint
+    * via maybeBroadcast, AQE picks the broadcast at runtime, the
+    * repo-wide no-forced-hint discipline). Requires > 40 hourly
+    * points (every shipped sf qualifies); the general form would take
+    * (series_id, x, y) and partition every window by series.
     */
   private def downsampleLttb(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -6604,7 +6605,7 @@ object SparkEntry {
     val next = aggs.select((col("b") - 1).as("b"),
       col("sx").as("nsx"), col("sy").as("nsy"), col("c").as("nc"))
     val scored = pts.where(col("b") >= 0 && col("b") < B)
-      .join(broadcast(prev), Seq("b")).join(broadcast(next), Seq("b"))
+      .join(maybeBroadcast(prev), Seq("b")).join(maybeBroadcast(next), Seq("b"))
       .withColumn("area", abs(
         (col("psx") * col("nc") - col("nsx") * col("pc")) *
           (col("y") * col("pc") - col("psy")) -
@@ -6686,7 +6687,7 @@ object SparkEntry {
       .withColumn("dow", pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7)))
     val seasonal = trended.groupBy("dow")
       .agg((sum(col("num")).cast("double") / (lit(7.0) * count(lit(1)))).as("seasonal_raw"))
-    trended.join(broadcast(seasonal), Seq("dow"))
+    trended.join(maybeBroadcast(seasonal), Seq("dow"))
       .select(col("day"), col("y"),
         round(col("sum7").cast("double") / 7.0, 4).as("trend"),
         round(col("seasonal_raw"), 4).as("seasonal"),
@@ -7776,6 +7777,87 @@ object SparkEntry {
       |       round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
       |FROM n GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** Per-dimension embedding drift (SURVEY §2 B157 — the two-cohort
+    * companion of B91's single-corpus QA: B91 catches the broken
+    * batch's zero vectors and norm outliers, this catches the SUBTLE
+    * failure — a re-encoded snapshot whose distribution shifted per
+    * coordinate, the fingerprint of an encoder version bump or a
+    * preprocessing change that silently poisons ANN recall): cohorts
+    * split by vec_id parity (the stand-in for batch A/batch B), a
+    * Welch z per dimension on the coordinate means, top-10 dims by
+    * |z|.
+    *
+    * Exactness: float coordinates are scaled to integer micro-units
+    * with floor (round would cross-engine-tie at exact .5 floats;
+    * floor cannot), so n/Σq/Σq² are pure BIGINT and every mean/
+    * variance/z is one fixed-order double expression over exact
+    * integers — the ranking compares the identical raw doubles in
+    * both engines. One exploded scan (rows × dims), one dim-keyed
+    * conditional partial agg; everything after is DIMS-sized.
+    */
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(2)).as("grp"),
+        posexplode(col("embedding")))
+      .toDF("grp", "dim", "v")
+      .select(col("grp"), col("dim"),
+        floor(col("v").cast("double") * 1000000).cast("long").as("q"))
+    val m = q.groupBy("dim").agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("grp") === 0, col("q")).otherwise(0L)).as("sa"),
+      sum(when(col("grp") === 0, col("q") * col("q")).otherwise(0L)).as("ssa"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("grp") === 1, col("q")).otherwise(0L)).as("sb"),
+      sum(when(col("grp") === 1, col("q") * col("q")).otherwise(0L)).as("ssb"))
+    m
+      .withColumn("ma", col("sa").cast("double") / col("na"))
+      .withColumn("mb", col("sb").cast("double") / col("nb"))
+      .withColumn("va",
+        (col("ssa").cast("double") - col("sa").cast("double") * col("sa") / col("na")) /
+          (col("na") - 1))
+      .withColumn("vb",
+        (col("ssb").cast("double") - col("sb").cast("double") * col("sb") / col("nb")) /
+          (col("nb") - 1))
+      .withColumn("zraw",
+        (col("ma") - col("mb")) / sqrt(col("va") / col("na") + col("vb") / col("nb")))
+      .orderBy(abs(col("zraw")).desc, col("dim"))
+      .limit(10)
+      .select(col("dim").cast("long").as("dim"), col("na"), col("nb"),
+        round(col("ma") / 1000000, 6).as("mean_a"),
+        round(col("mb") / 1000000, 6).as("mean_b"),
+        round(col("zraw"), 4).as("z"))
+  }
+
+  private val embeddingDriftSql =
+    """WITH x AS (
+      |  SELECT vec_id % 2 AS grp, i - 1 AS dim,
+      |         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |               unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |m AS (
+      |  SELECT dim,
+      |         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN grp = 0 THEN q ELSE 0 END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN grp = 0 THEN q * q ELSE 0 END) AS BIGINT) AS ssa,
+      |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |         CAST(sum(CASE WHEN grp = 1 THEN q ELSE 0 END) AS BIGINT) AS sb,
+      |         CAST(sum(CASE WHEN grp = 1 THEN q * q ELSE 0 END) AS BIGINT) AS ssb
+      |  FROM x GROUP BY 1),
+      |zc AS (
+      |  SELECT dim, na, nb,
+      |         CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+      |         (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+      |         (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb
+      |  FROM m),
+      |zz AS (
+      |  SELECT dim, na, nb, ma, mb,
+      |         (ma - mb) / sqrt(va / na + vb / nb) AS zraw
+      |  FROM zc)
+      |SELECT dim, na, nb, round(ma / 1000000, 6) AS mean_a,
+      |       round(mb / 1000000, 6) AS mean_b, round(zraw, 4) AS z
+      |FROM zz ORDER BY abs(zraw) DESC, dim LIMIT 10""".stripMargin
+
   /** Cross-source boilerplate overlap matrix (SURVEY §2 B92) — which
     * sources share phrasing (syndication / scraper-overlap /
     * contamination provenance), measured as shared distinct word
@@ -8334,6 +8416,7 @@ object SparkEntry {
     "fd_profile" -> Q(fdProfile, Some(fdProfileSql)),
     "normalize_zscore" -> Q(normalizeZscore, Some(normalizeZscoreSql)),
     "embedding_qa" -> Q(embeddingQa, Some(embeddingQaSql)),
+    "embedding_drift" -> Q(embeddingDrift, Some(embeddingDriftSql)),
     "source_overlap" -> Q(sourceOverlap, Some(sourceOverlapSql)),
     "time_to_convert" -> Q(timeToConvert, Some(timeToConvertSql)),
     "stickiness_ratio" -> Q(stickinessRatio, Some(stickinessRatioSql)),

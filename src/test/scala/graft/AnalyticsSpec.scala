@@ -922,6 +922,47 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (_, _, v) => assert(v > -14 && v < 16, s"noise out of band: $v") }
   }
 
+  test("embedding_drift ranks the shifted dimension first and zeroes the matched one") {
+    // dim 0: identical (i%5)-derived distribution in both parities ->
+    // z exactly 0; dim 1: odd vectors encode at 2x the even scale ->
+    // strongly negative z ranks first. Expected means replay the SAME
+    // float -> micro-unit floor arithmetic in-JVM.
+    val vecs = (1L to 20L).map { i =>
+      val d0 = (i % 5).toFloat * 0.000001f
+      val d1 = if (i % 2 == 0) 0.001f * i else 0.002f * i
+      (i, Seq(d0, d1), 0)
+    }
+    val dir = scratchDir { d =>
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    }
+    def q(v: Float): Long = math.floor(v.toDouble * 1000000).toLong
+    def mean6(qs: Seq[Long]): Double =
+      BigDecimal(qs.sum / qs.size.toDouble / 1000000)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evens = vecs.filter(_._1 % 2 == 0).map(v => q(v._2(1)))
+    val odds = vecs.filter(_._1 % 2 == 1).map(v => q(v._2(1)))
+    def welchZ(a: Seq[Long], b: Seq[Long]): Double = {
+      def mv(x: Seq[Long]): (Double, Double) = {
+        val n = x.size; val s = x.sum.toDouble; val ss = x.map(v => v * v).sum.toDouble
+        (s / n, (ss - s * s / n) / (n - 1))
+      }
+      val (ma, va) = mv(a); val (mb, vb) = mv(b)
+      val z = (ma - mb) / math.sqrt(va / a.size + vb / b.size)
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SparkEntry.queries("embedding_drift")(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.size == 2, s"got $got")
+    val (dim1, dim0) = (got(0), got(1))
+    assert(dim1._1 == 1L && dim0._1 == 0L, s"shifted dim must rank first: $got")
+    assert((dim1._2, dim1._3) == (10L, 10L))
+    assert(dim1._4 == mean6(evens) && dim1._5 == mean6(odds), s"got $dim1")
+    assert(dim1._6 == welchZ(evens, odds), s"got $dim1 want z=${welchZ(evens, odds)}")
+    assert(dim1._6 < 0.0, "odd cohort encodes at 2x the scale: negative shift")
+    assert(dim0._6 == 0.0, s"matched distributions must z=0: $dim0")
+  }
+
   test("graph_degrees: hand-computed CCDF and MLE alpha; all-degree-1 graph yields NULL alpha") {
     // triangle {1,2,3} + pendant edge (3,4): degrees 2,2,3,1 ->
     // histogram {1:1, 2:2, 3:1}, CCDF 1.0/0.75/0.25,
