@@ -104,7 +104,11 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
   override def writeBatch(batch: DataFrame, batchKey: String): Unit =
     writeBatch(batch, batchKey, filesPerDay = 1)
 
-  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int): Unit = {
+  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int): Unit =
+    writeBatch(batch, batchKey, filesPerDay, commitStampMicros = None)
+
+  def writeBatch(batch: DataFrame, batchKey: String, filesPerDay: Int,
+                 commitStampMicros: Option[Long]): Unit = {
     partitionForWrite(withDate(batch), filesPerDay)
       .sortWithinPartitions("created_at", "repo", "host")
       .write
@@ -141,7 +145,58 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
           spark.read.parquet(s"$path/ingest_batch=$batchKey"),
           s"batch=$batchKey")
       }
+      // Commit marker LAST — data and manifest land, then the batch
+      // becomes visible to time travel. A replayed batch overwrites
+      // its marker with a NEW stamp (re-commit semantics, like a
+      // rewritten Delta commit): snapshots between the two stamps no
+      // longer contain it. Empty batches write no files and no
+      // marker — they add nothing to any snapshot.
+      val stamp = commitStampMicros.getOrElse(System.currentTimeMillis() * 1000L)
+      val marker = new Path(path, s"${MergeTreeSink.CommitsDir}/$batchKey")
+      val out = fs(spark).create(marker, true)
+      try out.write(stamp.toString.getBytes("UTF-8")) finally out.close()
     }
+  }
+
+  /** Time-travel read (the Delta/Iceberg `AS OF` analog) over the
+    * streaming layout: the table as of `asOfMicros` = the union of
+    * every ingest batch whose commit marker is stamped at or before
+    * it. The marker is written AFTER the batch's data+manifest (the
+    * commit point), so a snapshot never sees a half-landed batch.
+    *
+    * This is what pins a training run to a reproducible corpus
+    * snapshot ("train on the data as of Tuesday 06:00") while ingest
+    * keeps appending. Horizon contract: COMPACTION folds batch dirs
+    * into [[MergeTreeSink.CompactedBatchId]] and erases the
+    * per-batch boundaries time travel needs — once a compacted dir
+    * exists this method throws (run snapshot-pinned work before
+    * maintenance, or on a separate un-compacted root; `read()` always
+    * serves the current table). TTL'd dates age out of old snapshots
+    * too — retention applies to history, exactly as a vacuumed Delta
+    * table's old versions stop being readable.
+    */
+  def readAsOf(spark: SparkSession, asOfMicros: Long): DataFrame = {
+    val f = fs(spark)
+    require(!f.exists(new Path(path, s"ingest_batch=$CompactedBatchId")),
+      s"time travel horizon passed: $path has compacted batches " +
+        "(per-batch boundaries are gone; read() serves the current table)")
+    val commits = new Path(path, MergeTreeSink.CommitsDir)
+    val selected =
+      if (!f.exists(commits)) Seq.empty
+      else f.listStatus(commits).toSeq.flatMap { st =>
+        val in = f.open(st.getPath)
+        val stamp =
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        if (stamp <= asOfMicros) Some(st.getPath.getName) else None
+      }
+    val missing = selected.filterNot(k => f.exists(new Path(path, s"ingest_batch=$k")))
+    require(missing.isEmpty,
+      s"time travel horizon passed: committed batches ${missing.mkString(", ")} " +
+        "no longer exist under $path (folded or expired)")
+    if (selected.isEmpty) read(spark).where(lit(false))
+    else spark.read.option("basePath", path)
+      .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)
   }
 
   /** Per-file (path, rows, min/max created_at, event_date) decoded from
@@ -456,6 +511,11 @@ object MergeTreeSink {
     * data-read path (ZoneMap.build over the batch) produces, so slices
     * from either path union cleanly under `_manifest/`.
     */
+  /** Directory of time-travel commit markers: one file per ingest
+    * batch, content = commit stamp in epoch micros ([[MergeTreeSink.readAsOf]]).
+    */
+  private[sinks] val CommitsDir = "_commits"
+
   private[sinks] val ManifestSliceSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = false),

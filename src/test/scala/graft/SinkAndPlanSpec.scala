@@ -84,6 +84,39 @@ class SinkAndPlanSpec extends AnyFunSuite {
     ()
   }
 
+  test("time travel: readAsOf pins snapshots, re-commit moves a batch, compaction closes the horizon") {
+    val root = Files.createTempDirectory("mt_asof").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    val b1 = parsedEvents.limit(50).cache()
+    val b2 = parsedEvents.limit(120).exceptAll(b1).cache()
+    val b3 = parsedEvents.limit(200).exceptAll(b1.unionAll(b2)).cache()
+    sink.writeBatch(b1, "src_0", 1, Some(100L))
+    sink.writeBatch(b2, "src_1", 1, Some(200L))
+    sink.writeBatch(b3, "src_2", 1, Some(300L))
+    // a snapshot is the union of batches committed at or before it
+    assert(sink.readAsOf(spark, 50L).count() == 0)
+    assert(sink.readAsOf(spark, 150L).count() == 50)
+    assert(sink.readAsOf(spark, 250L).count() == 120)
+    assert(sink.readAsOf(spark, 300L).count() == 200) // inclusive
+    // a REPLAYED batch re-commits at its new stamp: the 250 snapshot
+    // no longer contains it, the 400 one does — and no duplicates
+    sink.writeBatch(b2, "src_1", 1, Some(400L))
+    assert(sink.readAsOf(spark, 250L).count() == 50)
+    assert(sink.readAsOf(spark, 400L).count() == 200)
+    // snapshots carry the same schema as the live read
+    assert(sink.readAsOf(spark, 150L).columns.sorted.sameElements(
+      sink.read(spark).columns.sorted))
+    // compaction erases per-batch boundaries: the horizon closes with
+    // an explicit error while read() keeps serving the current table
+    val date = sink.read(spark).selectExpr("CAST(event_date AS STRING)").as[String].head()
+    sink.compact(spark, date)
+    val e = intercept[IllegalArgumentException](sink.readAsOf(spark, 400L))
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    assert(sink.read(spark).count() == 200)
+    b1.unpersist(); b2.unpersist(); b3.unpersist()
+    ()
+  }
+
   test("compaction collapses a partition's files without changing its rows") {
     val root = Files.createTempDirectory("mt_compact").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)
