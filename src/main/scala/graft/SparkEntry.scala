@@ -2904,13 +2904,20 @@ object SparkEntry {
     * join (150k pairs at sf0.01 — fine for an oracle, fatal at scale;
     * that asymmetry is the point of the operator).
     */
+  /** Shared name-key derivation for the record-linkage ops
+    * (fuzzy_join_names, entity_resolve): digits after the
+    * "Customer#"/"Supplier#" prefix, zero-pad runs stripped (the
+    * PassJoin hot-key fix), all-zero ids kept as "0". One definition
+    * so the two ops' match graphs cannot silently diverge.
+    */
+  private def strippedNameKey(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(nullif(regexp_replace(substring(src, 10, 9), "^0+", ""), lit("")), lit("0"))
+
   private def fuzzyJoinNames(s: SparkSession, dir: String): DataFrame = {
-    def id(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      coalesce(nullif(regexp_replace(substring(src, 10, 9), "^0+", ""), lit("")), lit("0"))
     val cust = t(s, dir, "customer")
-      .select(col("c_custkey"), id(col("c_name")).as("cid"))
+      .select(col("c_custkey"), strippedNameKey(col("c_name")).as("cid"))
     val supp = t(s, dir, "supplier")
-      .select(col("s_suppkey"), id(col("s_name")).as("sid"))
+      .select(col("s_suppkey"), strippedNameKey(col("s_name")).as("sid"))
     graft.ops.FuzzyJoin.join(cust, "c_custkey", "cid", supp, "s_suppkey", "sid", k = 1)
       .withColumn("dist", col("dist").cast("long"))
       .orderBy("c_custkey", "s_suppkey")
@@ -2950,10 +2957,18 @@ object SparkEntry {
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
+    // materialize once: the alpha scalar's head() and the emitted rows
+    // otherwise re-run the pair join + distincts as two full jobs
     val h = deg.groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+      .materializeOnce()
     val tot = h.agg(sum("n_nodes"),
       expr("aggregate(array_sort(collect_list(struct(degree, n_nodes))), 0d," +
         " (a, r) -> a + r.n_nodes * ln(CAST(r.degree AS DOUBLE)))")).head()
+    // edge-free graph: the empty histogram sums to NULL (the q11
+    // empty-fact guard) — emit the empty result, not an NPE
+    if (tot.isNullAt(0))
+      return h.select(col("degree"), col("n_nodes"),
+        lit(0.0).as("ccdf"), lit(null).cast("double").as("alpha"))
     val n = tot.getLong(0)
     val slnd = tot.getDouble(1)
     val alphaCol =
@@ -3051,12 +3066,10 @@ object SparkEntry {
     * edge for edge.
     */
   private def entityResolve(s: SparkSession, dir: String): DataFrame = {
-    def idn(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      coalesce(nullif(regexp_replace(substring(src, 10, 9), "^0+", ""), lit("")), lit("0"))
     val cust = t(s, dir, "customer")
-      .select((col("c_custkey") * 2).as("a_id"), idn(col("c_name")).as("a_name"))
+      .select((col("c_custkey") * 2).as("a_id"), strippedNameKey(col("c_name")).as("a_name"))
     val supp = t(s, dir, "supplier")
-      .select((col("s_suppkey") * 2 + 1).as("b_id"), idn(col("s_name")).as("b_name"))
+      .select((col("s_suppkey") * 2 + 1).as("b_id"), strippedNameKey(col("s_name")).as("b_name"))
     val edges = graft.ops.FuzzyJoin.join(cust, "a_id", "a_name", supp, "b_id", "b_name", k = 1)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     graft.dedup.DupClusters.resolve(edges, "a", "b")
@@ -6590,6 +6603,7 @@ object SparkEntry {
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("y"))
       .withColumn("x", expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT)"))
+      .materializeOnce() // the count() below must not re-scan events
     val n = hourly.count() // hours-sized scalar, bounded
     require(n > B + 2, s"series of $n points needs no downsampling below ${B + 2}")
     val pts = hourly
@@ -6703,7 +6717,7 @@ object SparkEntry {
       |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |f AS (
       |  SELECT day, y, sum7, 7 * y - sum7 AS num,
-      |         (day - DATE '2024-01-01') % 7 AS dow
+      |         ((day - DATE '2024-01-01') % 7 + 7) % 7 AS dow
       |  FROM t WHERE n7 = 7),
       |s AS (
       |  SELECT dow, CAST(CAST(sum(num) AS BIGINT) AS DOUBLE) / (7.0 * count(*)) AS seasonal_raw

@@ -151,10 +151,18 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       // rewritten Delta commit): snapshots between the two stamps no
       // longer contain it. Empty batches write no files and no
       // marker — they add nothing to any snapshot.
+      // temp-then-rename: a crash mid-write leaves only a dot-prefixed
+      // temp (skipped by readAsOf's listing) or no marker at all — an
+      // uncommitted batch, never a truncated stamp that would poison
+      // every later snapshot read
       val stamp = commitStampMicros.getOrElse(System.currentTimeMillis() * 1000L)
+      val f = fs(spark)
       val marker = new Path(path, s"${MergeTreeSink.CommitsDir}/$batchKey")
-      val out = fs(spark).create(marker, true)
+      val tmp = new Path(path, s"${MergeTreeSink.CommitsDir}/.tmp_$batchKey")
+      val out = f.create(tmp, true)
       try out.write(stamp.toString.getBytes("UTF-8")) finally out.close()
+      f.delete(marker, false) // re-commit replaces the old stamp
+      require(f.rename(tmp, marker), s"could not publish commit marker $marker")
     }
   }
 
@@ -183,17 +191,19 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     val commits = new Path(path, MergeTreeSink.CommitsDir)
     val selected =
       if (!f.exists(commits)) Seq.empty
-      else f.listStatus(commits).toSeq.flatMap { st =>
-        val in = f.open(st.getPath)
-        val stamp =
-          try new String(in.readAllBytes(), "UTF-8").trim.toLong
-          finally in.close()
-        if (stamp <= asOfMicros) Some(st.getPath.getName) else None
-      }
+      else f.listStatus(commits).toSeq
+        .filterNot(_.getPath.getName.startsWith(".")) // in-flight temps
+        .flatMap { st =>
+          val in = f.open(st.getPath)
+          val stamp =
+            try new String(in.readAllBytes(), "UTF-8").trim.toLong
+            finally in.close()
+          if (stamp <= asOfMicros) Some(st.getPath.getName) else None
+        }
     val missing = selected.filterNot(k => f.exists(new Path(path, s"ingest_batch=$k")))
     require(missing.isEmpty,
       s"time travel horizon passed: committed batches ${missing.mkString(", ")} " +
-        "no longer exist under $path (folded or expired)")
+        s"no longer exist under $path (folded or expired)")
     if (selected.isEmpty) read(spark).where(lit(false))
     else spark.read.option("basePath", path)
       .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)

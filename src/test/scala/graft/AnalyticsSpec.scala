@@ -983,6 +983,12 @@ class AnalyticsSpec extends AnyFunSuite {
       .select("degree", "n_nodes", "ccdf", "alpha").collect().toSeq
     assert(deg1.size == 1 && deg1.head.getLong(0) == 1L && deg1.head.getDouble(2) == 1.0
       && deg1.head.isNullAt(3), s"got $deg1")
+    // edge-free graph (every order single-part): empty result, not an NPE
+    val dir0 = scratchDir { d =>
+      Seq((1L, 1L), (2L, 2L)).toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    }
+    assert(SparkEntry.queries("graph_degrees")(spark, dir0).count() == 0)
   }
 
   test("sample_estimate replays the MD5 inclusion set exactly; estimator is 10x the sample") {
