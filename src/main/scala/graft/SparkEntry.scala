@@ -2305,6 +2305,43 @@ object SparkEntry {
       graft.mm.Multimodal.synthesizeMp4(t(s, dir, "documents"), "doc_id"), "doc_id")
       .orderBy("doc_id")
 
+  /** Video frame sampling (SURVEY §2 B158 — the brief's named
+    * multimodal op: "frame-sample" with the codec decode stubbed; the
+    * payloads carry a REAL `stsz` sample-size table and an `mdat` of
+    * frame bytes, and the operator's recursive box walk reads frame
+    * count, per-frame sizes, prefix-sum byte offsets, byte sums and
+    * first bytes from the BYTES — everything a decoder needs before
+    * the codec). Every 2nd frame sampled. FULL value oracle: the
+    * synthesis is id-derived arithmetic, so DuckDB re-derives every
+    * emitted offset/size/sum/first-byte without parsing — the walk
+    * must agree with the construction number for number; the spec
+    * additionally grounds the walk in hand-built bytes.
+    */
+  private def multimodalFramesample(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.sampleFrames(
+      graft.mm.Multimodal.synthesizeMp4Frames(t(s, dir, "documents"), "doc_id"),
+      "doc_id", every = 2)
+      .orderBy("doc_id", "frame_idx")
+
+  private val multimodalFramesampleSql =
+    """WITH d AS (SELECT doc_id, doc_id % 5 + 3 AS n, doc_id % 6 + 1 AS pad FROM documents),
+      |f AS (SELECT doc_id, n, pad, unnest(range(0, n)) AS i FROM d),
+      |sz AS (SELECT doc_id, n, pad, i,
+      |              (doc_id + 7 * i) % 17 + 4 AS fsize,
+      |              (doc_id * 31 + i) % 251 AS fill
+      |       FROM f),
+      |o AS (SELECT doc_id, i, fsize, fill,
+      |             16 + pad + 8 + 136 + 4 * n + 8
+      |             + coalesce(sum(fsize) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frame_off
+      |      FROM sz)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |       CAST(frame_off AS BIGINT) AS frame_off,
+      |       CAST(fsize AS BIGINT) AS frame_size,
+      |       CAST(fsize * fill AS BIGINT) AS frame_sum,
+      |       CAST(fill AS BIGINT) AS first_byte
+      |FROM o WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+
   private val multimodalMp4Sql =
     """SELECT doc_id, timescale, duration, mvhd_off, payload_hex
       |FROM graft_result
@@ -8431,6 +8468,7 @@ object SparkEntry {
     "normalize_zscore" -> Q(normalizeZscore, Some(normalizeZscoreSql)),
     "embedding_qa" -> Q(embeddingQa, Some(embeddingQaSql)),
     "embedding_drift" -> Q(embeddingDrift, Some(embeddingDriftSql)),
+    "multimodal_framesample" -> Q(multimodalFramesample, Some(multimodalFramesampleSql)),
     "source_overlap" -> Q(sourceOverlap, Some(sourceOverlapSql)),
     "time_to_convert" -> Q(timeToConvert, Some(timeToConvertSql)),
     "stickiness_ratio" -> Q(stickinessRatio, Some(stickinessRatioSql)),

@@ -234,6 +234,116 @@ object Multimodal {
       }(enc).toDF("doc_id", "timescale", "duration", "mvhd_off", "payload_hex")
   }
 
+  /** Synthesize an MP4 whose `moov` carries a real `stsz` sample-size
+    * table and whose `mdat` holds the concatenated frame bytes — the
+    * structure frame sampling actually reads (simplification vs a full
+    * container: `stsz` sits directly under `moov` instead of the
+    * moov/trak/mdia/minf/stbl chain; [[parseMp4Frames]] searches
+    * containers recursively, so the full chain would parse too).
+    * Frame count, per-frame sizes and fill bytes are id-derived:
+    * n = id%5+3, size_i = (id+7i)%17+4, fill_i = (id·31+i)%251 — the
+    * oracle re-derives every emitted offset/sum from the same
+    * arithmetic while the spec grounds the parse in hand-built bytes.
+    */
+  def synthesizeMp4Frames(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def beHex(v: Column, nBytes: Int): Column = lpad(hex(v.cast("long")), nBytes * 2, "0")
+    val n = (id % 5 + 3).cast("int")
+    val pad = (id % 6 + 1).cast("int")
+    val sizes = transform(sequence(lit(0), n - 1),
+      i => (id + lit(7) * i) % 17 + 4)
+    val mvhdHex = concat(
+      beHex(lit(108), 4), lit("6D766864"), lit("00" * 12),
+      beHex(lit(1000), 4), beHex(lit(0), 4), lit("00" * 80))
+    val stszHex = concat(
+      beHex(lit(20) + n * 4, 4), lit("7374737A"), lit("00" * 4), // stsz, v0
+      beHex(lit(0), 4), beHex(n, 4),
+      array_join(transform(sizes, s => beHex(s, 4)), ""))
+    val mdatLen = aggregate(sizes, lit(0L), (a, s) => a + s)
+    val framesHex = array_join(
+      transform(sequence(lit(0), n - 1),
+        i => repeat(beHex((id * 31 + i) % 251, 1),
+          ((id + lit(7) * i) % 17 + 4).cast("int"))), "")
+    val payloadHex = concat(
+      beHex(lit(16), 4), lit("66747970"), lit("69736F6D"), beHex(lit(0), 4),
+      beHex(pad + 8, 4), lit("66726565"), lpad(lit(""), pad * 2, lit("0")),
+      beHex(lit(136) + n * 4, 4), lit("6D6F6F76"), mvhdHex, stszHex,
+      beHex(mdatLen + 8, 4), lit("6D646174"), framesHex)
+    docs.select(id, unhex(payloadHex).as("payload"))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_off", LongType),
+    StructField("frame_size", LongType),
+    StructField("frame_sum", LongType),
+    StructField("first_byte", LongType)))
+
+  /** Frame table of an ISO BMFF payload: depth-first box walk to
+    * `stsz` (recursing into the standard container boxes), per-frame
+    * sizes from its table, byte offsets as prefix sums into `mdat`'s
+    * data. None if any box is malformed or the mdat is short.
+    */
+  def parseMp4Frames(bytes: Array[Byte]): Option[Seq[(Long, Long, Long, Long)]] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def fourCC(off: Int): String = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+    def find(from: Int, until: Int, target: String): Option[Int] = {
+      var off = from
+      var res: Option[Int] = None
+      while (res.isEmpty && off + 8 <= until) {
+        val size = beAt(bytes, off, 4).toInt
+        if (size < 8) return None
+        val cc = fourCC(off)
+        if (cc == target) res = Some(off)
+        else if (containers(cc))
+          res = find(off + 8, math.min(off + size, until), target)
+        if (res.isEmpty) off += size
+      }
+      res
+    }
+    if (bytes.length < 16 || fourCC(0) != "ftyp") return None
+    for {
+      stsz <- find(0, bytes.length, "stsz")
+      mdat <- find(0, bytes.length, "mdat")
+      count = beAt(bytes, stsz + 16, 4).toInt
+      if stsz + 20 + 4 * count <= bytes.length
+      sizes = (0 until count).map(i => beAt(bytes, stsz + 20 + 4 * i, 4))
+      if mdat + 8 + sizes.sum <= bytes.length
+    } yield {
+      var off = (mdat + 8).toLong
+      sizes.zipWithIndex.map { case (sz, i) =>
+        val o = off
+        off += sz
+        (i.toLong, o, sz, (o until o + sz).map(j => (bytes(j.toInt) & 0xff).toLong).sum)
+      }
+    }
+  }
+
+  /** Sample every `every`-th frame of each payload: the frame-extract
+    * stage of a video pipeline with the codec decode stubbed (no codec
+    * libs in the container) — offsets, sizes, byte sums and the first
+    * byte are REAL, read by the box walk, so the plumbing a decoder
+    * would sit behind is fully exercised. Row-local mapPartitions, no
+    * shuffle; frames-per-payload bounds the fan-out.
+    */
+  def sampleFrames(media: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every >= 1, "sampling stride must be >= 1")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    media.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          parseMp4Frames(bytes).toSeq.flatten
+            .filter(_._1 % every == 0)
+            .map { case (i, off, sz, sum) =>
+              Row(id, i, off, sz, sum, (bytes(off.toInt) & 0xff).toLong)
+            }
+        }
+      }(enc).toDF("doc_id", "frame_idx", "frame_off", "frame_size", "frame_sum", "first_byte")
+  }
+
   private val headerSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", StringType),

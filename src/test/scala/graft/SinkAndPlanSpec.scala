@@ -302,6 +302,36 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Header(bad).isEmpty)
   }
 
+  test("MP4 frame sampling walks the full stbl container chain on hand-built bytes") {
+    def be(v: Int, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def box(cc: String, content: Array[Byte]): Array[Byte] =
+      be(8 + content.length, 4) ++ cc.getBytes("US-ASCII") ++ content
+    // stsz buried at the REAL depth (moov/trak/mdia/minf/stbl) — the
+    // synthesizer flattens it, so this proves the recursive walk
+    val stsz = box("stsz", be(0, 4) ++ be(0, 4) ++ be(3, 4) ++ be(2, 4) ++ be(3, 4) ++ be(4, 4))
+    val moov = box("moov", box("trak", box("mdia", box("minf", box("stbl", stsz)))))
+    val frames = Array[Byte](10, 20, 30, 31, 32, 40, 41, 42, 43)
+    val mdat = box("mdat", frames)
+    val bytes = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0, 4)) ++ moov ++ mdat
+    val mdatData = bytes.length - frames.length
+    val got = Multimodal.parseMp4Frames(bytes)
+    assert(got.contains(Seq(
+      (0L, mdatData.toLong, 2L, 30L),
+      (1L, mdatData + 2L, 3L, 93L),
+      (2L, mdatData + 5L, 4L, 166L))), s"got $got")
+    // stride-2 sampling through the DataFrame op keeps frames 0 and 2
+    val media = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val sampled = Multimodal.sampleFrames(media, "doc_id", every = 2)
+      .orderBy("frame_idx")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sampled == Seq(
+      (7L, 0L, mdatData.toLong, 2L, 30L, 10L),
+      (7L, 2L, mdatData + 5L, 4L, 166L, 40L)), s"got $sampled")
+    // truncated mdat: declared sizes overrun the payload -> None
+    assert(Multimodal.parseMp4Frames(bytes.dropRight(2)).isEmpty)
+  }
+
   test("freq_topk: Misra-Gries guarantees hold, exact in the small regime, SQL-callable") {
     GraftExtensions.register(spark)
     // skewed fixture: a=1000, b=300, c=100, plus 200 singletons; force
