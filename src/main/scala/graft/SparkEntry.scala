@@ -2305,6 +2305,41 @@ object SparkEntry {
       graft.mm.Multimodal.synthesizeMp4(t(s, dir, "documents"), "doc_id"), "doc_id")
       .orderBy("doc_id")
 
+  /** Sample-accurate audio chunking (SURVEY §2 B159 — B158's audio
+    * sibling, completing the multimodal quartet: decode, feature
+    * plumbing, frame-sample, and now segmentation): WAV payloads with
+    * a real PCM `data` chunk, split into 4-sample segments on frame
+    * boundaries (block align from `fmt ` — a chunk can never cut a
+    * sample in half), shorter tail kept. FULL value oracle from the
+    * id-derived synthesis (per-byte PCM fill is arithmetic, so every
+    * chunk's offset/sample-count/byte-sum re-derives in SQL).
+    */
+  private def audioChunk(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.chunkAudio(
+      graft.mm.Multimodal.synthesizeWavPcm(t(s, dir, "documents"), "doc_id"),
+      "doc_id", chunkFrames = 4)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val audioChunkSql =
+    """WITH d AS (SELECT doc_id, (doc_id % 2 + 1) * 2 AS ba, doc_id % 7 + 5 AS nf,
+      |                  (doc_id % 4) * 2 + 2 AS pad
+      |           FROM documents),
+      |c AS (SELECT doc_id, ba, nf, pad, unnest(range(0, (nf + 3) // 4)) AS k FROM d),
+      |ch AS (SELECT doc_id, ba, pad, k,
+      |              least(4, nf - k * 4) AS n_samples,
+      |              k * 4 * ba AS rel_off
+      |       FROM c),
+      |bs AS (SELECT doc_id, k, n_samples,
+      |              52 + pad + rel_off AS byte_off,
+      |              unnest(range(rel_off, rel_off + n_samples * ba)) AS j
+      |       FROM ch)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |       CAST(byte_off AS BIGINT) AS byte_off,
+      |       CAST(n_samples AS BIGINT) AS n_samples,
+      |       CAST(sum((doc_id * 17 + j) % 256) AS BIGINT) AS byte_sum
+      |FROM bs GROUP BY doc_id, k, byte_off, n_samples
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Video frame sampling (SURVEY §2 B158 — the brief's named
     * multimodal op: "frame-sample" with the codec decode stubbed; the
     * payloads carry a REAL `stsz` sample-size table and an `mdat` of
@@ -8469,6 +8504,7 @@ object SparkEntry {
     "embedding_qa" -> Q(embeddingQa, Some(embeddingQaSql)),
     "embedding_drift" -> Q(embeddingDrift, Some(embeddingDriftSql)),
     "multimodal_framesample" -> Q(multimodalFramesample, Some(multimodalFramesampleSql)),
+    "audio_chunk" -> Q(audioChunk, Some(audioChunkSql)),
     "source_overlap" -> Q(sourceOverlap, Some(sourceOverlapSql)),
     "time_to_convert" -> Q(timeToConvert, Some(timeToConvertSql)),
     "stickiness_ratio" -> Q(stickinessRatio, Some(stickinessRatioSql)),

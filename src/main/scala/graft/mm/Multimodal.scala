@@ -107,6 +107,98 @@ object Multimodal {
     docs.select(id, payload.as("payload"))
   }
 
+  /** [[synthesizeWav]] with a real PCM `data` chunk appended — the
+    * payload audio chunking actually reads. Frame count and the PCM
+    * fill are id-derived: nFrames = id%7+5, byte j (0-based within
+    * data) = (id·17+j)%256; block align stays channels·2 (16-bit),
+    * so chunk boundaries are SAMPLE-accurate, never mid-frame.
+    */
+  def synthesizeWavPcm(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map { i =>
+      unhex(lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
+    }: _*)
+    val channels = (id % 2 + 1).cast("int")
+    val rate = (lit(8000) + (id % 8).cast("int") * 4000).cast("int")
+    val bits = lit(16)
+    val ba = channels * 2
+    val nFrames = (id % 7 + 5).cast("int")
+    val dataLen = nFrames * ba
+    val pad = ((id % 4) * 2 + 2).cast("int")
+    val riffSize = lit(44) + pad + dataLen // 4 WAVE + (8+pad) + 24 + (8+dataLen)
+    val pcmHex = array_join(
+      transform(sequence(lit(0), dataLen - 1),
+        j => lpad(hex((id * 17 + j) % 256), 2, "0")), "")
+    val payload = concat(
+      unhex(lit("52494646")), le(riffSize, 4), unhex(lit("57415645")),
+      unhex(lit("4A554E4B")), le(pad, 4), unhex(lit("00" * 8).substr(lit(1), pad * 2)),
+      unhex(lit("666D7420")), le(lit(16), 4),
+      le(lit(1), 2), le(channels, 2), le(rate, 4),
+      le(rate * channels * bits / 8, 4), le(ba, 2), le(bits, 2),
+      unhex(lit("64617461")), le(dataLen, 4), unhex(pcmHex))
+    docs.select(id, payload.as("payload"))
+  }
+
+  private val audioChunkSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("chunk_idx", LongType),
+    StructField("byte_off", LongType),
+    StructField("n_samples", LongType),
+    StructField("byte_sum", LongType)))
+
+  /** Sample-accurate audio chunking: RIFF walk to `fmt ` (block align)
+    * and `data`, then fixed `chunkFrames`-sample segments with a
+    * shorter tail — the segmentation an ASR/feature pipeline feeds its
+    * (stubbed — no audio libs in the container) encoder. Offsets,
+    * sample counts and byte sums are read from the BYTES; a `data`
+    * chunk that is not frame-aligned or overruns the payload drops the
+    * row. Row-local mapPartitions; chunks-per-payload bounds fan-out.
+    */
+  def chunkAudio(media: DataFrame, idCol: String, chunkFrames: Int): DataFrame = {
+    require(chunkFrames >= 1, "chunkFrames must be >= 1")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioChunkSchema)
+    media.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val parsed = for {
+            (channels, _, _, _) <- parseWavHeader(bytes)
+            dataOff <- findRiffChunk(bytes, "data")
+            ba = channels.toInt * 2
+            len = leAt(bytes, dataOff + 4, 4).toInt
+            if len % ba == 0 && dataOff + 8 + len <= bytes.length
+          } yield {
+            val start = dataOff + 8
+            val nFrames = len / ba
+            (0 until (nFrames + chunkFrames - 1) / chunkFrames).map { k =>
+              val f0 = k * chunkFrames
+              val nf = math.min(chunkFrames, nFrames - f0)
+              val off = start + f0 * ba
+              val sum = (off until off + nf * ba).map(j => (bytes(j) & 0xff).toLong).sum
+              Row(id, k.toLong, off.toLong, nf.toLong, sum)
+            }
+          }
+          parsed.toSeq.flatten
+        }
+      }(enc).toDF("doc_id", "chunk_idx", "byte_off", "n_samples", "byte_sum")
+  }
+
+  /** Offset of the first RIFF chunk with the given 4cc (after the
+    * 12-byte RIFF/WAVE preamble); odd chunk sizes carry a pad byte.
+    */
+  private def findRiffChunk(bytes: Array[Byte], cc: String): Option[Int] = {
+    def fourCC(off: Int): String = new String(bytes.slice(off, off + 4), "US-ASCII")
+    if (bytes.length < 12 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val size = leAt(bytes, off + 4, 4)
+      if (fourCC(off) == cc) return Some(off)
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   private val wavSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("channels", LongType),

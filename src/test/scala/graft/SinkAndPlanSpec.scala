@@ -332,6 +332,30 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Frames(bytes.dropRight(2)).isEmpty)
   }
 
+  test("audio chunking splits on sample boundaries and rejects frame-misaligned data") {
+    def le(v: Int, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def chunk(cc: String, content: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le(content.length, 4) ++ content
+    // stereo 16-bit: block align 4; 6 frames = 24 PCM bytes (1..24)
+    val fmt = chunk("fmt ", le(1, 2) ++ le(2, 2) ++ le(8000, 4) ++ le(32000, 4) ++ le(4, 2) ++ le(16, 2))
+    val pcm = (1 to 24).map(_.toByte).toArray
+    val data = chunk("data", pcm)
+    val bytes = "RIFF".getBytes ++ le(4 + fmt.length + data.length, 4) ++ "WAVE".getBytes ++ fmt ++ data
+    val dataStart = 12 + fmt.length + 8
+    val got = Multimodal.chunkAudio(Seq((3L, bytes)).toDF("doc_id", "payload"), "doc_id", 4)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // chunk 0: frames 0-3 = bytes 1..16 (sum 136); tail: frames 4-5 =
+    // bytes 17..24 (sum 164) — 2 samples, never a half-frame
+    assert(got == Seq(
+      (3L, 0L, dataStart.toLong, 4L, 136L),
+      (3L, 1L, dataStart + 16L, 2L, 164L)), s"got $got")
+    // data length not divisible by block align: the row drops
+    val badData = chunk("data", pcm.dropRight(1))
+    val bad = "RIFF".getBytes ++ le(4 + fmt.length + badData.length, 4) ++ "WAVE".getBytes ++ fmt ++ badData
+    assert(Multimodal.chunkAudio(Seq((3L, bad)).toDF("doc_id", "payload"), "doc_id", 4).count() == 0)
+  }
+
   test("freq_topk: Misra-Gries guarantees hold, exact in the small regime, SQL-callable") {
     GraftExtensions.register(spark)
     // skewed fixture: a=1000, b=300, c=100, plus 200 singletons; force
