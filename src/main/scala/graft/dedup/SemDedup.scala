@@ -62,14 +62,17 @@ object SemDedup {
       numCells: Int = 0,
       iters: Int = 3,
       probes: Int = 2): DataFrame = {
-    val cells =
-      if (numCells > 0) numCells
-      else {
-        val n = embeddings.count()
-        math.min(262144L, math.max(4L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
-      }
+    val cells = if (numCells > 0) numCells else adaptiveCells(embeddings.count())
     pairsWith(embeddings, IvfAnn.train(embeddings, cells, iters), minCosine, probes)
   }
+
+  /** The adaptive cell count for an `n`-vector corpus:
+    * ⌈n / TargetCellSize⌉ clamped to [4, 262144]. Exposed so callers
+    * that train centroids themselves (the hierarchical-assignment
+    * path) derive the SAME linear-candidate configuration as [[pairs]].
+    */
+  def adaptiveCells(n: Long): Int =
+    math.min(262144L, math.max(4L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
 
   /** Near-duplicate pairs `(a, b, cosine)` sharing at least one of
     * their top-`probes` trained cells, with exact cosine ≥ `minCosine`.

@@ -163,11 +163,15 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val parsed = for {
-            (channels, _, _, _) <- parseWavHeader(bytes)
+            (channels, _, bits, _) <- parseWavHeader(bytes)
             dataOff <- findRiffChunk(bytes, "data")
-            ba = channels.toInt * 2
+            // block align from the parsed fmt chunk, not an assumed
+            // 16-bit width: 8/24-bit WAVs chunk on their real frame size
+            if bits % 8 == 0 && bits > 0
+            ba = (channels * bits / 8).toInt
+            if ba > 0
             len = leAt(bytes, dataOff + 4, 4).toInt
-            if len % ba == 0 && dataOff + 8 + len <= bytes.length
+            if len >= 0 && len % ba == 0 && dataOff + 8 + len <= bytes.length
           } yield {
             val start = dataOff + 8
             val nFrames = len / ba
@@ -194,6 +198,10 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val size = leAt(bytes, off + 4, 4)
       if (fourCC(off) == cc) return Some(off)
+      // a u32 size over the payload length (incl. high-bit values that
+      // wrap Int negative) would stall or reverse the walk — reject the
+      // payload, mirroring parseMp4Frames' size guard
+      if (size < 0 || size > bytes.length) return None
       off += 8 + size.toInt + (size.toInt & 1)
     }
     None
@@ -229,6 +237,8 @@ object Multimodal {
         if (fourCC(off) == "fmt " && off + 8 + 16 <= bytes.length) {
           res = Some((leAt(bytes, off + 10, 2), leAt(bytes, off + 12, 4),
             leAt(bytes, off + 22, 2), off.toLong))
+        } else if (size < 0 || size > bytes.length) {
+          return None // wrapped/overlong chunk size: same guard as findRiffChunk
         } else off += 8 + size.toInt + (size.toInt & 1) // odd sizes carry a pad byte
       }
       res
@@ -430,7 +440,10 @@ object Multimodal {
           parseMp4Frames(bytes).toSeq.flatten
             .filter(_._1 % every == 0)
             .map { case (i, off, sz, sum) =>
-              Row(id, i, off, sz, sum, (bytes(off.toInt) & 0xff).toLong)
+              // stsz permits zero-size entries; a trailing one puts off at
+              // bytes.length, so only dereference when the frame has a byte
+              val fb = if (sz > 0) (bytes(off.toInt) & 0xff).toLong else 0L
+              Row(id, i, off, sz, sum, fb)
             }
         }
       }(enc).toDF("doc_id", "frame_idx", "frame_off", "frame_size", "frame_sum", "first_byte")

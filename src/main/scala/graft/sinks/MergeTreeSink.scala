@@ -189,17 +189,35 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       s"time travel horizon passed: $path has compacted batches " +
         "(per-batch boundaries are gone; read() serves the current table)")
     val commits = new Path(path, MergeTreeSink.CommitsDir)
-    val selected =
+    val markerKeys =
       if (!f.exists(commits)) Seq.empty
       else f.listStatus(commits).toSeq
         .filterNot(_.getPath.getName.startsWith(".")) // in-flight temps
-        .flatMap { st =>
-          val in = f.open(st.getPath)
-          val stamp =
-            try new String(in.readAllBytes(), "UTF-8").trim.toLong
-            finally in.close()
-          if (stamp <= asOfMicros) Some(st.getPath.getName) else None
+        .map(_.getPath.getName)
+    // Marker-less data dirs would be silently invisible to EVERY
+    // snapshot (rows that read() serves but no `AS OF` ever contains) —
+    // fail loudly instead: such a dir is either a pre-marker legacy
+    // write or a crash between data and marker, and the caller must
+    // re-commit or compact it, not get a quietly-short snapshot.
+    val dataKeys = Option(f.globStatus(new Path(path, "ingest_batch=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.getName.stripPrefix("ingest_batch="))
+      .filterNot(_ == CompactedBatchId)
+    val unmarked = dataKeys.filterNot(markerKeys.contains)
+    require(unmarked.isEmpty,
+      s"uncommitted ingest batches under $path: ${unmarked.mkString(", ")} " +
+        "(data landed without a commit marker — re-commit or compact before time travel)")
+    val selected = markerKeys.flatMap { k =>
+      val in = f.open(new Path(commits, k))
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val stamp =
+        try txt.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalStateException(
+            s"corrupt commit marker $commits/$k: '$txt' is not a micros stamp", e)
         }
+      if (stamp <= asOfMicros) Some(k) else None
+    }
     val missing = selected.filterNot(k => f.exists(new Path(path, s"ingest_batch=$k")))
     require(missing.isEmpty,
       s"time travel horizon passed: committed batches ${missing.mkString(", ")} " +

@@ -50,33 +50,55 @@ object StreamingSequenceMatch {
         (key: String, it: Iterator[CodedEvent], state: GroupState[SeqState]) =>
           val s = state.getOption.getOrElse(
             SeqState(Seq.fill(chains.size)(0), Long.MinValue, Long.MinValue))
-          val cur = s.cursors.toArray
-          var maxTs = s.maxTs
-          var maxId = s.maxId
-          val out = Seq.newBuilder[ChainMatch]
-          it.toSeq
-            .filter(e => e.tsMicros > s.maxTs ||
-              (e.tsMicros == s.maxTs && e.eventId > s.maxId))
-            .sortBy(e => (e.tsMicros, e.eventId))
-            .foreach { e =>
-              if (e.code.length == 1) {
-                val c = e.code.charAt(0)
-                var p = 0
-                while (p < chains.size) {
-                  if (cur(p) < chains(p).length && chains(p).charAt(cur(p)) == c) {
-                    cur(p) += 1
-                    if (cur(p) == chains(p).length)
-                      out += ChainMatch(key, e.tsMicros, chains(p))
-                  }
-                  p += 1
-                }
-              }
-              maxTs = e.tsMicros
-              maxId = e.eventId
-            }
-          state.update(SeqState(cur.toIndexedSeq, maxTs, maxId))
-          out.result().iterator
+          val (next, out) = foldKey(key, s, chains, it)
+          state.update(next)
+          out.iterator
       }
+  }
+
+  /** One key's batch fold, extracted so the state-validation contract
+    * is unit-testable without a checkpoint-restart harness: advance
+    * each chain's NFA cursor over the fresh in-order events, emitting
+    * a [[ChainMatch]] the moment a chain first completes.
+    */
+  private[graft] def foldKey(
+      key: String,
+      s: SeqState,
+      chains: IndexedSeq[String],
+      it: Iterator[CodedEvent]): (SeqState, Seq[ChainMatch]) = {
+    // cursors are POSITIONAL against the configured patterns: a
+    // checkpoint restored under a different pattern list would
+    // misalign or over-index them — fail fast instead of corrupting
+    // matches (changing the chain set requires a fresh checkpoint)
+    require(s.cursors.size == chains.size,
+      s"restored state for key '$key' has ${s.cursors.size} cursors but " +
+        s"${chains.size} patterns were configured — the chain list changed " +
+        "across a checkpoint restart; start from a fresh checkpoint")
+    val cur = s.cursors.toArray
+    var maxTs = s.maxTs
+    var maxId = s.maxId
+    val out = Seq.newBuilder[ChainMatch]
+    it.toSeq
+      .filter(e => e.tsMicros > s.maxTs ||
+        (e.tsMicros == s.maxTs && e.eventId > s.maxId))
+      .sortBy(e => (e.tsMicros, e.eventId))
+      .foreach { e =>
+        if (e.code.length == 1) {
+          val c = e.code.charAt(0)
+          var p = 0
+          while (p < chains.size) {
+            if (cur(p) < chains(p).length && chains(p).charAt(cur(p)) == c) {
+              cur(p) += 1
+              if (cur(p) == chains(p).length)
+                out += ChainMatch(key, e.tsMicros, chains(p))
+            }
+            p += 1
+          }
+        }
+        maxTs = e.tsMicros
+        maxId = e.eventId
+      }
+    (SeqState(cur.toIndexedSeq, maxTs, maxId), out.result())
   }
 
   val RequiredOutputMode: OutputMode = OutputMode.Append()

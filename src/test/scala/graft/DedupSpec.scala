@@ -440,6 +440,31 @@ class DedupSpec extends AnyFunSuite {
     val nullArr = Seq((Seq(1L, 2L), null: Seq[Long])).toDF("a", "b")
       .select(IntersectCount(col("a"), col("b"))).head()
     assert(nullArr.isNullAt(0))
+
+    // sorted mode (the triangle census's zero-allocation path) agrees
+    // with the general path on randomized SORT_ARRAY'd inputs —
+    // including dup-heavy, empty, and null-element arrays (nulls first)
+    import org.apache.spark.sql.functions.sort_array
+    val sortedCases = (1 to 60).map { _ =>
+      (Seq.fill(rnd.nextInt(15))(rnd.nextInt(10).toLong),
+        Seq.fill(rnd.nextInt(15))(rnd.nextInt(10).toLong))
+    } ++ Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(7L), Seq(7L, 7L)))
+    val sbad = sortedCases.toDF("a0", "b0")
+      .select(sort_array(col("a0")).as("a"), sort_array(col("b0")).as("b"))
+      .select(
+        IntersectCount.sorted(col("a"), col("b")).as("sorted"),
+        IntersectCount(col("a"), col("b")).as("general"))
+      .where(col("sorted") =!= col("general")).collect()
+    assert(sbad.isEmpty, s"sorted-mode intersect_count diverged: ${sbad.toSeq}")
+    val snull = Seq(
+      (Seq[java.lang.Long](null, 1L, 2L), Seq[java.lang.Long](null, 1L, 3L)),
+      (Seq[java.lang.Long](null, 1L), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(IntersectCount.sorted(col("a"), col("b")).as("sorted"),
+        IntersectCount(col("a"), col("b")).as("general"))
+      .collect()
+    assert(snull.forall(r => r.getInt(0) == r.getInt(1)),
+      s"sorted-mode null semantics diverged: ${snull.toSeq}")
   }
 
   test("candidate generation is never all-pairs (no cartesian/nested-loop join)") {

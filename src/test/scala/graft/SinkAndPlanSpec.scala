@@ -354,6 +354,82 @@ class SinkAndPlanSpec extends AnyFunSuite {
     val badData = chunk("data", pcm.dropRight(1))
     val bad = "RIFF".getBytes ++ le(4 + fmt.length + badData.length, 4) ++ "WAVE".getBytes ++ fmt ++ badData
     assert(Multimodal.chunkAudio(Seq((3L, bad)).toDF("doc_id", "payload"), "doc_id", 4).count() == 0)
+
+    // block align comes from the PARSED bit depth, not an assumed 16:
+    // 8-bit mono (ba=1) chunks per byte — 6 samples -> 4 + 2
+    val fmt8 = chunk("fmt ", le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(8000, 4) ++ le(1, 2) ++ le(8, 2))
+    val pcm8 = (1 to 6).map(_.toByte).toArray
+    val data8 = chunk("data", pcm8)
+    val b8 = "RIFF".getBytes ++ le(4 + fmt8.length + data8.length, 4) ++ "WAVE".getBytes ++ fmt8 ++ data8
+    val start8 = 12 + fmt8.length + 8
+    val got8 = Multimodal.chunkAudio(Seq((4L, b8)).toDF("doc_id", "payload"), "doc_id", 4)
+      .orderBy("chunk_idx").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got8 == Seq(
+      (4L, 0L, start8.toLong, 4L, 10L),
+      (4L, 1L, start8 + 4L, 2L, 11L)), s"got $got8")
+
+    // adversarial chunk sizes must TERMINATE the RIFF walk, not spin or
+    // reverse it: a u32 size that wraps Int negative (0xFFFFFFFF) and a
+    // size far past the payload both drop the row in bounded time
+    def withJunkSize(sz: Array[Byte]): Array[Byte] = {
+      val junk = "junk".getBytes("US-ASCII") ++ sz ++ le(0, 4)
+      "RIFF".getBytes ++ le(4 + junk.length + fmt.length + data.length, 4) ++
+        "WAVE".getBytes ++ junk ++ fmt ++ data
+    }
+    val wrapped = withJunkSize(Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+    val overlong = withJunkSize(le(1 << 30, 4))
+    assert(Multimodal.chunkAudio(Seq((5L, wrapped)).toDF("doc_id", "payload"), "doc_id", 4).count() == 0)
+    assert(Multimodal.chunkAudio(Seq((5L, overlong)).toDF("doc_id", "payload"), "doc_id", 4).count() == 0)
+    assert(Multimodal.parseWavHeader(wrapped).isEmpty)
+  }
+
+  test("zero-size stsz frames sample without dereferencing past the payload") {
+    def be(v: Int, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def box(cc: String, content: Array[Byte]): Array[Byte] =
+      be(8 + content.length, 4) ++ cc.getBytes("US-ASCII") ++ content
+    // frames of size 2, 0, 3 and a TRAILING zero-size frame: its offset
+    // equals the payload end — first_byte must not index there
+    val stsz = box("stsz", be(0, 4) ++ be(0, 4) ++ be(4, 4) ++
+      be(2, 4) ++ be(0, 4) ++ be(3, 4) ++ be(0, 4))
+    val moov = box("moov", box("trak", box("mdia", box("minf", box("stbl", stsz)))))
+    val frames = Array[Byte](10, 20, 30, 31, 32)
+    val bytes = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0, 4)) ++ moov ++ box("mdat", frames)
+    val base = (bytes.length - frames.length).toLong
+    val got = Multimodal.sampleFrames(Seq((9L, bytes)).toDF("doc_id", "payload"), "doc_id", 1)
+      .orderBy("frame_idx").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (9L, 0L, base, 2L, 30L, 10L),
+      (9L, 1L, base + 2L, 0L, 0L, 0L),   // mid-stream zero frame: no byte, fb 0
+      (9L, 2L, base + 2L, 3L, 93L, 30L),
+      (9L, 3L, base + 5L, 0L, 0L, 0L)), s"got $got") // trailing zero frame at payload end
+  }
+
+  test("readAsOf fails loudly on marker-less data dirs and corrupt markers") {
+    val root = Files.createTempDirectory("mt_unmarked").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    sink.writeBatch(parsedEvents.limit(30), "src_0", 1, Some(100L))
+    assert(sink.readAsOf(spark, 100L).count() == 30)
+    // simulate a crash between data and marker (or a pre-marker legacy
+    // write): data dir present, no commit marker — every snapshot would
+    // silently omit those rows, so the read must refuse instead
+    val commits = new java.io.File(root, "_commits")
+    val marker = commits.listFiles().filter(_.getName.startsWith("src_0")).head
+    val stampTxt = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    assert(marker.delete())
+    val e = intercept[IllegalArgumentException](sink.readAsOf(spark, 100L))
+    assert(e.getMessage.contains("without a commit marker"), e.getMessage)
+    // a corrupt marker is a descriptive error, not a bare NumberFormatException
+    // (NIO writes bypass Hadoop's checksum sidecar — drop the stale .crc)
+    def dropCrc(): Unit = { new java.io.File(commits, s".${marker.getName}.crc").delete(); () }
+    java.nio.file.Files.write(marker.toPath, "not-a-stamp".getBytes("UTF-8"))
+    dropCrc()
+    val c = intercept[IllegalStateException](sink.readAsOf(spark, 100L))
+    assert(c.getMessage.contains("corrupt commit marker"), c.getMessage)
+    // restoring the marker restores the snapshot
+    java.nio.file.Files.write(marker.toPath, stampTxt.getBytes("UTF-8"))
+    dropCrc()
+    assert(sink.readAsOf(spark, 100L).count() == 30)
   }
 
   test("freq_topk: Misra-Gries guarantees hold, exact in the small regime, SQL-callable") {

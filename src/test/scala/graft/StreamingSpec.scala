@@ -481,6 +481,16 @@ class StreamingSpec extends AnyFunSuite {
     // ("vcspp": both ordered chains exist) agree with what streamed
     val history = "vcspp"
     assert(history.matches(".*v.*c.*p.*") && history.matches(".*s.*p.*"))
+
+    // state restored under a DIFFERENT pattern list (a checkpoint
+    // restart with changed chains) would misalign the positional
+    // cursors — the fold must fail fast, not silently corrupt matches
+    val restored = StreamingSequenceMatch.SeqState(Seq(1, 0), 10L, 2L) // saved under 2 chains
+    val err = intercept[IllegalArgumentException] {
+      StreamingSequenceMatch.foldKey("u", restored, IndexedSeq("vcp", "sp", "vp"),
+        Iterator(CodedEvent("u", 100L, 4L, "p")))
+    }
+    assert(err.getMessage.contains("chain list changed"), err.getMessage)
   }
 
   test("streaming funnel converts live, carries state across batches, agrees with batch") {
