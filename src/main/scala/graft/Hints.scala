@@ -35,16 +35,26 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Hints {
 
-  def maybeBroadcast(df: DataFrame): DataFrame = {
+  /** The gate itself, exposed so callers can consult the same probe
+    * the hint uses (e.g. asserting in specs why a plan did or did not
+    * broadcast). NOTE: broadcast-feasibility is a JOIN-STRATEGY
+    * predicate only — round 13 tried it as a plan-SHAPE gate for the
+    * dedup verify and reverted it (distinct-first verification lost
+    * 6× at 20k vectors even with the broadcast available; the true
+    * crossover variable there is survivor density, which this probe
+    * cannot see).
+    */
+  def fitsBroadcast(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     // withCachedData = analyzed plan with cache substitution: size
     // estimates see materialized InMemoryRelations (accurate bytes)
     // WITHOUT running the optimizer on the subtree — the enclosing
     // query optimizes it once anyway, so the gate stays O(stats visit)
     // per call instead of a duplicate optimizer pass
-    if (threshold > 0 &&
-        df.queryExecution.withCachedData.stats.sizeInBytes <= BigInt(threshold))
-      broadcast(df)
-    else df
+    threshold > 0 &&
+      df.queryExecution.withCachedData.stats.sizeInBytes <= BigInt(threshold)
   }
+
+  def maybeBroadcast(df: DataFrame): DataFrame =
+    if (fitsBroadcast(df)) broadcast(df) else df
 }

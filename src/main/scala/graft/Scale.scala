@@ -76,11 +76,14 @@ object Scale {
   private def wanted(fam: String): Boolean = only.forall(_.contains(fam))
 
   private def measure(spark: SparkSession, dir: String): Unit = {
-    val docs = Tables(spark, dir, "documents")
-    val emb = Tables(spark, dir, "embeddings")
+    // lazy per-family inputs: a `--only`-generated partial corpus
+    // (e.g. embeddings+customer+supplier for the 30× cosine/fuzzy
+    // points) must not fail on tables no wanted family reads
+    lazy val docs = Tables(spark, dir, "documents")
+    lazy val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
-    val nDocs = docs.count().toDouble
-    val nEmb = emb.count().toDouble
+    lazy val nDocs = docs.count().toDouble
+    lazy val nEmb = emb.count().toDouble
 
     if (wanted("dedup_minhash")) minhash(spark, dir, docs, nDocs)
     if (wanted("dedup_ngram_jaccard")) ngram(spark, dir, docs, nDocs)
@@ -90,6 +93,39 @@ object Scale {
     if (wanted("ann_ivfpq")) ivfpq(spark, dir, emb, nEmb)
     if (wanted("graph_triangles")) triangles(spark, dir)
     if (wanted("fuzzy_join_names")) fuzzyJoin(spark, dir)
+    if (wanted("dedup_cosine")) cosine(spark, dir, emb, nEmb)
+  }
+
+  /** Per-table bucket collisions (Σ over tables of Σ C(bucket, 2) —
+    * the LSH self-join's exact pre-distinct volume) under
+    * `CosineDedup.adaptiveBits`, vs the all-pairs baseline, plus the
+    * walls of BOTH registry configs (32-table high-recall
+    * `dedup_cosine`, default-16 `dedup_cosine_lsh`). This family
+    * carries the round-12 residual question: the 1×→10× wall ratios
+    * (×11-23) were claimed occupancy catch-up — the 4-bit floor
+    * over-provisions small corpora, so small points run "too fast" —
+    * with the prediction that ratios flatten once the adaptive width
+    * holds occupancy at ~512. The 30× point tests that prediction.
+    */
+  private def cosine(spark: SparkSession, dir: String, emb: DataFrame, n: Double): Unit = {
+    val bits = graft.dedup.CosineDedup.adaptiveBits(n.toLong)
+    val numTables = 16
+    val store = graft.sim.LshAnn.withBuckets(emb, "vec", numTables, bits, 64)
+    val long = store.select(
+      col("id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val occRow = long.groupBy("t", "bk").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).as("vol"), max(col("c")).as("mx")).head()
+    val wallLsh = time(force(SparkEntry.queries("dedup_cosine_lsh")(spark, dir)))
+    val wall32 = time(force(SparkEntry.queries("dedup_cosine")(spark, dir)))
+    emit(dir, "dedup_cosine", "n_vectors" -> n, "bits" -> bits.toDouble,
+      "all_pairs" -> n * (n - 1) / 2,
+      "table_collisions" -> num(occRow, 0),
+      "max_bucket" -> num(occRow, 1),
+      "wall_sec_16t" -> wallLsh,
+      "wall_sec_32t" -> wall32)
   }
 
   /** PassJoin candidate volume for `fuzzy_join_names` (k=1 edit

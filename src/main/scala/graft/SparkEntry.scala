@@ -1912,6 +1912,72 @@ object SparkEntry {
       |SELECT q, neighbor, round(sim_raw, 4) AS sim, rank
       |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin
 
+  /** MMR diversified re-ranking (SURVEY §2 B160): exact top-8 cosine
+    * shortlist per probe, then 3 rounds of maximal-marginal-relevance
+    * selection at λ=0.7 ([[graft.ops.MmrRerank]] — rounds unroll into
+    * the plan, shortlist-bounded relations only). The oracle replays
+    * the identical selection as chained CTEs — same rounded shortlist
+    * relevances, same tie order — so a wrong pairwise similarity, a
+    * wrong argmax, or a wrong score fails the hash compare.
+    */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    val shortlist = graft.sim.Knn.topK(queries, corpus, 8)
+      .select(col("q"), col("neighbor").as("id"), col("sim").as("rel"))
+    graft.ops.MmrRerank.rerank(shortlist, corpus, k = 3, lambda = 0.7)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q", "rank")
+  }
+
+  private val mmrRerankSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q, c.vec_id AS id, list_cosine_similarity(q.ve, c.ve) AS sim_raw
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |short AS (
+      |  SELECT q, id, round(sim_raw, 4) AS rel FROM (
+      |    SELECT q, id, sim_raw,
+      |           row_number() OVER (PARTITION BY q ORDER BY sim_raw DESC, id) AS rk
+      |    FROM scored) WHERE rk <= 8),
+      |pair AS (
+      |  SELECT a.q, a.id AS pa, b.id AS pb, list_cosine_similarity(va.ve, vb.ve) AS psim
+      |  FROM short a JOIN short b ON a.q = b.q AND a.id <> b.id
+      |  JOIN v va ON va.vec_id = a.id JOIN v vb ON vb.vec_id = b.id),
+      |r1 AS (
+      |  SELECT q, id, rel AS score FROM (
+      |    SELECT q, id, rel, row_number() OVER (PARTITION BY q ORDER BY rel DESC, id) AS rk
+      |    FROM short) WHERE rk = 1),
+      |m2 AS (
+      |  SELECT s.q, s.id, 0.7 * s.rel - (1 - 0.7) * max(p.psim) AS score
+      |  FROM short s
+      |  JOIN r1 ON r1.q = s.q AND s.id <> r1.id
+      |  JOIN pair p ON p.q = s.q AND p.pa = s.id AND p.pb = r1.id
+      |  GROUP BY 1, 2, s.rel),
+      |r2 AS (
+      |  SELECT q, id, score FROM (
+      |    SELECT q, id, score, row_number() OVER (PARTITION BY q ORDER BY score DESC, id) AS rk
+      |    FROM m2) WHERE rk = 1),
+      |sel2 AS (SELECT q, id FROM r1 UNION ALL SELECT q, id FROM r2),
+      |m3 AS (
+      |  SELECT s.q, s.id, 0.7 * s.rel - (1 - 0.7) * max(p.psim) AS score
+      |  FROM short s
+      |  JOIN pair p ON p.q = s.q AND p.pa = s.id
+      |  JOIN sel2 ON sel2.q = p.q AND sel2.id = p.pb
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x WHERE x.q = s.q AND x.id = s.id)
+      |  GROUP BY 1, 2, s.rel),
+      |r3 AS (
+      |  SELECT q, id, score FROM (
+      |    SELECT q, id, score, row_number() OVER (PARTITION BY q ORDER BY score DESC, id) AS rk
+      |    FROM m3) WHERE rk = 1),
+      |allsel AS (
+      |  SELECT q, id, score, 1 AS rank FROM r1
+      |  UNION ALL SELECT q, id, score, 2 FROM r2
+      |  UNION ALL SELECT q, id, score, 3 FROM r3)
+      |SELECT q, id, round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+      |FROM allsel ORDER BY q, rank""".stripMargin
+
   /** ANN results are approximate in WHICH neighbors they find, but
     * exact in what they claim about them — so the oracle recomputes
     * each emitted (q, neighbor) pair's true cosine from `embeddings`
@@ -8405,6 +8471,7 @@ object SparkEntry {
     "graph_degrees" -> Q(graphDegrees, Some(graphDegreesSql)),
     "sample_estimate" -> Q(sampleEstimate, Some(sampleEstimateSql)),
     "ann_quantized" -> Q(annQuantized, Some(annPrecisionSql)),
+    "mmr_rerank" -> Q(mmrRerank, Some(mmrRerankSql)),
     "ann_pq" -> Q(annPq, Some(annPrecisionSql)),
     "ann_ivfpq" -> Q(annIvfPq, Some(annPrecisionSql)),
     "ann_incremental" -> Q(annIncremental, Some(annPrecisionSql)),

@@ -53,39 +53,52 @@ object CosineDedup {
       bitsPerTable: Int = 0,
       dim: Int = 64): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable else adaptiveBits(embeddings.count())
-    // Candidate generation moves only (id, table, bucket) — never the
-    // vectors. Shuffling 64-dim payloads through the bucket join and
-    // the pair-dedup costs ~60x the bytes and measured ~10x slower;
-    // vectors (with precomputed norms) are joined back onto the
-    // deduplicated pair list for the exact check — auto-broadcast when
-    // the embedding table is small, shuffle hash join on the id keys at
-    // corpus scale (no forced hint, so neither regime OOMs).
+    // Exact verification runs INLINE in the bucket-keyed self-join:
+    // vectors+norms ride both join sides (each shipped once per table
+    // through the ONE existing shuffle — numTables × corpus bytes,
+    // linear), every colliding pair's cosine is computed as the join
+    // output STREAMS into the threshold filter, and only the
+    // (a, b, cosine) survivors — three narrow columns — reach the
+    // pair dedup.
+    //
+    // Why one shape, not a size-gated pair: the round-13 30× scale
+    // measurement killed the previous distinct-first shape (ids-only
+    // candidates → dropDuplicates → join the vectors back on) — the
+    // second verify join reshuffles a candidates-sized intermediate
+    // CARRYING a 512-byte vector per row, an O(candidates ×
+    // vector-bytes) exchange (~100 GB at 60k vectors / 16 tables)
+    // that filled the measurement box's disk. A broadcast-gated
+    // hybrid was tried and measured: even WITH the vector side
+    // broadcastable, distinct-first lost 5.8× at 20k vectors
+    // (87 s vs 15 s) because on low-threshold/structureless corpora
+    // survivors are vanishingly rare — deduplicating tens of millions
+    // of candidate ids costs more than re-verifying the multi-table
+    // collision overlap inline (+12% flops at the measured overlap).
+    // The crossover predictor would be survivor density, unknowable
+    // before execution — so the scale-monotone shape ships
+    // unconditionally. Results are identical either way: the cosine
+    // is table-independent, the filter commutes with the dedup
+    // (DedupSpec pins both-shape equality against exact ground truth).
     //
     // The (id, vec, nrm, buckets) relation is materialized ONCE
     // (graft.Store — localCheckpoint by default, reliable parquet when
-    // spark.graft.store.path is set — the "signature store" discipline): its
-    // four plan occurrences (both bucket-join sides + both exact-verify
-    // probes) would otherwise each re-scan the corpus and re-derive
-    // numTables×bits hyperplane dot products / the norms from parquet.
+    // spark.graft.store.path is set — the "signature store"
+    // discipline): both bucket-join sides would otherwise re-scan the
+    // corpus and re-derive numTables×bits hyperplane dot products.
     val store = LshAnn.withBuckets(embeddings, "vec", numTables, bits, dim)
       .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
       .materializeOnce()
     val long = store.select(
-      col("id"),
+      col("id"), col("vec"), col("nrm"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    val cand = long.as("a")
+      .select(col("id"), col("vec"), col("nrm"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    long.as("a")
       .join(long.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"))
-      .dropDuplicates("a", "b")
-    val vecs = store.select(col("id"), col("vec"), col("nrm"))
-    cand
-      .join(vecs.as("x"), col("a") === col("x.id"))
-      .join(vecs.as("y"), col("b") === col("y.id"))
-      .select(col("a"), col("b"),
-        round(Cosine.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 4).as("cosine"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .where(col("cosine") >= minCosine)
+      .dropDuplicates("a", "b")
   }
 }

@@ -91,26 +91,38 @@ object SemDedup {
       minCosine: Double,
       probes: Int = 2,
       assigner: (DataFrame, IvfAnn.Centroids, Int) => DataFrame = IvfAnn.assign(_, _, _)): DataFrame = {
-    // both relations materialize ONCE (graft.Store — localCheckpoint or
-    // the reliable path-backed store — the signature-store
-    // discipline): the cell assignment re-derives
-    // numCells dot products per row and would otherwise run on BOTH
-    // self-join sides; the normalized vectors feed both exact-verify
-    // probes
-    val cells = assigner(embeddings, centroids, probes).materializeOnce()
-    val cand = cells.as("a")
+    // Exact verification runs INLINE in the cell-keyed self-join —
+    // the CosineDedup discipline, forced by the round-13 30× scale
+    // measurement: the previous distinct-first shape (ids-only
+    // candidates → dropDuplicates → join vectors back on) reshuffled
+    // a Σ|cell|²-sized intermediate carrying a 512-byte vector per
+    // row between the two verify joins (~32 GB exchange at 60k
+    // vectors; wall ×7.6 for ×3 data despite exactly-linear candidate
+    // volume). Here the vectors+norms ride both sides of the ONE cell
+    // shuffle (probes × corpus bytes, linear), every within-cell pair
+    // verifies as the join streams into the filter, and only narrow
+    // (a, b, cosine) survivors reach the pair dedup. A boundary pair
+    // sharing both probed cells re-verifies twice — identical cosine,
+    // the filter commutes with the dedup, results identical (a
+    // broadcast-gated hybrid was tried and REVERTED: distinct-first
+    // lost 6× at 20k vectors even with the broadcast available,
+    // because deduplicating millions of candidates costs more than
+    // the inline overlap re-verification when survivors are rare —
+    // see CosineDedup.pairs).
+    //
+    // The assignment relation materializes ONCE (graft.Store): it
+    // re-derives numCells dot products per row and would otherwise run
+    // on both self-join sides.
+    val cells = assigner(embeddings, centroids, probes)
+      .join(embeddings.select(
+        col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm")), "id")
+      .materializeOnce()
+    cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"))
-      .dropDuplicates("a", "b")
-    val vecs = embeddings.select(
-      col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm"))
-      .materializeOnce()
-    cand
-      .join(vecs.as("x"), col("a") === col("x.id"))
-      .join(vecs.as("y"), col("b") === col("y.id"))
-      .select(col("a"), col("b"),
-        round(Cosine.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 4).as("cosine"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .where(col("cosine") >= minCosine)
+      .dropDuplicates("a", "b")
   }
 }

@@ -24,9 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * ' ')`, so they cannot contain the separator space, and the
   * space-joined pair string is injective on pairs — distinct joined
   * strings == distinct pairs. Null ELEMENTS (absent from split output
-  * but allowed by the type) follow `concat_ws` skip semantics so the
-  * two routes agree on any input. Fewer than two tokens → 0, matching
-  * the shingle guard.
+  * but allowed by the type) are skipped at SEQUENCE level — tokens
+  * bridge across a null, exactly like the shingle route's
+  * concat_ws-then-resplit — so the two routes agree on any input
+  * (fuzz-pinned on null/dup-heavy random arrays; a pair-local skip
+  * demonstrably diverges on null-adjacent inputs). Fewer than two
+  * non-null tokens → 0, matching the shingle guard.
   */
 case class DistinctBigrams(child: Expression) extends UnaryExpression {
 
@@ -52,20 +55,22 @@ case class DistinctBigrams(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     if (n < 2) 0
     else {
+      // concat_ws skip semantics at SEQUENCE level: null elements are
+      // removed before pairing, so tokens BRIDGE across a null — the
+      // exact behavior of the shingle route, whose concat_ws-joined
+      // string drops nulls before the re-split. (An earlier version
+      // skipped nulls pair-locally, rendering (x, null) as "x"; the
+      // randomized null-heavy fuzz caught it diverging from the
+      // pipeline on null-adjacent arrays.)
       val set = new java.util.HashSet[String]()
-      def at(i: Int): String =
-        if (elementsNullable && arr.isNullAt(i)) null else arr.getUTF8String(i).toString
-      var prev = at(0)
-      var i = 1
+      var prev: String = null
+      var i = 0
       while (i < n) {
-        val cur = at(i)
-        // concat_ws semantics: nulls are skipped, not rendered
-        val pair =
-          if (prev == null) { if (cur == null) "" else cur }
-          else if (cur == null) prev
-          else prev + " " + cur
-        set.add(pair)
-        prev = cur
+        if (!(elementsNullable && arr.isNullAt(i))) {
+          val cur = arr.getUTF8String(i).toString
+          if (prev != null) set.add(prev + " " + cur)
+          prev = cur
+        }
         i += 1
       }
       set.size()
@@ -79,26 +84,22 @@ case class DistinctBigrams(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val prev = ctx.freshName("prev")
       val cur = ctx.freshName("cur")
-      val pair = ctx.freshName("pair")
-      // only pay the null ternaries when the child type admits nulls
-      def elem(idx: String): String =
-        if (elementsNullable) s"($a.isNullAt($idx) ? null : $a.getUTF8String($idx).toString())"
-        else s"$a.getUTF8String($idx).toString()"
-      val pairExpr =
-        if (elementsNullable)
-          s"""($prev == null ? ($cur == null ? "" : $cur) : ($cur == null ? $prev : $prev + " " + $cur))"""
-        else s"""$prev + " " + $cur"""
+      // sequence-level null skip, mirroring nullSafeEval: nulls are
+      // removed before pairing (tokens bridge across a null), exactly
+      // like the shingle route's concat_ws-then-resplit — only pay the
+      // null check when the child type admits null elements
+      val nullGuard = if (elementsNullable) s"if ($a.isNullAt($i)) continue;" else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n < 2) {
          |  ${ev.value} = 0;
          |} else {
          |  java.util.HashSet $set = new java.util.HashSet();
-         |  String $prev = ${elem("0")};
-         |  for (int $i = 1; $i < $n; $i++) {
-         |    String $cur = ${elem(i)};
-         |    String $pair = $pairExpr;
-         |    $set.add($pair);
+         |  String $prev = null;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    String $cur = $a.getUTF8String($i).toString();
+         |    if ($prev != null) $set.add($prev + " " + $cur);
          |    $prev = $cur;
          |  }
          |  ${ev.value} = $set.size();

@@ -144,6 +144,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi_contains: adversarial alphabets — random pattern sets over overlap-heavy texts") {
+    // the fixed-pattern test above covers one overlap family; this
+    // sweep draws RANDOM pattern sets over unary/binary alphabets —
+    // the regime where Aho-Corasick failure links chain maximally
+    // (every pattern is a prefix/suffix of others, self-overlapping
+    // runs like "aaa" match at every offset) — and checks each text's
+    // hit set against per-pattern contains
+    import graft.functions.AhoCorasick
+    val rnd = new scala.util.Random(31)
+    (1 to 10).foreach { round =>
+      val alpha = 1 + rnd.nextInt(2) // unary or binary alphabet
+      def rs(n: Int): String = (0 until n).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+      val pats = (1 to 2 + rnd.nextInt(7)).map(_ => rs(1 + rnd.nextInt(6))).distinct
+      val texts = Seq.fill(40)(rs(rnd.nextInt(50)))
+      val got = texts.toDF("t")
+        .select(col("t"), AhoCorasick.multiContains(col("t"), typedlit(pats)).as("hits"))
+        .as[(String, Seq[String])].collect()
+      got.foreach { case (t, hits) =>
+        val want = pats.filter(t.contains(_)).sorted
+        assert(hits == want, s"round $round alpha=$alpha pats=$pats text='$t'")
+      }
+    }
+  }
+
   test("multi_contains: SQL-callable, null text, analysis failures") {
     GraftExtensions.register(spark)
     val hits = spark.sql("SELECT multi_contains('xabcy', array('abc', 'q')) AS h")

@@ -493,6 +493,81 @@ class AnnTextSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT deflate_size(array(1))").collect())
   }
 
+  test("MMR re-rank: relevance first, diversity displaces a redundant near-dup, guards hold") {
+    import graft.ops.MmrRerank
+    // hand-built geometry: A aligned with the query (rel 1.0), B an
+    // exact duplicate of A (rel 0.98), C diverse and relevant (rel
+    // 0.7, cos(C,A)=0.6), D orthogonal junk (rel 0.0). Plain top-3 =
+    // (A, B, C); at λ=0.5 MMR selects A, then C (score 0.05 beats B's
+    // −0.01 — redundancy wiped out B's relevance edge — and D's 0.0),
+    // then B (−0.01) over D (−0.4, close to the now-selected C).
+    val vecs = Seq(
+      (100L, Seq(1.0, 0.0)),
+      (101L, Seq(1.0, 0.0)),
+      (102L, Seq(0.6, 0.8)),
+      (103L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val shortlist = Seq(
+      (1L, 100L, 1.0), (1L, 101L, 0.98), (1L, 102L, 0.7), (1L, 103L, 0.0))
+      .toDF("q", "id", "rel")
+    val out = MmrRerank.rerank(shortlist, vecs, k = 3, lambda = 0.5)
+      .orderBy("rank").select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((100L, 1), (102L, 2), (101L, 3)),
+      s"MMR selection diverged from the hand-computed order: $out")
+    // λ=1 degenerates to plain top-k by relevance
+    val plain = MmrRerank.rerank(shortlist, vecs, k = 3, lambda = 1.0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(plain == Seq(100L, 101L, 102L), s"λ=1 must be pure top-k: $plain")
+    // two queries select independently (breadth-parallel rounds)
+    val two = shortlist.unionByName(
+      Seq((2L, 102L, 0.9), (2L, 103L, 0.8), (2L, 100L, 0.1)).toDF("q", "id", "rel"))
+    val perQ = MmrRerank.rerank(two, vecs, k = 2, lambda = 0.5)
+      .select("q", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(perQ.count(_._1 == 2L) == 2 && perQ((2L, 1, 102L)),
+      s"per-query independence broken: $perQ")
+    intercept[IllegalArgumentException](MmrRerank.rerank(shortlist, vecs, 0, 0.5))
+    intercept[IllegalArgumentException](MmrRerank.rerank(shortlist, vecs, 2, 1.5))
+  }
+
+  test("byte entropy + deflate size match direct recomputes on randomized adversarial strings") {
+    // the corpus tests above run natural text; this sweep drives the
+    // shapes that break byte-level kernels — latin-1 control bytes,
+    // multi-byte UTF-8 (CJK/combining/surrogate halves → replacement
+    // chars, deterministic on both sides), unary runs (max repetition),
+    // and near-incompressible alphanumeric noise
+    import graft.functions.{ByteEntropy, DeflateSize}
+    val rnd = new scala.util.Random(23)
+    def randText(): String = rnd.nextInt(4) match {
+      case 0 => (0 until rnd.nextInt(300)).map(_ => rnd.nextInt(256).toChar).mkString
+      case 1 => (0 until rnd.nextInt(120)).map(_ =>
+        "世́😀é".charAt(rnd.nextInt(5))).mkString
+      case 2 => "a" * rnd.nextInt(500)
+      case _ => (0 until rnd.nextInt(200)).map(_ => ('0' + rnd.nextInt(75)).toChar).mkString
+    }
+    val texts = Seq.fill(200)(randText()).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = texts.toDF("id", "text")
+      .select(col("id"), ByteEntropy(col("text")).as("h"), DeflateSize(col("text")).as("z"))
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = bytes.length.toDouble
+      // fold in ascending byte order — ByteEntropy's own accumulation
+      // order, so the comparison is bit-exact (an unordered fold
+      // differs in the last ulp)
+      val wantH =
+        if (n == 0) 0.0
+        else bytes.groupBy(identity).toSeq.sortBy(_._1 & 0xff).map(_._2.length)
+          .foldLeft(0.0)((acc, c) => acc - (c / n) * math.log(c / n))
+      assert(got(id)._1 == wantH, s"entropy mismatch on case $id (${t.take(30)}...)")
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      assert(got(id)._2 == total, s"deflate mismatch on case $id")
+    }
+  }
+
   test("local sampled k-means training: deterministic, distributed-loop semantics preserved") {
     import graft.sim.{IvfAnn, PqAnn}
     val e = Tables(spark, TestSpark.SfDir, "embeddings")

@@ -262,4 +262,79 @@ class ClickHouseStubJdbcSpec extends AnyFunSuite {
     assert(committed == addresses.map(a => s"graft_b0002_$a").sorted,
       "exactly one committed block per (partition, chunk) address")
   }
+
+  test("streaming tail → parse → JDBC sink: mid-batch failure kills the query, checkpoint restart replays exactly once") {
+    // The reference's ACTUAL loop (Worker.php:94-129: tail → parse →
+    // ClickHouse insert → offset commit), run end to end against the
+    // recording driver: a Structured Streaming file tail feeds
+    // TailPipeline whose sink is the JDBC sink at the stub URL, the
+    // stub drops the connection mid-batch (after the partition's first
+    // chunk committed), the query DIES before its checkpoint commit,
+    // and the restart replays the same micro-batch — committed blocks
+    // dedup on their tokens, lost blocks insert. Exactly-once across
+    // the failure, at streaming granularity rather than the batch-call
+    // granularity of the tests above.
+    import java.nio.file.{Files, StandardOpenOption}
+    import java.time.LocalDate
+    import graft.logs.{MonologParser, TailConfig}
+    import graft.streaming.TailPipeline
+
+    StubChDriver.ensureRegistered()
+    StubChServer.reset()
+    val in = Files.createTempDirectory("ch_stream_in")
+    val ck = Files.createTempDirectory("ch_stream_ck")
+    val cfg = TailConfig(name = "ch_stream", repo = "api2")
+    val n = 200
+    val lines = (0 until n).map(i => f"[2024-01-01 10:${i / 60}%02d:${i % 60}%02d] app.INFO: msg_$i {} []")
+    val t = in.resolve(".a.log.tmp")
+    Files.write(t, String.join("\n", lines: _*).getBytes, StandardOpenOption.CREATE)
+    Files.move(t, in.resolve("a.log"))
+
+    // chunk routing is a pure function of row content, so a dry run
+    // under a throwaway batch key reveals the (partition, chunk)
+    // addresses this batch produces; arm the failure on a SECOND chunk
+    // so its partition's first chunk has already committed when the
+    // connection drops (the worst-case mid-task crash point)
+    val staticBatch = spark.read.text(in.toString).withColumnRenamed("value", "line")
+    sink.writeBatch(MonologParser.parse(staticBatch, cfg), "dryrun")
+    val addresses = StubChServer.inserts.map(_.token.stripPrefix("graft_dryrun_"))
+    val failAt = addresses.find(_.endsWith("_c1"))
+      .getOrElse(fail("expected a multi-chunk partition at n=200, batchSize=30"))
+    StubChServer.reset()
+    StubChServer.armFailure(s"graft_ch_stream_0_$failAt")
+
+    val pipe = TailPipeline(spark, cfg, in.toString, ck.toString, sink)
+    val day = LocalDate.of(2024, 1, 1)
+    val q1 = pipe.start(day)
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(boom.getMessage.contains("simulated network failure"),
+      s"the streaming failure must be the armed one, got: ${boom.getMessage}")
+    val attempt1 = StubChServer.inserts
+    assert(attempt1.forall(!_.dropped), "nothing is a duplicate on the first attempt")
+    assert(attempt1.size < addresses.size, "the armed failure must have lost at least one block")
+
+    // checkpoint restart: the file source's WAL never committed batch 0,
+    // so the SAME micro-batch (same batch id → same tokens) replays
+    val q2 = pipe.start(day)
+    q2.processAllAvailable()
+    pipe.stopGracefully(q2)
+    val attempt2 = StubChServer.inserts.drop(attempt1.size)
+    assert(attempt2.nonEmpty, "the restart must re-deliver the failed micro-batch")
+    val committedBefore = attempt1.map(_.token).toSet
+    attempt2.foreach { i =>
+      assert(i.dropped == committedBefore.contains(i.token),
+        s"${i.token}: replay must dedup committed blocks and insert lost ones")
+    }
+    // exactly-once table contents: every parsed line exactly once
+    val stored = StubChServer.tableRows
+    assert(stored.size == n, s"expected $n rows exactly once, got ${stored.size}")
+    assert(stored.distinct.size == n, "no duplicate rows after the replay")
+    // and exactly one committed block per address, none beyond the dry run's
+    val committed = StubChServer.inserts.filter(!_.dropped).map(_.token).sorted
+    assert(committed == addresses.map(a => s"graft_ch_stream_0_$a").sorted,
+      "exactly one committed block per (partition, chunk) address across the failure")
+  }
 }

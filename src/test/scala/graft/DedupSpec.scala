@@ -299,6 +299,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got.subsetOf(exact), "exact verification stage must not emit false positives")
   }
 
+  test("inline bucket-join verification equals the distinct-first reference shape") {
+    // the round-13 scale fix moved exact verification INLINE into the
+    // bucket/cell self-join (the distinct-first shape reshuffled a
+    // candidates × vector-bytes intermediate that filled a disk at
+    // 30×). The equality claim that rests on — the threshold filter
+    // commutes with the pair dedup, and the cosine is
+    // table-independent — is pinned here by rebuilding the OLD shape
+    // explicitly (distinct ids first, vectors joined back on, verify
+    // once per distinct pair) and comparing full (a, b, cosine) rows.
+    import org.apache.spark.sql.functions.{col, round => sround, sqrt => ssqrt}
+    val e = Tables(spark, TestSpark.SfDir, "embeddings")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("a", "b", "cosine").collect().map(_.toString).sorted.toSeq
+    val inline = rows(graft.dedup.CosineDedup.pairs(e, minCosine = 0.4))
+    // distinct-first reference: same buckets, same threshold, verify
+    // after the pair dedup instead of before
+    val bits = graft.dedup.CosineDedup.adaptiveBits(e.count())
+    val store = graft.sim.LshAnn.withBuckets(e, "vec", 16, bits, 64)
+      .withColumn("nrm", ssqrt(graft.sim.Cosine.dot(col("vec"), col("vec"))))
+    val long = store.select(col("id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array((0 until 16).map(t =>
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.lit(t).as("t"),
+            col(s"bucket_$t").as("bk"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = long.as("a")
+      .join(long.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b")).dropDuplicates("a", "b")
+    val vecs = store.select(col("id"), col("vec"), col("nrm"))
+    val reference = rows(cand
+      .join(vecs.as("x"), col("a") === col("x.id"))
+      .join(vecs.as("y"), col("b") === col("y.id"))
+      .select(col("a"), col("b"),
+        sround(graft.sim.Cosine.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 4)
+          .as("cosine"))
+      .where(col("cosine") >= 0.4))
+    assert(inline.nonEmpty, "shape-equality test must not be vacuous")
+    assert(inline == reference, "inline verification diverged from the distinct-first reference")
+  }
+
   test("semantic dedup: cluster-bounded candidates recover near-dup pairs, no false positives") {
     import org.apache.spark.sql.functions.col
     val e = Tables(spark, TestSpark.SfDir, "embeddings")

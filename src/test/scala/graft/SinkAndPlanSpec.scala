@@ -621,6 +621,59 @@ class SinkAndPlanSpec extends AnyFunSuite {
     assert(one("distinct_bigrams(array('a', CAST(NULL AS STRING), 'a'))") == 1)
   }
 
+  test("DistinctBigrams matches the shingle pipeline on randomized dup/null-heavy token arrays") {
+    GraftExtensions.register(spark)
+    // adversarial token streams: tiny vocabulary (maximal bigram
+    // collisions), interleaved nulls (concat_ws skip semantics), empty
+    // tokens, and runs — checked against the interpreted shingle count
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("a", "b", "ab", "", "aa")
+    val cases = Seq.fill(150) {
+      (0 until rnd.nextInt(12)).map(_ =>
+        if (rnd.nextInt(5) == 0) null else vocab(rnd.nextInt(vocab.size))): Seq[String]
+    }
+    val mismatch = cases.toDF("toks")
+      .select(
+        graft.functions.DistinctBigrams(col("toks")).as("fast"),
+        size(graft.dedup.Shingles.shingles(concat_ws(" ", col("toks")), 2)).as("slow"),
+        col("toks"))
+      .where(coalesce(col("fast"), lit(-1)) =!= coalesce(col("slow"), lit(-1)))
+      .collect()
+    assert(mismatch.isEmpty, s"randomized divergence: ${mismatch.take(3).toSeq}")
+  }
+
+  test("freq_topk: Misra-Gries guarantees hold across RANDOM partition splits of the same multiset") {
+    GraftExtensions.register(spark)
+    // merge correctness under adversarial splits: the same skewed
+    // multiset, shuffled and split into random partition counts, must
+    // always satisfy the summary guarantees (no overestimate, error
+    // ≤ n/(cap+1), every true heavy hitter present) — estimates may
+    // legitimately differ per split, the GUARANTEES may not
+    val rnd = new scala.util.Random(41)
+    val items = Seq.fill(800)("hot") ++ Seq.fill(250)("warm") ++
+      (0 until 300).map(i => s"cold${i % 60}") // 60 mid items, 5 each
+    val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = items.size
+    val cap = 8
+    val bound = n.toDouble / (cap + 1)
+    (1 to 6).foreach { round =>
+      val parts = 1 + rnd.nextInt(31)
+      val shuffled = rnd.shuffle(items)
+      val got = shuffled.toDF("item").repartition(parts)
+        .agg(graft.functions.FreqTopK.topK(col("item"), 8, cap).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+      got.foreach { case (item, est) =>
+        assert(est <= trueCounts(item), s"round $round parts=$parts: $item overestimated")
+        assert(trueCounts(item) - est <= bound,
+          s"round $round parts=$parts: $item error beyond n/(cap+1)")
+      }
+      trueCounts.filter(_._2 > bound).keys.foreach { hh =>
+        assert(got.contains(hh), s"round $round parts=$parts: heavy hitter $hh missing")
+      }
+    }
+  }
+
   test("custom TopKPerKey operator matches the window route; plan shows two-phase exec") {
     import org.apache.spark.sql.expressions.Window
     val li = Tables(spark, TestSpark.SfDir, "lineitem")
@@ -774,6 +827,60 @@ class SinkAndPlanSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         graft.ops.BucketedStore.materializeOnce(a, "ok_name", "l_orderkey", 0)
       }
+      ()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("snapshot_diff over bucketed snapshots: FULL OUTER join plans zero Exchange, result unchanged") {
+    // SURVEY §5's claim that snapshot diff is "co-locatable when
+    // snapshots are bucketed", made a plan assertion: write both
+    // snapshot versions through BucketedStore on the diff key and the
+    // FULL OUTER join — the diff's one shuffle — disappears entirely.
+    // At 100 TB this converts every nightly diff from two corpus
+    // shuffles into two bucketed scans.
+    val dir = TestSpark.SfDirSmall
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      val oldSnap = ord.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      val newSnap = ord.where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")))
+      val a = graft.ops.BucketedStore.materializeOnce(
+        oldSnap, s"graft_bkt_snap_old_$tag", "o_orderkey", 8)
+      val b = graft.ops.BucketedStore.materializeOnce(
+        newSnap, s"graft_bkt_snap_new_$tag", "o_orderkey", 8)
+      def classify(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+        l.as("a").join(r.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+          .select(
+            when(col("a.o_orderkey").isNull, lit("added"))
+              .when(col("b.o_orderkey").isNull, lit("removed"))
+              .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("changed"))
+              .otherwise(lit("unchanged")).as("change_type"),
+            coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("key"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"), min(col("key")).as("first_key"), max(col("key")).as("last_key"))
+          .orderBy("change_type")
+      val diff = classify(a, b)
+      // the JOIN subtree is exchange-free (scans' HashPartitioning
+      // satisfies the full-outer merge join's distribution); assert on
+      // the bare join — the 4-row aggregate/sort above it in the full
+      // query legitimately shuffles its stats-sized input
+      val bare = a.as("a").join(b.as("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      val plan = bare.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot diff must not shuffle the snapshots:\n$plan")
+      // co-location changes the plan, not the answer: equal to the
+      // registry query (raw scans, shuffled join) on the same slices
+      val viaRegistry = SparkEntry.queries("snapshot_diff")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(diff.collect().map(_.toString).toSeq == viaRegistry,
+        "bucketed diff result must equal the registry snapshot_diff")
       ()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
