@@ -202,11 +202,15 @@ object Bench {
     val committed: Map[String, Double] =
       if (only.nonEmpty) Map.empty
       else (try {
-        val p = java.nio.file.Paths.get("BENCH_FULL.json")
-        if (java.nio.file.Files.exists(p))
-          parsePrevQueries(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
-            .getOrElse(Map.empty)
-        else Map.empty
+        // same baseline-path fallback as the drift check below: a
+        // GRAFT_BENCH_OUT-redirected run resamples against its own
+        // history, not a stale or unrelated BENCH_FULL.json
+        Seq(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json"), "BENCH_FULL.json")
+          .distinct.map(java.nio.file.Paths.get(_))
+          .find(java.nio.file.Files.exists(_))
+          .flatMap(p => parsePrevQueries(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir))
+          .getOrElse(Map.empty)
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] baseline parse for resampling failed: $e")

@@ -33,7 +33,10 @@ import graft.sim.Cosine
   *                  relevance (e.g. cosine from [[graft.sim.Knn.topK]])
   * @param vectors   (id, vec array<double>) — embeddings for the
   *                  candidate ids (corpus table; only shortlist ids
-  *                  survive the join)
+  *                  survive the join). Every shortlist id MUST have a
+  *                  row here: a missing one fails the job with a
+  *                  descriptive error rather than silently shrinking
+  *                  the candidate pool below k
   * @param k         items to select per query
   * @param lambda    relevance weight in [0, 1]; 1 = plain top-k,
   *                  0 = pure diversity
@@ -49,10 +52,18 @@ object MmrRerank {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
     // candidates with vec+norm attached — shortlist-sized; the join
     // prunes `vectors` to shortlist ids (broadcast when small, shuffle
-    // hash at corpus scale — no forced hint)
+    // hash at corpus scale — no forced hint). Left join + in-plan
+    // raise_error: a shortlist id with no embedding row would silently
+    // shrink the candidate pool (and possibly the result below k), so
+    // it fails loudly instead — zero cost when the tables agree.
     val cand = shortlist.select(col("q"), col("id"), col("rel"))
       .join(vectors.select(col("id"),
-        col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm")), "id")
+        col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm")),
+        Seq("id"), "left")
+      .withColumn("nrm", when(col("vec").isNull,
+          raise_error(concat(lit("MmrRerank: shortlist id "),
+            col("id").cast("string"), lit(" has no row in vectors"))))
+        .otherwise(col("nrm")))
       .materializeOnce()
     // pairwise candidate similarity within each query's shortlist:
     // the qid-keyed self-join is the op's ONLY quadratic relation and

@@ -133,7 +133,20 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     val files = Option(fs(spark).globStatus(
       new Path(path, s"ingest_batch=$batchKey/event_date=*/*.parquet")))
       .getOrElse(Array.empty).toSeq
-    if (files.nonEmpty) {
+    if (files.isEmpty) {
+      // An empty micro-batch's Overwrite still creates
+      // ingest_batch=<key>/ (with _SUCCESS and no data). Left behind,
+      // that residue reads as a data dir with no commit marker — which
+      // readAsOf must treat as a crashed commit — so remove it, along
+      // with any marker/manifest slice from a prior NON-empty landing
+      // of the same key (a replay-to-empty means the batch now
+      // contributes nothing to any snapshot).
+      val f = fs(spark)
+      f.delete(new Path(path, s"ingest_batch=$batchKey"), true)
+      f.delete(new Path(path, s"${MergeTreeSink.CommitsDir}/$batchKey"), false)
+      f.delete(new Path(s"$manifestRoot/batch=$batchKey"), true)
+      ()
+    } else {
       footerManifestRows(spark, files) match {
         case Some(rows) =>
           spark.createDataFrame(
@@ -199,13 +212,30 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     // fail loudly instead: such a dir is either a pre-marker legacy
     // write or a crash between data and marker, and the caller must
     // re-commit or compact it, not get a quietly-short snapshot.
+    // Two carve-outs keep this check from biting healthy tables:
+    //  - dirs with NO data files (an empty micro-batch's _SUCCESS-only
+    //    residue, or a crash before any file landed) hold no rows any
+    //    snapshot could miss — skipped, not fatal;
+    //  - a RECENTLY-written unmarked dir is the normal data-then-marker
+    //    commit window of a live writer — excluded from this snapshot
+    //    (exactly what a concurrent reader should see mid-commit), and
+    //    only treated as a crashed commit once it ages past the grace
+    //    window without its marker.
     val dataKeys = Option(f.globStatus(new Path(path, "ingest_batch=*")))
       .map(_.toSeq).getOrElse(Seq.empty)
       .map(_.getPath.getName.stripPrefix("ingest_batch="))
       .filterNot(_ == CompactedBatchId)
-    val unmarked = dataKeys.filterNot(markerKeys.contains)
-    require(unmarked.isEmpty,
-      s"uncommitted ingest batches under $path: ${unmarked.mkString(", ")} " +
+    val unmarked = dataKeys.filterNot(markerKeys.contains).filter { k =>
+      Option(f.globStatus(new Path(path, s"ingest_batch=$k/event_date=*")))
+        .exists(_.nonEmpty)
+    }
+    val now = System.currentTimeMillis()
+    val stale = unmarked.filter { k =>
+      now - f.getFileStatus(new Path(path, s"ingest_batch=$k"))
+        .getModificationTime > MergeTreeSink.InFlightGraceMs
+    }
+    require(stale.isEmpty,
+      s"uncommitted ingest batches under $path: ${stale.mkString(", ")} " +
         "(data landed without a commit marker — re-commit or compact before time travel)")
     val selected = markerKeys.flatMap { k =>
       val in = f.open(new Path(commits, k))
@@ -543,6 +573,14 @@ object MergeTreeSink {
     * batch, content = commit stamp in epoch micros ([[MergeTreeSink.readAsOf]]).
     */
   private[sinks] val CommitsDir = "_commits"
+
+  /** How long an unmarked data dir may sit before [[MergeTreeSink.readAsOf]]
+    * treats it as a crashed commit instead of an in-flight one. Sized to
+    * dominate any realistic data-to-marker gap (a micro-batch's footer
+    * scan + one marker rename) by orders of magnitude while still
+    * surfacing genuinely orphaned data the same day it lands.
+    */
+  private[graft] val InFlightGraceMs: Long = 5L * 60L * 1000L
 
   private[sinks] val ManifestSliceSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

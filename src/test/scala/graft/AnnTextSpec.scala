@@ -526,6 +526,14 @@ class AnnTextSpec extends AnyFunSuite {
       s"per-query independence broken: $perQ")
     intercept[IllegalArgumentException](MmrRerank.rerank(shortlist, vecs, 0, 0.5))
     intercept[IllegalArgumentException](MmrRerank.rerank(shortlist, vecs, 2, 1.5))
+    // a shortlist id with no embedding row fails loudly (in-plan
+    // raise_error) instead of silently shrinking the candidate pool
+    val orphaned = shortlist.unionByName(Seq((1L, 999L, 0.5)).toDF("q", "id", "rel"))
+    val err = intercept[Exception](
+      MmrRerank.rerank(orphaned, vecs, k = 3, lambda = 0.5).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("999 has no row in vectors")), msgs(err).mkString(" | "))
   }
 
   test("byte entropy + deflate size match direct recomputes on randomized adversarial strings") {

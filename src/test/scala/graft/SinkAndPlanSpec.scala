@@ -411,12 +411,20 @@ class SinkAndPlanSpec extends AnyFunSuite {
     sink.writeBatch(parsedEvents.limit(30), "src_0", 1, Some(100L))
     assert(sink.readAsOf(spark, 100L).count() == 30)
     // simulate a crash between data and marker (or a pre-marker legacy
-    // write): data dir present, no commit marker — every snapshot would
-    // silently omit those rows, so the read must refuse instead
+    // write): data dir present, no commit marker. While the dir is
+    // fresh this is indistinguishable from a live writer's data-then-
+    // marker commit window, so the snapshot just excludes it...
     val commits = new java.io.File(root, "_commits")
     val marker = commits.listFiles().filter(_.getName.startsWith("src_0")).head
     val stampTxt = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
     assert(marker.delete())
+    assert(sink.readAsOf(spark, 100L).count() == 0)
+    // ...but once it ages past the in-flight grace window with no
+    // marker, every snapshot would silently omit those rows forever —
+    // the read must refuse instead
+    val batchDir = root.listFiles().filter(_.getName.startsWith("ingest_batch=")).head
+    val aged = System.currentTimeMillis() - 2 * graft.sinks.MergeTreeSink.InFlightGraceMs
+    assert(batchDir.setLastModified(aged))
     val e = intercept[IllegalArgumentException](sink.readAsOf(spark, 100L))
     assert(e.getMessage.contains("without a commit marker"), e.getMessage)
     // a corrupt marker is a descriptive error, not a bare NumberFormatException
@@ -430,6 +438,28 @@ class SinkAndPlanSpec extends AnyFunSuite {
     java.nio.file.Files.write(marker.toPath, stampTxt.getBytes("UTF-8"))
     dropCrc()
     assert(sink.readAsOf(spark, 100L).count() == 30)
+  }
+
+  test("empty micro-batches leave no residue and never poison time travel") {
+    val root = Files.createTempDirectory("mt_emptybatch").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    sink.writeBatch(parsedEvents.limit(30), "src_0", 1, Some(100L))
+    // an empty micro-batch (tail-from-end's first trigger): Overwrite
+    // creates ingest_batch=<key>/ with only _SUCCESS; the sink must
+    // clean it up so readAsOf never sees a data-less "uncommitted" dir
+    sink.writeBatch(parsedEvents.limit(0), "src_1", 1, Some(200L))
+    assert(!root.listFiles().exists(_.getName == "ingest_batch=src_1"))
+    assert(sink.readAsOf(spark, 250L).count() == 30)
+    // replay-to-empty: a batch that previously landed rows and replays
+    // as empty now contributes nothing — its data, marker, and manifest
+    // slice are all withdrawn, and snapshots keep working
+    sink.writeBatch(parsedEvents.limit(10), "src_2", 1, Some(300L))
+    assert(sink.readAsOf(spark, 350L).count() == 40)
+    sink.writeBatch(parsedEvents.limit(0), "src_2", 1, Some(400L))
+    assert(!root.listFiles().exists(_.getName == "ingest_batch=src_2"))
+    assert(!new java.io.File(root, "_commits/src_2").exists())
+    assert(sink.readAsOf(spark, 450L).count() == 30)
+    assert(sink.read(spark).count() == 30)
   }
 
   test("freq_topk: Misra-Gries guarantees hold, exact in the small regime, SQL-callable") {
