@@ -1847,6 +1847,38 @@ object SparkEntry {
 
   private val dedupCosineLshSql = cosinePrecisionSql
 
+  /** Pair-capped LSH dedup (SURVEY §2 B24c): buckets over `maxBucket`
+    * switch from all-pairs to [[graft.dedup.PairCap]]'s geometry-ordered
+    * window chain — the hot-bucket insurance the round-14 clustered
+    * measurement motivated (a tight near-dup blob shares every
+    * hyperplane sign, so one bucket goes quadratic in blob mass;
+    * SCALE.md "clustered"). The cap is pinned LOW here (8) so the
+    * oracle gate exercises the chain path at test scale; the shared
+    * precision oracle is config-independent (every emitted pair's true
+    * cosine re-derived, threshold re-applied — a capped emission is a
+    * verified SUBSET of the uncapped pair set by construction).
+    */
+  private def dedupCosineCapped(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CosineDedup.pairs(
+      embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec")),
+      minCosine = 0.4, maxBucket = 8).orderBy("a", "b")
+
+  private val dedupCosineCappedSql = cosinePrecisionSql
+
+  /** Pair-capped semantic dedup (SURVEY §2 B24d): cells over `maxCell`
+    * route their members into the LSH family (finer multi-table
+    * buckets resolve the straddling-cluster regime a bounded-degree
+    * chain under-removes; measured removal parity with uncapped on the
+    * 10× clustered corpus — SCALE.md). Cap pinned LOW (8) to exercise
+    * the routed path at oracle scale; same precision oracle.
+    */
+  private def dedupSemanticCapped(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.pairs(
+      embDouble(s, dir).select(col("vec_id").as("id"), col("v").as("vec")),
+      minCosine = 0.4, maxCell = 8).orderBy("a", "b")
+
+  private val dedupSemanticCappedSql = cosinePrecisionSql
+
   /** Semantic dedup (SemDeDup shape, SURVEY §2 row 24a): k-means cells
     * bound the candidate join (within-cell pairs only), exact cosine
     * verifies — same precision oracle as the LSH configs (true cosine
@@ -8420,6 +8452,8 @@ object SparkEntry {
     "dedup_simhash" -> Q(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_cosine" -> Q(dedupCosine, Some(dedupCosineSql)),
     "dedup_cosine_lsh" -> Q(dedupCosineLsh, Some(dedupCosineLshSql)),
+    "dedup_cosine_capped" -> Q(dedupCosineCapped, Some(dedupCosineCappedSql)),
+    "dedup_semantic_capped" -> Q(dedupSemanticCapped, Some(dedupSemanticCappedSql)),
     "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_semantic_hier" -> Q(dedupSemanticHier, Some(dedupSemanticHierSql)),
     "ann_bruteforce" -> Q(annBruteforce, Some(annBruteforceSql)),

@@ -51,7 +51,8 @@ object CosineDedup {
       minCosine: Double,
       numTables: Int = 16,
       bitsPerTable: Int = 0,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable else adaptiveBits(embeddings.count())
     // Exact verification runs INLINE in the bucket-keyed self-join:
     // vectors+norms ride both join sides (each shipped once per table
@@ -93,12 +94,15 @@ object CosineDedup {
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
       .select(col("id"), col("vec"), col("nrm"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    long.as("a")
-      .join(long.as("b"),
-        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
-      .where(col("cosine") >= minCosine)
-      .dropDuplicates("a", "b")
+    if (maxBucket <= 0)
+      long.as("a")
+        .join(long.as("b"),
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a"), col("b.id").as("b"),
+          round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+        .where(col("cosine") >= minCosine)
+        .dropDuplicates("a", "b")
+    else
+      PairCap.cappedPairs(long, Seq("t", "bk"), maxBucket, minCosine)
   }
 }

@@ -61,9 +61,12 @@ object SemDedup {
       minCosine: Double,
       numCells: Int = 0,
       iters: Int = 3,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2,
+      maxCell: Int = 0,
+      dim: Int = 64): DataFrame = {
     val cells = if (numCells > 0) numCells else adaptiveCells(embeddings.count())
-    pairsWith(embeddings, IvfAnn.train(embeddings, cells, iters), minCosine, probes)
+    pairsWith(embeddings, IvfAnn.train(embeddings, cells, iters), minCosine, probes,
+      maxCell = maxCell, dim = dim)
   }
 
   /** The adaptive cell count for an `n`-vector corpus:
@@ -90,7 +93,9 @@ object SemDedup {
       centroids: IvfAnn.Centroids,
       minCosine: Double,
       probes: Int = 2,
-      assigner: (DataFrame, IvfAnn.Centroids, Int) => DataFrame = IvfAnn.assign(_, _, _)): DataFrame = {
+      assigner: (DataFrame, IvfAnn.Centroids, Int) => DataFrame = IvfAnn.assign(_, _, _),
+      maxCell: Int = 0,
+      dim: Int = 64): DataFrame = {
     // Exact verification runs INLINE in the cell-keyed self-join —
     // the CosineDedup discipline, forced by the round-13 30× scale
     // measurement: the previous distinct-first shape (ids-only
@@ -117,12 +122,29 @@ object SemDedup {
       .join(embeddings.select(
         col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm")), "id")
       .materializeOnce()
-    cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
-      .where(col("cosine") >= minCosine)
-      .dropDuplicates("a", "b")
+    if (maxCell <= 0)
+      cells.as("a")
+        .join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a"), col("b.id").as("b"),
+          round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+        .where(col("cosine") >= minCosine)
+        .dropDuplicates("a", "b")
+    else
+      // Over-cap cells arise when Voronoi splitting fails: identical-
+      // vector blobs tie to one cell no matter how many centroids
+      // train, and k-means leaves TIGHT clusters in few cells. Their
+      // members route into the LSH family ([[CosineDedup]], 8 tables,
+      // adaptive bits, recursion-terminating chain cap) — fine
+      // multi-table buckets resolve the straddling-cluster regime
+      // (internal cosine distribution crossing the threshold) that a
+      // bounded-degree chain was measured to under-remove by ~11% on
+      // the 10× clustered corpus; volume stays cap-bounded both ways.
+      // See [[PairCap]] for the measurement trail.
+      PairCap.cappedPairs(cells.select("id", "vec", "nrm", "cell"), Seq("cell"),
+        maxCell, minCosine,
+        overCap = Some(sub => CosineDedup.pairs(
+          sub.select("id", "vec"), minCosine, numTables = 8, dim = dim,
+          maxBucket = maxCell)))
   }
 }

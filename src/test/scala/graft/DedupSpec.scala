@@ -418,6 +418,60 @@ class DedupSpec extends AnyFunSuite {
       "hierarchical-assignment recall collapsed vs the literal path")
   }
 
+  test("pair cap: blob corpus collapses identically capped or not, cap-off equals unlimited") {
+    import org.apache.spark.sql.functions.col
+    // adversarial fixture uniform testdata cannot exhibit (round-14
+    // clustered-corpus measurement, SCALE.md): a TIGHT near-duplicate
+    // blob — 300 noisy copies of one direction — whose members share
+    // every hyperplane sign (one giant LSH bucket per table) and tie
+    // into few k-means cells, plus 700 isotropic vectors. Uncapped,
+    // the blob makes Σ|group|² quadratic in blob mass; the cap must
+    // bound the work WITHOUT changing what dedup does: the blob still
+    // collapses to one canonical survivor.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val center = Array.fill(dim)(rnd.nextGaussian())
+    val blob = (0 until 300).map(i =>
+      (i.toLong, unit(center.map(_ + 0.03 * rnd.nextGaussian()))))
+    val noise = (300 until 1000).map(i =>
+      (i.toLong, unit(Array.fill(dim)(rnd.nextGaussian()))))
+    val e = (blob ++ noise).toDF("id", "vec")
+    val exact = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        graft.sim.Cosine.sim(col("x.vec"), col("y.vec")).as("c"))
+      .where(col("c") >= 0.8).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.size > 40000, s"blob fixture must dominate the truth set: ${exact.size}")
+    // survivors of the blob after canonicalization — the dedup outcome
+    def blobSurvivors(pairs: org.apache.spark.sql.DataFrame): Long =
+      graft.dedup.DupClusters.resolve(pairs, "a", "b")
+        .where(col("id") < 300 && col("keep")).count()
+    // LSH family: the 300-blob exceeds maxBucket=64 in every table →
+    // geometry-ordered chain. No false positives, same single survivor.
+    val lshCap = graft.dedup.CosineDedup.pairs(e, minCosine = 0.8, dim = dim, maxBucket = 64)
+    val lshCapPairs = lshCap.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lshCapPairs.subsetOf(exact), "capped LSH emitted a false positive")
+    assert(blobSurvivors(lshCap) == 1L, "capped LSH must collapse the blob to one survivor")
+    val lshFull = graft.dedup.CosineDedup.pairs(e, minCosine = 0.8, dim = dim)
+    assert(blobSurvivors(lshFull) == 1L)
+    // cell family: blob cells exceed maxCell=64 → over-cap members
+    // route into the LSH family (recursion terminates in the chain)
+    val semCap = graft.dedup.SemDedup.pairs(e, minCosine = 0.8, numCells = 8,
+      maxCell = 64, dim = dim)
+    val semCapPairs = semCap.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(semCapPairs.subsetOf(exact), "capped SemDedup emitted a false positive")
+    assert(blobSurvivors(semCap) == 1L, "capped SemDedup must collapse the blob to one survivor")
+    assert(blobSurvivors(graft.dedup.SemDedup.pairs(e, minCosine = 0.8, numCells = 8)) == 1L)
+    // a cap no group reaches is the identity: full (a, b, cosine) rows
+    // equal the uncapped operator's exactly
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("a", "b", "cosine").collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.dedup.CosineDedup.pairs(e, minCosine = 0.8, dim = dim, maxBucket = 100000))
+      == rows(lshFull), "an unreached cap must not change the emitted pairs")
+  }
+
   test("boilerplate spans: positional windows, first occurrence, spread, ranking") {
     import org.apache.spark.sql.functions._
     // positional (non-distinct) kernel contract: index i = window at token i

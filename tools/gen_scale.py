@@ -10,6 +10,7 @@ corpus size changing. Output dirs are never committed (scaledata/ is
 gitignored) and never touch /root/testdata.
 
 Usage: python3 tools/gen_scale.py <outroot> <k> [<k> ...] [--only t1,t2]
+                                  [--clustered]
   k = size multiplier vs sf0.1 (k=10 -> "sf1": 6M lineitem, 50k docs)
   --only limits output to the named tables (e.g. embeddings for the
   30x cosine-LSH occupancy check, where the relational fact tables
@@ -20,6 +21,18 @@ Usage: python3 tools/gen_scale.py <outroot> <k> [<k> ...] [--only t1,t2]
   --only dirs when exact content reproducibility matters. An --only
   dir is suffixed with "e" (e.g. sf3e) so a partial dir can never be
   mistaken for a full corpus.
+  --clustered replaces the isotropic embeddings with a CLUSTERED
+  corpus — a mixture of Gaussians on the unit sphere (50 centers,
+  Zipf(1)-skewed weights so the hot cluster carries ~22% of the mass,
+  per-cluster sigma log-uniform in [0.02, 0.3], with the hot cluster
+  PINNED tight at sigma=0.05 so the near-duplicate-blob regime is
+  always present). This is the adversarial fixture for the cell/bucket
+  families: uniform data cannot exhibit hot-cell candidate skew, and
+  every recall number measured on uniform vectors is the friendliest
+  case. Label column = true mixture component (ground truth for
+  cluster-recovery checks). Implies embeddings only; dirs are suffixed
+  "c" (e.g. sf1c) so a clustered corpus is never mistaken for the
+  stationary-marginals one.
 """
 import json
 import os
@@ -45,6 +58,30 @@ LANGS = [("en", 0.412), ("zh", 0.151), ("es", 0.149), ("fr", 0.148), ("de", 0.14
 def wr(outdir, name, table):
     pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
     print(f"  {name}: {table.num_rows} rows")
+
+
+def gen_clustered(outroot, label, k, seed=20261):
+    """Mixture-of-Gaussians embeddings (see module docstring)."""
+    rng = np.random.default_rng(seed + 7000 + k)
+    outdir = os.path.join(outroot, label)
+    os.makedirs(outdir, exist_ok=True)
+    print(f"== {label} (k={k}, clustered) -> {outdir}")
+    n_emb, kc, dim = 2000 * k, 50, 64
+    centers = rng.standard_normal((kc, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    weights = 1.0 / np.arange(1, kc + 1, dtype=float)  # Zipf(1)
+    weights /= weights.sum()
+    sigma = np.exp(rng.uniform(np.log(0.02), np.log(0.3), kc))
+    sigma[0] = 0.05  # the hot cluster is ALSO a tight near-dup blob:
+    # within-blob cosine ~ 1/(1+dim*sigma^2) ~ 0.86, above a 0.8 dedup
+    # threshold — the worst case for cell-bounded candidate volume
+    cid = rng.choice(kc, n_emb, p=weights)
+    v = centers[cid] + sigma[cid, None] * rng.standard_normal((n_emb, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    wr(outdir, "embeddings", pa.table({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": pa.array(list(v.astype(np.float32)), type=pa.list_(pa.float32())),
+        "label": cid.astype(np.int32)}))
 
 
 def gen(outroot, label, k, seed=20261, only=None):
@@ -183,6 +220,9 @@ def gen(outroot, label, k, seed=20261, only=None):
 if __name__ == "__main__":
     args = sys.argv[1:]
     only = None
+    clustered = "--clustered" in args
+    if clustered:
+        args.remove("--clustered")
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
@@ -190,5 +230,8 @@ if __name__ == "__main__":
     outroot = args[0]
     for karg in args[1:]:
         k = int(karg)
-        label = f"sf{k / 10:g}" + ("e" if only is not None else "")
-        gen(outroot, label, k, only=only)
+        if clustered:
+            gen_clustered(outroot, f"sf{k / 10:g}c", k)
+        else:
+            label = f"sf{k / 10:g}" + ("e" if only is not None else "")
+            gen(outroot, label, k, only=only)
