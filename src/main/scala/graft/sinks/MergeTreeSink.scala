@@ -197,6 +197,55 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     * table's old versions stop being readable.
     */
   def readAsOf(spark: SparkSession, asOfMicros: Long): DataFrame = {
+    val selected = asOfBatchKeys(spark, asOfMicros)
+    if (selected.isEmpty) read(spark).where(lit(false))
+    else spark.read.option("basePath", path)
+      .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)
+  }
+
+  /** Snapshot-pinned, manifest-pruned `created_at` range read —
+    * [[readAsOf]]'s batch selection composed with [[prunedRead]]'s
+    * zone skipping. The manifest is sliced per ingest batch by
+    * construction (`_manifest/batch=<key>`), so a snapshot's stats are
+    * exactly the slices of its selected batches: files whose zones
+    * provably miss the range are never opened, files the manifest does
+    * not cover are read unpruned (unknown stays sound), and the exact
+    * predicate is re-applied either way — zones only save I/O.
+    */
+  def readAsOfPruned(spark: SparkSession, asOfMicros: Long,
+                     fromTs: String, toTs: String): DataFrame = {
+    val lo = lit(fromTs).cast("timestamp")
+    val hi = lit(toTs).cast("timestamp")
+    val selected = asOfBatchKeys(spark, asOfMicros)
+    if (selected.isEmpty) return read(spark).where(lit(false))
+    val snapshot = spark.read.option("basePath", path)
+      .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)
+    val f = fs(spark)
+    val slices = selected.filter(k => f.exists(new Path(s"$manifestRoot/batch=$k")))
+    if (slices.isEmpty)
+      return snapshot.where(col("created_at") >= lo && col("created_at") <= hi)
+    def canon(s: String): String = new Path(s).toString
+    val m = spark.read.option("basePath", manifestRoot)
+      .parquet(slices.sorted.map(k => s"$manifestRoot/batch=$k"): _*).cache()
+    val known = m.select("file").distinct()
+      .collect().map(r => canon(r.getString(0))).toSet
+    val keep = m.where(!(col("max_created_at") < lo || col("min_created_at") > hi))
+      .select("file").distinct()
+      .collect().map(r => canon(r.getString(0)))
+    m.unpersist()
+    val unknown = snapshot.inputFiles.map(canon).filterNot(known)
+    val files = (keep ++ unknown).distinct
+    if (files.isEmpty) read(spark).where(lit(false))
+    else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+      .where(col("created_at") >= lo && col("created_at") <= hi)
+  }
+
+  /** The commit-marker batch selection behind [[readAsOf]] /
+    * [[readAsOfPruned]]: every ingest batch whose marker stamp is at or
+    * before `asOfMicros`, with the uncommitted-data guards documented
+    * on [[readAsOf]].
+    */
+  private def asOfBatchKeys(spark: SparkSession, asOfMicros: Long): Seq[String] = {
     val f = fs(spark)
     require(!f.exists(new Path(path, s"ingest_batch=$CompactedBatchId")),
       s"time travel horizon passed: $path has compacted batches " +
@@ -252,9 +301,7 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     require(missing.isEmpty,
       s"time travel horizon passed: committed batches ${missing.mkString(", ")} " +
         s"no longer exist under $path (folded or expired)")
-    if (selected.isEmpty) read(spark).where(lit(false))
-    else spark.read.option("basePath", path)
-      .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)
+    selected
   }
 
   /** Per-file (path, rows, min/max created_at, event_date) decoded from

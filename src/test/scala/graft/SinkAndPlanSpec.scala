@@ -117,6 +117,61 @@ class SinkAndPlanSpec extends AnyFunSuite {
     ()
   }
 
+  test("composed layouts: snapshot-pinned read prunes by manifest and joins exchange-free bucketed") {
+    // Time travel (A13d), zone maps (A13a), and bucketing (A13c) each
+    // hold alone; this case composes all three: a pinned snapshot read
+    // that prunes files via the per-batch manifest slices, then joins
+    // exchange-free through BucketedStore.
+    val root = Files.createTempDirectory("mt_compose").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    val ev = parsedEvents.cache()
+    // time-split batches so the snapshot's manifest has disjoint
+    // created_at zones to skip
+    val dates = ev.selectExpr("CAST(to_date(created_at) AS STRING) d")
+      .distinct().orderBy("d").as[String].collect()
+    assert(dates.length >= 2, s"fixture needs several dates: ${dates.toSeq}")
+    val early = ev.where(to_date(col("created_at")) === dates.head).cache()
+    val late = ev.where(to_date(col("created_at")) > dates.head).cache()
+    sink.writeBatch(early, "src_a", 2, Some(100L))
+    sink.writeBatch(late, "src_b", 2, Some(200L))
+    sink.writeBatch(late.limit(20), "src_c", 1, Some(300L)) // beyond the pin
+    val lo = s"${dates.head} 00:00:00"
+    val hi = s"${dates.head} 23:59:59"
+    val snap = sink.readAsOf(spark, 250L)
+    val expected = snap.where(col("created_at")
+      .between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp"))).count()
+    assert(expected == early.count(), "pin sanity: in-range snapshot rows = the early batch")
+    val pruned = sink.readAsOfPruned(spark, 250L, lo, hi)
+    // pinned: the src_c batch (committed past the pin) never appears
+    assert(pruned.count() == expected)
+    // pruned: only src_a's files are opened — src_b's zones provably
+    // miss the range, src_c is outside the snapshot
+    val opened = pruned.inputFiles
+    assert(opened.nonEmpty && opened.length < snap.inputFiles.length,
+      s"manifest pruning opened ${opened.length} of ${snap.inputFiles.length} files")
+    assert(opened.forall(_.contains("ingest_batch=src_a")),
+      s"pruned listing leaked past the pinned in-range batch: ${opened.toSeq}")
+    // bucketed co-location on the pinned+pruned rows: both sides
+    // through BucketedStore on the join key → merge join, zero Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = graft.ops.BucketedStore.materializeOnce(
+        pruned.select("logger", "message", "created_at"),
+        "graft_bkt_asof_facts", "logger", 4)
+      val dims = graft.ops.BucketedStore.materializeOnce(
+        snap.groupBy("logger").agg(count(lit(1)).as("logger_total")),
+        "graft_bkt_asof_dims", "logger", 4)
+      val j = facts.join(dims, "logger")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed snapshot join must not shuffle:\n$plan")
+      assert(j.count() == expected, "co-located join changed the row count")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ev.unpersist(); early.unpersist(); late.unpersist()
+    ()
+  }
+
   test("compaction collapses a partition's files without changing its rows") {
     val root = Files.createTempDirectory("mt_compact").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)

@@ -1002,19 +1002,24 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${byBatch(1).psi} vs batch $batchPsi")
   }
 
-  test("multi-source ceiling: 16 concurrent tails in one session — startup, supervision cost, aggregate throughput") {
+  test("multi-source ceiling: concurrent tails in one session — startup, supervision cost, aggregate throughput") {
     // The reference runs one OS process per tail (Manager.php forks a
     // Worker each); graft multiplexes every tail as a streaming query
-    // in ONE session. This measurement pins the cost of that choice at
-    // 16 sources: per-query startup, the no-op supervision-pass cost
-    // (the steady-state scheduling overhead the loop pays every poll),
-    // and aggregate drain throughput — the numbers behind the
-    // queries-per-session guidance in BENCH_NOTES.md. Correctness
+    // in ONE session. This measurement pins the cost of that choice:
+    // per-query startup, the no-op supervision-pass cost (the
+    // steady-state scheduling overhead the loop pays every poll), and
+    // aggregate drain throughput — the numbers behind the
+    // queries-per-session guidance in BENCH_NOTES.md. Default width 16
+    // (the CI configuration); SPARK_GRAFT_CEILING_WIDTH=32 with
+    // SPARK_GRAFT_CEILING_TRIGGER="5 seconds" is the recorded
+    // wide-session configuration (BENCH_NOTES "Queries-per-session
+    // guidance" measures it rather than extrapolating). Correctness
     // asserts are hard (exact per-sink counts, all queries live,
     // supervision restart at width); timing is reported via info(),
     // not asserted, because the host wobbles.
     val base = tmp("ceiling")
-    val nTails = 16
+    val nTails = sys.env.get("SPARK_GRAFT_CEILING_WIDTH").map(_.toInt).getOrElse(16)
+    val trigger = sys.env.getOrElse("SPARK_GRAFT_CEILING_TRIGGER", "1 second")
     val rowsPerTail = 2000
     val day = LocalDate.of(2024, 1, 1)
     val pipes = (0 until nTails).map { i =>
@@ -1022,7 +1027,8 @@ class StreamingSpec extends AnyFunSuite {
       writeLog(in, "a.log", (0 until rowsPerTail).map(r => line(r % 60, s"t$i r$r")))
       TailPipeline(spark, TailConfig(name = s"ceil$i", repo = "bench"),
         in.toString, base.resolve(s"ck$i").toString,
-        MergeTreeSink(base.resolve(s"wh$i").toString))
+        MergeTreeSink(base.resolve(s"wh$i").toString),
+        triggerInterval = trigger)
     }
     val mgr = new TailManager(pipes)
     try {
@@ -1062,8 +1068,9 @@ class StreamingSpec extends AnyFunSuite {
 
       // (4) supervision still functions at width: kill one query, the
       // next pass restarts exactly it
-      mgr.activeQueries("ceil7").stop()
-      assert(mgr.superviseOnce(day) == Seq("ceil7"), "restart-dead must single out the dead query")
+      val victim = s"ceil${nTails / 2}"
+      mgr.activeQueries(victim).stop()
+      assert(mgr.superviseOnce(day) == Seq(victim), "restart-dead must single out the dead query")
       assert(mgr.activeQueries.size == nTails)
     } finally mgr.shutdown()
   }
