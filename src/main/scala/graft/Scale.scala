@@ -247,12 +247,23 @@ object Scale {
       cust, "cid", "cs", supp, "sid", "ss", k = 1)
     val matches = SparkEntry.queries("fuzzy_join_names")(spark, dir).count().toDouble
     val wall = time(force(SparkEntry.queries("fuzzy_join_names")(spark, dir)))
+    // the df-capped variant on the same inputs: hot index keys
+    // (df > 64) dropped, candidates bounded at probeKeys·maxDf
+    val capped = graft.ops.FuzzyJoin.candidateStats(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64)
+    val matchesCap = graft.ops.FuzzyJoin.join(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64).count().toDouble
+    val wallCap = time(force(graft.ops.FuzzyJoin.join(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64)))
     emit(dir, "fuzzy_join_names", "n_left" -> nc, "n_right" -> ns,
       "cross_product" -> nc * ns,
       "join_candidates" -> stats.joined,
       "distinct_candidates" -> stats.distinctPairs,
       "matches" -> matches,
-      "wall_sec" -> wall)
+      "wall_sec" -> wall,
+      "capped_candidates" -> capped.joined,
+      "capped_matches" -> matchesCap,
+      "wall_sec_capped" -> wallCap)
   }
 
   /** Band collisions (Σ C(bucket, 2) over the 16 band buckets — the

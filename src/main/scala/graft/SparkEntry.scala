@@ -3111,6 +3111,44 @@ object SparkEntry {
       |WHERE levenshtein(cid, sid) <= 1
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** Df-capped fuzzy join (SURVEY §2 B106a): segment keys whose
+    * index-side document frequency exceeds `maxDf` drop out of the
+    * PassJoin index — the dense-key insurance the round-14 30× scale
+    * point motivated (digit ids put segment-key df ∝ n/10^|seg|;
+    * candidates grew ×8.3 per ×3 data uncapped, measured ~linear under
+    * the cap — SCALE.md). Approximate by design (a pair is missed only
+    * when every pigeonhole witness is hot), so the oracle is
+    * precision-style like the dedup families': DuckDB recomputes the
+    * true levenshtein of every EMITTED pair from the base tables and
+    * re-applies ≤ k — a wrong distance or an over-threshold pair fails
+    * the hash compare. The cap is pinned LOW (6) so the hot-key drop
+    * actually triggers at oracle scale.
+    */
+  private def fuzzyJoinNamesCapped(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), strippedNameKey(col("c_name")).as("cid"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), strippedNameKey(col("s_name")).as("sid"))
+    graft.ops.FuzzyJoin.join(cust, "c_custkey", "cid", supp, "s_suppkey", "sid",
+        k = 1, maxDf = 6)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  private val fuzzyJoinNamesCappedSql =
+    """WITH c AS (SELECT c_custkey,
+      |            coalesce(nullif(regexp_replace(substring(c_name, 10), '^0+', ''), ''), '0') AS cid
+      |            FROM customer),
+      |     s AS (SELECT s_suppkey,
+      |            coalesce(nullif(regexp_replace(substring(s_name, 10), '^0+', ''), ''), '0') AS sid
+      |            FROM supplier)
+      |SELECT g.c_custkey, g.s_suppkey, levenshtein(c.cid, s.sid) AS dist
+      |FROM graft_result g
+      |JOIN c ON g.c_custkey = c.c_custkey
+      |JOIN s ON g.s_suppkey = s.s_suppkey
+      |WHERE levenshtein(c.cid, s.sid) <= 1
+      |ORDER BY g.c_custkey, g.s_suppkey""".stripMargin
+
   /** Degree distribution + power-law fit (SURVEY §2 B155 — the
     * link-graph profile B116/B141 assume and never emit: PageRank and
     * the triangle census both lean on the degree structure; this op
@@ -8501,6 +8539,7 @@ object SparkEntry {
     "pack_chunks" -> Q(packChunks, Some(packChunksSql)),
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
     "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
+    "fuzzy_join_names_capped" -> Q(fuzzyJoinNamesCapped, Some(fuzzyJoinNamesCappedSql)),
     "entity_resolve" -> Q(entityResolve, Some(entityResolveSql)),
     "graph_degrees" -> Q(graphDegrees, Some(graphDegreesSql)),
     "sample_estimate" -> Q(sampleEstimate, Some(sampleEstimateSql)),

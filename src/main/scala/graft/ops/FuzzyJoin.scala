@@ -74,12 +74,13 @@ object FuzzyJoin {
       right: DataFrame,
       rightIdCol: String,
       rightStrCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxDf: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
 
     // Index side (right): (len, segIdx, segment) keys. Zero-length
     // segments (len < k+1) key on position only — the substring is ''.
-    val idx = right
+    val idx0 = right
       .select(col(rightIdCol).as("_rid"), col(rightStrCol).as("_rstr"))
       .withColumn("_rlen", length(col("_rstr")))
       .withColumn("_seg", explode(segmentBounds(col("_rlen"), k)))
@@ -87,6 +88,26 @@ object FuzzyJoin {
         col("_rid"), col("_rstr"), col("_rlen"),
         col("_seg.start").as("_si"),
         expr("substring(_rstr, _seg.start + 1, _seg.len)").as("_sub"))
+    // maxDf > 0: HOT segment keys (index-side df over the cap) drop out
+    // of the index — the dense-key insurance the round-14 30×
+    // measurement motivated (digit ids put segment-key df ∝ n/10^|seg|,
+    // candidates ×8.3 for ×3 data). The bound: each surviving key
+    // admits ≤ maxDf index rows per probe row, so candidates ≤
+    // probeKeys · maxDf — linear in rows. Recall cost: a true pair is
+    // missed only when EVERY one of its k+1 pigeonhole witnesses is
+    // hot (any one cool segment still finds it); the df computation is
+    // an ids-free aggregation on the join key itself.
+    val idx =
+      if (maxDf <= 0) idx0
+      else {
+        val hot = idx0.groupBy(col("_rlen"), col("_si"), col("_sub"))
+          .agg(count(lit(1)).as("_df")).where(col("_df") > maxDf)
+          .select(col("_rlen").as("_hl"), col("_si").as("_hi"), col("_sub").as("_hs"))
+        idx0.join(hot,
+          idx0("_rlen") === hot("_hl") && idx0("_si") === hot("_hi") &&
+            idx0("_sub") === hot("_hs"),
+          "left_anti")
+      }
 
     // Probe side (left): for each candidate indexed length L in
     // [len-k, len+k] (L >= 1), each segment slot of an L-length split,
@@ -139,7 +160,8 @@ object FuzzyJoin {
       right: DataFrame,
       rightIdCol: String,
       rightStrCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxDf: Int = 0): DataFrame = {
     // Verify BEFORE dedup: a pair can reach the join through at most
     // ~(k+1)·(2k+1) duplicate keys (measured 2% extra rows on the
     // digit-string worst case — SCALE.md), and the bounded
@@ -149,7 +171,7 @@ object FuzzyJoin {
     // both payload strings riding the exchange. Deduping the verified
     // matches instead shuffles only the output (56× fewer rows, 3
     // narrow columns, at the measured 10× point).
-    candidateJoin(left, leftIdCol, leftStrCol, right, rightIdCol, rightStrCol, k)
+    candidateJoin(left, leftIdCol, leftStrCol, right, rightIdCol, rightStrCol, k, maxDf)
       .withColumn("dist", levenshtein(col("_lstr"), col("_rstr"), k))
       .where(col("dist") >= 0 && col("dist") <= k)
       .select(
@@ -172,9 +194,10 @@ object FuzzyJoin {
       right: DataFrame,
       rightIdCol: String,
       rightStrCol: String,
-      k: Int): CandidateStats = {
+      k: Int,
+      maxDf: Int = 0): CandidateStats = {
     val cand = candidateJoin(left, leftIdCol, leftStrCol,
-      right, rightIdCol, rightStrCol, k)
+      right, rightIdCol, rightStrCol, k, maxDf)
     val r = cand.agg(
       count(lit(1)).as("j"),
       count_distinct(col("_lid"), col("_rid")).as("d")).head()

@@ -84,6 +84,34 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("df cap: unreached cap is the identity, binding cap emits a verified subset") {
+    val l = leftRows.toDF("lid", "ls")
+    val r = rightRows.toDF("rid", "rs")
+    val full = FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // no index key reaches df 1000 on this fixture → identical output
+    val loose = FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs", 1, maxDf = 1000)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(loose == full, "an unreached cap must not change the matches")
+    // dense-key regime: many strings sharing segment keys (the digit-id
+    // shape the 30× measurement flagged). A binding cap emits a strict
+    // subset — and every emitted pair is still a true match, because
+    // the cap only prunes candidates ahead of the exact verify.
+    val denseL = (0 until 200).map(i => (i.toLong, f"$i%03d")).toDF("lid", "ls")
+    val denseR = (0 until 200).map(i => (1000L + i, f"$i%03d")).toDF("rid", "rs")
+    val denseFull = FuzzyJoin.join(denseL, "lid", "ls", denseR, "rid", "rs", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val denseCap = FuzzyJoin.join(denseL, "lid", "ls", denseR, "rid", "rs", 1, maxDf = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(denseCap.subsetOf(denseFull), "cap must only drop pairs, never invent them")
+    assert(denseCap.size < denseFull.size, "maxDf=8 must bind on 3-digit dense ids")
+    assert(denseCap.nonEmpty, "cool segment keys must keep finding their pairs")
+    // a pair survives iff at least one pigeonhole witness is cool: the
+    // exact-copy pairs (dist 0) whose both segment keys are cool remain
+    val survivors = denseCap.filter(_._3 == 0)
+    assert(survivors.nonEmpty, "cool-witness exact matches must survive the cap")
+  }
+
   test("k must be positive") {
     val d = leftRows.toDF("lid", "ls")
     intercept[IllegalArgumentException] {
