@@ -159,8 +159,13 @@ object Bench {
     // comma-separated query-name filter for local iteration on a subset
     // (unset = the full surface, the driver's configuration)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // throughput-only mode: skip the query sweep but keep the parse +
+    // streaming throughput measurements (which SPARK_GRAFT_BENCH_ONLY
+    // skips) — the targeted re-record tool for a drifted throughput
+    // row; writes the subset artifact, never the full one
+    val throughputOnly = sys.env.get("SPARK_GRAFT_BENCH_THROUGHPUT_ONLY").exists(_ == "1")
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !throughputOnly && only.forall(_.contains(name)) }
     // per-sample (wall, gcSecs, peakHeapMB) triples per query
     val samples = scala.collection.mutable.LinkedHashMap(
       qlist.map { case (name, _) =>
@@ -303,7 +308,8 @@ object Bench {
     // against a colder JVM than the committed full pass, which skews
     // every ratio upward for reasons that are not contention)
     // a BENCH_ONLY subset run must not clobber the full-surface artifact
-    val defaultOut = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FULL_subset.json"
+    val defaultOut =
+      if (only.isEmpty && !throughputOnly) "BENCH_FULL.json" else "BENCH_FULL_subset.json"
     val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
     val drift: Option[(Double, Int)] =
       if (only.nonEmpty) None
