@@ -23,12 +23,14 @@ import graft.sim.Cosine
   * exact-dup blob at 1B vectors.
   *
   * The cap switches every over-`cap` group from all-pairs (C(m, 2)) to
-  * a GEOMETRY-ORDERED WINDOW CHAIN: members sort by an 8-bit
+  * a GEOMETRY-ORDERED STRIDE CHAIN: members sort by an 8-bit
   * sign-projection key (deterministic pseudo-random hyperplanes,
-  * dimension-agnostic — see [[signKey]]) and each pairs with its next
-  * [[ChainWindow]] successors — w·m pairs per group instead of
-  * C(m, 2), linear again (Σ_small C(m,2) ≤ groups·C(cap,2) plus
-  * Σ_big w·m ≤ w·n per table). The ordering matters: two simpler
+  * dimension-agnostic — see [[signKey]]) and each pairs with its
+  * [[ChainStrides]] predecessors plus the group's rank-1 hub — w·m
+  * pairs per group instead of C(m, 2), linear again (Σ_small C(m,2) ≤
+  * groups·C(cap,2) plus Σ_big w·m ≤ w·n per table), at O(log m) pair-
+  * graph diameter so downstream label propagation stays round-bounded
+  * (see [[ChainStrides]]). The ordering matters: two simpler
   * schemes were measured first on the 10× clustered corpus and
   * under-removed ~15% (min-id STAR: a single representative's cosine
   * to tail members straddles the threshold; id-ordered chain: ids are
@@ -50,10 +52,20 @@ import graft.sim.Cosine
   */
 private[dedup] object PairCap {
 
-  /** Chain width for over-cap groups: each member pairs with its next
-    * 8 key-order successors.
+  /** Key-order rank offsets each over-cap member pairs with: its
+    * predecessor plus exponentially-strided earlier ranks, AND the
+    * group's rank-1 member (a star hub). Eight edges per member,
+    * chosen for graph DIAMETER, not just connectivity: a contiguous
+    * window was built first and measured — it connects the blob, but
+    * as an O(m/w)-diameter path, and [[DupClusters.resolve]]'s
+    * min-label propagation pays a round PER HOP (200 identical vectors
+    * at w=8 = 25 rounds = the resolver's default ceiling; a 10M-copy
+    * blob would be unresolvable). Strides make the passing subgraph
+    * O(log m) diameter even with every star edge failed; the star
+    * edge makes it ~2 hops for a tight blob where rep-member cosine
+    * holds.
     */
-  val ChainWindow = 8
+  val ChainStrides: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)
 
   /** Row-local pseudo-random projection of `vec` — hyperplane `k`'s
     * component at index `i` is `sin((i+1)·c_k + d_k)`, so the
@@ -106,14 +118,15 @@ private[dedup] object PairCap {
       case Some(handler) => handler(big.select("id", "vec", "nrm").dropDuplicates("id"))
       case None =>
         // rank members by (sign key, id) within the group (one sort of
-        // the over-cap subset only), then join successor windows.
-        // least/greatest restore the a < b ordering invariant of the
-        // all-pairs branch (key order is not id order).
+        // the over-cap subset only), then join the stride/star edge
+        // set. least/greatest restore the a < b ordering invariant of
+        // the all-pairs branch (key order is not id order).
         val ranked = big.withColumn("rn", row_number().over(
           Window.partitionBy(kc: _*).orderBy(signKey(col("vec")), col("id"))))
+        val strideSet = array(ChainStrides.map(lit(_)): _*)
         ranked.as("a")
-          .join(ranked.as("b"), keyEq("a", "b") &&
-            col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + ChainWindow)
+          .join(ranked.as("b"), keyEq("a", "b") && col("b.rn") > col("a.rn") &&
+            (array_contains(strideSet, col("b.rn") - col("a.rn")) || col("a.rn") === 1))
           .select(least(col("a.id"), col("b.id")).as("a"),
             greatest(col("a.id"), col("b.id")).as("b"),
             round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))

@@ -470,6 +470,19 @@ class DedupSpec extends AnyFunSuite {
       df.select("a", "b", "cosine").collect().map(_.toString).sorted.toSeq
     assert(rows(graft.dedup.CosineDedup.pairs(e, minCosine = 0.8, dim = dim, maxBucket = 100000))
       == rows(lshFull), "an unreached cap must not change the emitted pairs")
+    // EXACTLY identical vectors — the case no Voronoi assignment can
+    // ever split (every copy ties to one cell no matter how many
+    // centroids train), i.e. the cap's reason to exist: 200 copies +
+    // noise, capped semantic dedup still collapses the copy set to one
+    // survivor through the LSH route
+    val copies = (0 until 200).map(i => (i.toLong, unit(center)))
+    val e2 = (copies ++ noise).toDF("id", "vec")
+    val identCap = graft.dedup.SemDedup.pairs(e2, minCosine = 0.8, numCells = 8,
+      maxCell = 32, dim = dim)
+    val identSv = graft.dedup.DupClusters.resolve(identCap, "a", "b")
+      .where(col("id") < 200 && col("keep")).count()
+    assert(identSv == 1L,
+      s"capped SemDedup must collapse an identical-vector blob to one survivor, got $identSv")
   }
 
   test("boilerplate spans: positional windows, first occurrence, spread, ranking") {

@@ -60,19 +60,19 @@ def wr(outdir, name, table):
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen_clustered(outroot, label, k, seed=20261):
+def gen_clustered(outroot, label, k, seed=20261, blob_sigma=0.05):
     """Mixture-of-Gaussians embeddings (see module docstring)."""
     rng = np.random.default_rng(seed + 7000 + k)
     outdir = os.path.join(outroot, label)
     os.makedirs(outdir, exist_ok=True)
-    print(f"== {label} (k={k}, clustered) -> {outdir}")
+    print(f"== {label} (k={k}, clustered, blob_sigma={blob_sigma}) -> {outdir}")
     n_emb, kc, dim = 2000 * k, 50, 64
     centers = rng.standard_normal((kc, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     weights = 1.0 / np.arange(1, kc + 1, dtype=float)  # Zipf(1)
     weights /= weights.sum()
     sigma = np.exp(rng.uniform(np.log(0.02), np.log(0.3), kc))
-    sigma[0] = 0.05  # the hot cluster is ALSO a tight near-dup blob:
+    sigma[0] = blob_sigma  # the hot cluster is ALSO a tight near-dup blob:
     # within-blob cosine ~ 1/(1+dim*sigma^2) ~ 0.86, above a 0.8 dedup
     # threshold — the worst case for cell-bounded candidate volume
     cid = rng.choice(kc, n_emb, p=weights)
@@ -223,6 +223,11 @@ if __name__ == "__main__":
     clustered = "--clustered" in args
     if clustered:
         args.remove("--clustered")
+    blob_sigma = 0.05
+    if "--blob-sigma" in args:
+        i = args.index("--blob-sigma")
+        blob_sigma = float(args[i + 1])
+        args = args[:i] + args[i + 2:]
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
@@ -231,7 +236,8 @@ if __name__ == "__main__":
     for karg in args[1:]:
         k = int(karg)
         if clustered:
-            gen_clustered(outroot, f"sf{k / 10:g}c", k)
+            suffix = "c" if blob_sigma == 0.05 else "i"  # i = identical-vector blob
+            gen_clustered(outroot, f"sf{k / 10:g}{suffix}", k, blob_sigma=blob_sigma)
         else:
             label = f"sf{k / 10:g}" + ("e" if only is not None else "")
             gen(outroot, label, k, only=only)
