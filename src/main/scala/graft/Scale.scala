@@ -155,15 +155,14 @@ object Scale {
       val bf = graft.sim.Knn.topK(queries, emb, 10)
         .select(col("q"), col("neighbor")).persist()
       val nBf = bf.count().toDouble
+      // default config (16×6 since round 15 — the round-14 clustered
+      // measurement indicted the old 8×8 default at 0.73-0.78 recall)
       val annLsh = bf.join(
         graft.sim.LshAnn.topK(queries, emb, 10).select(col("q"), col("neighbor")),
         Seq("q", "neighbor"), "left_semi").count().toDouble
-      // the documented recall lever (more tables, fewer bits) measured
-      // on the same corpus: clustered data pushes true top-10
-      // similarity DOWN for queries in loose clusters, so the default
-      // 8×8 config misses more than on uniform corpora
-      val annLsh16 = bf.join(
-        graft.sim.LshAnn.topK(queries, emb, 10, numTables = 16, bitsPerTable = 6)
+      // the retired 8×8 config, kept measured for the comparison row
+      val annLsh8x8 = bf.join(
+        graft.sim.LshAnn.topK(queries, emb, 10, numTables = 8, bitsPerTable = 8)
           .select(col("q"), col("neighbor")),
         Seq("q", "neighbor"), "left_semi").count().toDouble
       val numCells = math.max(16L, (n.toLong + 511) / 512).toInt
@@ -182,7 +181,7 @@ object Scale {
         "lsh_capped_recall" -> lshCapR, "lsh_capped_removed" -> lshCapRm,
         "ann_truth_rows" -> nBf,
         "ann_lsh_recall" -> (if (nBf > 0) annLsh / nBf else 1.0),
-        "ann_lsh16_recall" -> (if (nBf > 0) annLsh16 / nBf else 1.0),
+        "ann_lsh8x8_recall" -> (if (nBf > 0) annLsh8x8 / nBf else 1.0),
         "ann_ivf_recall" -> (if (nBf > 0) annIvf / nBf else 1.0))
     } finally { truth.unpersist(); withNrm.unpersist(); () }
   }

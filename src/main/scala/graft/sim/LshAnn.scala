@@ -42,13 +42,23 @@ object LshAnn {
 
   /** Approximate top-k: bucket-join per table, union candidates, exact
     * rerank.
+    *
+    * Default config is 16 tables × 6 bits — the measured pick, not the
+    * cheapest: on CLUSTERED corpora (where queries in loose clusters
+    * have true top-10 at lower cosine, so high-bit agreement is rare)
+    * the old 8×8 default measured recall@10 = 0.73/0.78 at 1×/10×
+    * while 16×6 holds 0.91/0.958 on the same corpora and 0.96+ on
+    * uniform ones (SCALE.md "ANN recall on clustered corpora",
+    * SCALE_DATA.jsonl sf0.1c/sf1c rows). Fewer bits per table widens
+    * buckets (recall ↑, candidates ↑); more tables buys independent
+    * chances. Candidate volume stays bucket-bounded either way.
     */
   def topK(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame,  // (id, vec)
       k: Int,
-      numTables: Int = 8,
-      bitsPerTable: Int = 8,
+      numTables: Int = 16,
+      bitsPerTable: Int = 6,
       dim: Int = 64): DataFrame = {
     // Bucket probing moves only (id, table, bucket); vectors join back
     // onto the deduplicated candidate list for the exact rerank (same

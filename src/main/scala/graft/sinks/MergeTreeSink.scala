@@ -140,10 +140,15 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       // readAsOf must treat as a crashed commit — so remove it, along
       // with any marker/manifest slice from a prior NON-empty landing
       // of the same key (a replay-to-empty means the batch now
-      // contributes nothing to any snapshot).
+      // contributes nothing to any snapshot). Marker FIRST: a crash
+      // between the deletes then leaves an unmarked (possibly
+      // data-bearing) dir — the already-handled crashed-commit path —
+      // instead of a marker pointing at deleted data, which readAsOf
+      // reports as the misleading "time travel horizon passed" until
+      // the batch happens to replay.
       val f = fs(spark)
-      f.delete(new Path(path, s"ingest_batch=$batchKey"), true)
       f.delete(new Path(path, s"${MergeTreeSink.CommitsDir}/$batchKey"), false)
+      f.delete(new Path(path, s"ingest_batch=$batchKey"), true)
       f.delete(new Path(s"$manifestRoot/batch=$batchKey"), true)
       ()
     } else {
@@ -278,10 +283,21 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
       Option(f.globStatus(new Path(path, s"ingest_batch=$k/event_date=*")))
         .exists(_.nonEmpty)
     }
+    // Age from the NEWEST data file's mtime, not the directory's:
+    // object stores (S3A) synthesize directory mtimes as absent/zero,
+    // which would age every mid-commit batch straight past the grace
+    // window and trip the loud error on healthy concurrent writes.
+    // File mtimes are real object stamps everywhere; the dir mtime
+    // rides along as a lower bound for stores where files report 0.
     val now = System.currentTimeMillis()
     val stale = unmarked.filter { k =>
-      now - f.getFileStatus(new Path(path, s"ingest_batch=$k"))
-        .getModificationTime > MergeTreeSink.InFlightGraceMs
+      val dir = new Path(path, s"ingest_batch=$k")
+      val fileMtimes = Option(f.globStatus(new Path(dir, "event_date=*/*")))
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .map(_.getModificationTime)
+      val newest = (fileMtimes :+ f.getFileStatus(dir).getModificationTime).max
+      now - newest > MergeTreeSink.InFlightGraceMs
     }
     require(stale.isEmpty,
       s"uncommitted ingest batches under $path: ${stale.mkString(", ")} " +
@@ -625,7 +641,13 @@ object MergeTreeSink {
     * treats it as a crashed commit instead of an in-flight one. Sized to
     * dominate any realistic data-to-marker gap (a micro-batch's footer
     * scan + one marker rename) by orders of magnitude while still
-    * surfacing genuinely orphaned data the same day it lands.
+    * surfacing genuinely orphaned data the same day it lands. Assumes
+    * reader clock ≈ store clock: age compares the reader's
+    * currentTimeMillis against store-reported file mtimes, so reader
+    * clock AHEAD of the store shrinks the effective window (more false
+    * "crashed" trips) and BEHIND extends it (a genuinely crashed
+    * commit stays silently omitted from snapshots longer). Keep the
+    * window ≫ plausible skew.
     */
   private[graft] val InFlightGraceMs: Long = 5L * 60L * 1000L
 

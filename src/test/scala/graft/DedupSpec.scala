@@ -485,6 +485,58 @@ class DedupSpec extends AnyFunSuite {
       s"capped SemDedup must collapse an identical-vector blob to one survivor, got $identSv")
   }
 
+  test("pair cap: over-cap chain is the power-of-two stride set + hub, O(log m) stride-only diameter") {
+    import org.apache.spark.sql.functions.col
+    // Round-15 diameter contract (the round-14 ADVICE finding): the
+    // old fixed 1..64 stride table bounded the stride-only pair graph
+    // at Θ(m/64) diameter, so a >~1,600-member group whose rank-1 hub
+    // edges straddle the cosine threshold outran DupClusters.resolve's
+    // default round ceiling. The fix derives strides from each
+    // member's own rank (every power of two below it), which this
+    // test pins STRUCTURALLY: an all-identical corpus makes every
+    // bucket group the same id-ordered blob in every table (one sort
+    // key, ties by id → rank = id + 1), so the emitted pair set must
+    // be EXACTLY { |a−b| = 2^k } ∪ { (0, b) hub edges } — and the
+    // stride-only subgraph (hub edges removed) must reach rank 1 from
+    // every member within ceil(log2 m) hops, i.e. the resolver stays
+    // round-bounded even when every hub edge fails the threshold.
+    val m = 3000
+    val dim = 16
+    val vec = {
+      val rnd = new scala.util.Random(11)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val e = (0 until m).map(i => (i.toLong, vec)).toDF("id", "vec")
+    val pairs = graft.dedup.CosineDedup.pairs(e, minCosine = 0.9, dim = dim, maxBucket = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    def isPow2(x: Long): Boolean = x > 0 && (x & (x - 1)) == 0
+    val expected = (for {
+      b <- 1 until m
+      a <- 0 until b
+      if a == 0 || isPow2((b - a).toLong)
+    } yield (a.toLong, b.toLong)).toSet
+    assert(pairs == expected,
+      s"chain edge set mismatch: ${(pairs -- expected).take(5)} extra, ${(expected -- pairs).take(5)} missing")
+    // stride-only BFS from the hub node (rank 1 = id 0): every edge
+    // used has a power-of-two id difference (hub-only edges removed)
+    val strideAdj = pairs.toSeq.filter(p => isPow2(p._2 - p._1))
+      .flatMap(p => Seq(p, p.swap)).groupMap(_._1)(_._2)
+    var frontier = Set(0L)
+    val dist = scala.collection.mutable.Map(0L -> 0)
+    var d = 0
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(strideAdj.getOrElse(_, Nil)).filter(!dist.contains(_))
+      frontier.foreach(dist(_) = d)
+    }
+    val logM = math.ceil(math.log(m.toDouble) / math.log(2.0)).toInt
+    assert(dist.size == m, s"stride-only subgraph must stay connected: reached ${dist.size} of $m")
+    assert(dist.values.max <= logM,
+      s"stride-only eccentricity of rank 1 must be <= ceil(log2 m) = $logM, got ${dist.values.max}")
+  }
+
   test("boilerplate spans: positional windows, first occurrence, spread, ranking") {
     import org.apache.spark.sql.functions._
     // positional (non-distinct) kernel contract: index i = window at token i

@@ -479,7 +479,14 @@ class SinkAndPlanSpec extends AnyFunSuite {
     // the read must refuse instead
     val batchDir = root.listFiles().filter(_.getName.startsWith("ingest_batch=")).head
     val aged = System.currentTimeMillis() - 2 * graft.sinks.MergeTreeSink.InFlightGraceMs
+    // dir mtime aged but data FILES fresh — the object-store analog
+    // (S3A reports absent/zero directory mtimes): age comes from the
+    // newest data file, so this still reads as a live writer's
+    // mid-commit window, excluded from the snapshot but not fatal
     assert(batchDir.setLastModified(aged))
+    assert(sink.readAsOf(spark, 100L).count() == 0)
+    // the data files aging past the window is what marks a crashed commit
+    Files.walk(batchDir.toPath).iterator().forEachRemaining(p => { p.toFile.setLastModified(aged); () })
     val e = intercept[IllegalArgumentException](sink.readAsOf(spark, 100L))
     assert(e.getMessage.contains("without a commit marker"), e.getMessage)
     // a corrupt marker is a descriptive error, not a bare NumberFormatException

@@ -236,7 +236,15 @@ if __name__ == "__main__":
     for karg in args[1:]:
         k = int(karg)
         if clustered:
-            suffix = "c" if blob_sigma == 0.05 else "i"  # i = identical-vector blob
+            # 'i' is RESERVED for the identical-vector blob (sigma == 0);
+            # the 0.05 default keeps its bare 'c'; any other sigma is
+            # encoded explicitly so the dir name never mislabels the fixture.
+            if blob_sigma == 0:
+                suffix = "i"
+            elif blob_sigma == 0.05:
+                suffix = "c"
+            else:
+                suffix = f"c_s{blob_sigma:g}"
             gen_clustered(outroot, f"sf{k / 10:g}{suffix}", k, blob_sigma=blob_sigma)
         else:
             label = f"sf{k / 10:g}" + ("e" if only is not None else "")
