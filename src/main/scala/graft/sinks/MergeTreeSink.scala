@@ -223,25 +223,32 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     val hi = lit(toTs).cast("timestamp")
     val selected = asOfBatchKeys(spark, asOfMicros)
     if (selected.isEmpty) return read(spark).where(lit(false))
-    val snapshot = spark.read.option("basePath", path)
-      .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)
     val f = fs(spark)
-    val slices = selected.filter(k => f.exists(new Path(s"$manifestRoot/batch=$k")))
-    if (slices.isEmpty)
-      return snapshot.where(col("created_at") >= lo && col("created_at") <= hi)
-    def canon(s: String): String = new Path(s).toString
-    val m = spark.read.option("basePath", manifestRoot)
-      .parquet(slices.sorted.map(k => s"$manifestRoot/batch=$k"): _*).cache()
-    val known = m.select("file").distinct()
-      .collect().map(r => canon(r.getString(0))).toSet
-    val keep = m.where(!(col("max_created_at") < lo || col("min_created_at") > hi))
+    val (sliced, unknownBatches) =
+      selected.partition(k => f.exists(new Path(s"$manifestRoot/batch=$k")))
+    if (sliced.isEmpty)
+      return spark.read.option("basePath", path)
+        .parquet(selected.sorted.map(k => s"$path/ingest_batch=$k"): _*)
+        .where(col("created_at") >= lo && col("created_at") <= hi)
+    // The driver never holds the full file inventory: manifest slices
+    // are PER BATCH and complete by construction (both writer paths —
+    // footer decode and data read-back — stat every file the batch
+    // landed before the commit marker), so "files the manifest does
+    // not cover" is exactly "batches with no slice", a per-batch FS
+    // check that reads whole directories unpruned. The zone filter
+    // runs as a Spark job over the manifest parquet and only the
+    // KEEP-list is collected — bounded by the range's selectivity, and
+    // it is the very list the parquet read needs; the old
+    // all-known-files set + inputFiles set-difference was a
+    // millions-of-files driver-memory term at 100 TB.
+    val keep = spark.read.option("basePath", manifestRoot)
+      .parquet(sliced.sorted.map(k => s"$manifestRoot/batch=$k"): _*)
+      .where(!(col("max_created_at") < lo || col("min_created_at") > hi))
       .select("file").distinct()
-      .collect().map(r => canon(r.getString(0)))
-    m.unpersist()
-    val unknown = snapshot.inputFiles.map(canon).filterNot(known)
-    val files = (keep ++ unknown).distinct
-    if (files.isEmpty) read(spark).where(lit(false))
-    else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+      .collect().map(r => new Path(r.getString(0)).toString)
+    val paths = (keep ++ unknownBatches.sorted.map(k => s"$path/ingest_batch=$k")).distinct
+    if (paths.isEmpty) read(spark).where(lit(false))
+    else spark.read.option("basePath", path).parquet(paths.toIndexedSeq: _*)
       .where(col("created_at") >= lo && col("created_at") <= hi)
   }
 

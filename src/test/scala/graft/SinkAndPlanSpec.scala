@@ -172,6 +172,53 @@ class SinkAndPlanSpec extends AnyFunSuite {
     ()
   }
 
+  test("pruned snapshot reads collect only the keep-list; slice-less batches read whole-dir") {
+    // Round-15 driver-memory bound: readAsOfPruned used to collect the
+    // manifest's FULL file inventory to set-difference against the
+    // snapshot's inputFiles — a millions-of-files driver term at scale.
+    // Now the zone filter runs Spark-side and only the keep-list is
+    // collected, while manifest coverage is decided PER BATCH (slices
+    // are complete for their batch by construction), so a batch whose
+    // slice is missing is read as a whole directory, never enumerated.
+    val root = Files.createTempDirectory("mt_manyslices").toFile
+    val sink = MergeTreeSink(root.getAbsolutePath, ttlDays = 10)
+    val ev = parsedEvents.cache()
+    val dates = ev.selectExpr("CAST(to_date(created_at) AS STRING) d")
+      .distinct().orderBy("d").as[String].collect()
+    val early = ev.where(to_date(col("created_at")) === dates.head).cache()
+    val late = ev.where(to_date(col("created_at")) > dates.head).cache()
+    // many sliced batches: two in-range (a deterministic hash split —
+    // limit() without an order would overlap), four provably out of range
+    val half = crc32(col("message")) % 2
+    assert(early.where(half === 0).count() > 0 && early.where(half === 1).count() > 0)
+    sink.writeBatch(early.where(half === 0), "in_0", 2, Some(100L))
+    sink.writeBatch(early.where(half === 1), "in_1", 2, Some(110L))
+    (0 until 4).foreach(i => sink.writeBatch(late.limit(30), s"out_$i", 2, Some(120L + i)))
+    // one batch loses its manifest slice (legacy write / stats fallback
+    // never ran): unknown coverage, must be read UNPRUNED via its dir
+    sink.writeBatch(late.limit(10), "noslice", 2, Some(200L))
+    val sliceDir = new java.io.File(root, "_manifest/batch=noslice")
+    assert(sliceDir.isDirectory, "fixture: the slice must exist before we remove it")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(sliceDir)
+    val lo = s"${dates.head} 00:00:00"
+    val hi = s"${dates.head} 23:59:59"
+    val pruned = sink.readAsOfPruned(spark, 250L, lo, hi)
+    // rows: exactly the two in-range batches (the slice-less batch's
+    // rows are out of range — opened, then filtered by the predicate)
+    assert(pruned.count() == early.count(), s"got ${pruned.count()}")
+    val opened = pruned.inputFiles
+    assert(opened.exists(_.contains("ingest_batch=noslice")),
+      "a slice-less batch must be opened (unknown coverage stays sound)")
+    assert(!opened.exists(_.contains("ingest_batch=out_")),
+      s"sliced out-of-range batches must be zone-skipped: ${opened.toSeq}")
+    assert(opened.count(_.contains("ingest_batch=in_")) > 0)
+    ev.unpersist(); early.unpersist(); late.unpersist()
+    ()
+  }
+
   test("compaction collapses a partition's files without changing its rows") {
     val root = Files.createTempDirectory("mt_compact").toFile
     val sink = MergeTreeSink(root.getAbsolutePath)
