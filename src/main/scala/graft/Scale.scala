@@ -254,6 +254,16 @@ object Scale {
       cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64).count().toDouble
     val wallCap = time(force(graft.ops.FuzzyJoin.join(
       cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64)))
+    // salt-don't-drop (round-15): same hotness threshold, hot keys
+    // salted 32 ways instead of dropped — measures whether keeping
+    // the matches also keeps the wall linear (prediction: no; salting
+    // spreads the quadratic df·probes volume, it does not bound it)
+    val salted = graft.ops.FuzzyJoin.candidateStats(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64, saltHot = 32)
+    val matchesSalt = graft.ops.FuzzyJoin.join(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64, saltHot = 32).count().toDouble
+    val wallSalt = time(force(graft.ops.FuzzyJoin.join(
+      cust, "cid", "cs", supp, "sid", "ss", k = 1, maxDf = 64, saltHot = 32)))
     emit(dir, "fuzzy_join_names", "n_left" -> nc, "n_right" -> ns,
       "cross_product" -> nc * ns,
       "join_candidates" -> stats.joined,
@@ -262,7 +272,10 @@ object Scale {
       "wall_sec" -> wall,
       "capped_candidates" -> capped.joined,
       "capped_matches" -> matchesCap,
-      "wall_sec_capped" -> wallCap)
+      "wall_sec_capped" -> wallCap,
+      "salted_candidates" -> salted.joined,
+      "salted_matches" -> matchesSalt,
+      "wall_sec_salted" -> wallSalt)
   }
 
   /** Band collisions (Σ C(bucket, 2) over the 16 band buckets — the

@@ -34,8 +34,16 @@ import org.apache.spark.sql.functions._
   *
   * Skew note for 100 TB: segments drawn from low-entropy regions
   * (shared prefixes like `"Customer#"`) hash to hot keys. Normalize
-  * constant affixes away before joining (as `fuzzy_join_names` does),
-  * or salt the hot segment keys; the verify filter is unaffected.
+  * constant affixes away before joining (as `fuzzy_join_names` does);
+  * for dense-key corpora two measured insurances exist (SCALE.md):
+  * `maxDf` DROPS hot index keys — linear candidate bound
+  * (probeKeys·maxDf), recall cost when every pigeonhole witness of a
+  * pair is hot — while `saltHot` (with `maxDf` as the hotness
+  * threshold) KEEPS them, scattering each hot key's index rows across
+  * salts and replicating probe rows — every match retained and no
+  * straggler task, but the quadratic df·probes volume of a hot key is
+  * only spread, not bounded. Drop is the default; salt is the
+  * keep-every-match alternative.
   *
   * Reference anchor: the reference has no fuzzy matching — this is
   * part of the LLM-pipeline surface (entity resolution / near-dup
@@ -75,7 +83,8 @@ object FuzzyJoin {
       rightIdCol: String,
       rightStrCol: String,
       k: Int,
-      maxDf: Int = 0): DataFrame = {
+      maxDf: Int = 0,
+      saltHot: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
 
     // Index side (right): (len, segIdx, segment) keys. Zero-length
@@ -98,7 +107,7 @@ object FuzzyJoin {
     // hot (any one cool segment still finds it); the df computation is
     // an ids-free aggregation on the join key itself.
     val idx =
-      if (maxDf <= 0) idx0
+      if (maxDf <= 0 || saltHot > 1) idx0
       else {
         val hot = idx0.groupBy(col("_rlen"), col("_si"), col("_sub"))
           .agg(count(lit(1)).as("_df")).where(col("_df") > maxDf)
@@ -140,11 +149,52 @@ object FuzzyJoin {
     // equality with the two starts within ±k. (len, substring) carry
     // the hash-join selectivity; the position band rides along as a
     // post-join conjunct on the same equi key.
-    probe
-      .join(idx,
-        probe("_key.l") === idx("_rlen") && probe("_key.sub") === idx("_sub") &&
-          abs(probe("_key.si") - idx("_si")) <= k)
-      .select(col("_lid"), col("_lstr"), col("_rid"), col("_rstr"))
+    if (maxDf > 0 && saltHot > 1) {
+      // SALT-don't-drop (round-15 measurement, SCALE.md): hot keys
+      // keep their matches — index rows of a hot (len, substring)
+      // scatter across `saltHot` sub-keys by id hash, probe rows
+      // replicate to every sub-key, and the join adds salt equality.
+      // This removes the one-reducer straggler a hot key otherwise
+      // plans, but it does NOT restore the linear candidate bound:
+      // each hot key still emits df·probes pairs, just spread across
+      // saltHot tasks — salting fixes SKEW, dropping fixes VOLUME
+      // (both measured on the digit-id corpus; drop stays the
+      // default, this is the keep-every-match alternative for corpora
+      // where the cap would otherwise bind). The hot marker is
+      // (len, substring) — coarser than the drop path's
+      // (len, position, substring), since the probe side's position
+      // band would match several position-specific markers and
+      // duplicate rows; salting a few extra near-hot keys is
+      // harmless (pairs are preserved either way).
+      val hot = idx0.groupBy(col("_rlen"), col("_si"), col("_sub"))
+        .agg(count(lit(1)).as("_df")).where(col("_df") > maxDf)
+        .select(col("_rlen").as("_hl"), col("_sub").as("_hs")).distinct()
+      val hotB = graft.Hints.maybeBroadcast(hot)
+      val idxS = idx0.join(hotB,
+          idx0("_rlen") === hotB("_hl") && idx0("_sub") === hotB("_hs"), "left")
+        .withColumn("_salt",
+          when(col("_hl").isNotNull, pmod(hash(col("_rid")), lit(saltHot)))
+            .otherwise(lit(0)))
+        .drop("_hl", "_hs")
+      val probeS = probe.join(hotB,
+          probe("_key.l") === hotB("_hl") && probe("_key.sub") === hotB("_hs"), "left")
+        .withColumn("_psalt",
+          explode(when(col("_hl").isNotNull, sequence(lit(0), lit(saltHot - 1)))
+            .otherwise(array(lit(0)))))
+        .drop("_hl", "_hs")
+      probeS
+        .join(idxS,
+          probeS("_key.l") === idxS("_rlen") && probeS("_key.sub") === idxS("_sub") &&
+            probeS("_psalt") === idxS("_salt") &&
+            abs(probeS("_key.si") - idxS("_si")) <= k)
+        .select(col("_lid"), col("_lstr"), col("_rid"), col("_rstr"))
+    } else {
+      probe
+        .join(idx,
+          probe("_key.l") === idx("_rlen") && probe("_key.sub") === idx("_sub") &&
+            abs(probe("_key.si") - idx("_si")) <= k)
+        .select(col("_lid"), col("_lstr"), col("_rid"), col("_rstr"))
+    }
   }
 
   /** All pairs (leftId, rightId, dist) with
@@ -161,7 +211,8 @@ object FuzzyJoin {
       rightIdCol: String,
       rightStrCol: String,
       k: Int,
-      maxDf: Int = 0): DataFrame = {
+      maxDf: Int = 0,
+      saltHot: Int = 0): DataFrame = {
     // Verify BEFORE dedup: a pair can reach the join through at most
     // ~(k+1)·(2k+1) duplicate keys (measured 2% extra rows on the
     // digit-string worst case — SCALE.md), and the bounded
@@ -171,7 +222,7 @@ object FuzzyJoin {
     // both payload strings riding the exchange. Deduping the verified
     // matches instead shuffles only the output (56× fewer rows, 3
     // narrow columns, at the measured 10× point).
-    candidateJoin(left, leftIdCol, leftStrCol, right, rightIdCol, rightStrCol, k, maxDf)
+    candidateJoin(left, leftIdCol, leftStrCol, right, rightIdCol, rightStrCol, k, maxDf, saltHot)
       .withColumn("dist", levenshtein(col("_lstr"), col("_rstr"), k))
       .where(col("dist") >= 0 && col("dist") <= k)
       .select(
@@ -195,9 +246,10 @@ object FuzzyJoin {
       rightIdCol: String,
       rightStrCol: String,
       k: Int,
-      maxDf: Int = 0): CandidateStats = {
+      maxDf: Int = 0,
+      saltHot: Int = 0): CandidateStats = {
     val cand = candidateJoin(left, leftIdCol, leftStrCol,
-      right, rightIdCol, rightStrCol, k, maxDf)
+      right, rightIdCol, rightStrCol, k, maxDf, saltHot)
     val r = cand.agg(
       count(lit(1)).as("j"),
       count_distinct(col("_lid"), col("_rid")).as("d")).head()

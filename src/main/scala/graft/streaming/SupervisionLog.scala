@@ -52,21 +52,36 @@ final class SupervisionLog(val sink: MergeTreeSink,
     */
   def recordWithKey(spark: SparkSession,
                     rows: Seq[(LocalDateTime, String, String, String)],
-                    batchKey: String): Unit = {
+                    batchKey: String): Unit =
+    recordEvents(spark,
+      rows.map { case (at, n, e, d) => SupervisionLog.Event(at, n, e, d) }, batchKey)
+
+  /** Full-telemetry write — the [[SupervisionLog.Event]] shape carries
+    * the restart counter and applied backoff (reference
+    * Manager.php:97-117: the manager's sleeps and per-worker restart
+    * bookkeeping around `processTail`), which land as `restarts` /
+    * `backoff_ms` fields in the context JSON so the canonical 9-column
+    * log schema stays intact; [[history]] surfaces them as typed
+    * columns.
+    */
+  def recordEvents(spark: SparkSession,
+                   rows: Seq[SupervisionLog.Event],
+                   batchKey: String): Unit = {
     import spark.implicits._
-    val df = rows.toDF("created_at", "name", "event", "detail")
+    val df = rows.toDF()
       .select(
-        col("created_at").as("created_at"),
+        col("at").as("created_at"),
         lit("manager").as("logger"),
         // a restart means a worker died or rolled over underneath us —
         // that is the row an alerting query keys on
         when(col("event").startsWith("restarted"), lit("WARNING"))
           .otherwise(lit("INFO")).as("level"),
         concat(lit("worker "), col("event")).as("message"),
-        to_json(struct(col("name").as("source"), col("detail"))).as("context"),
+        to_json(struct(col("source"), col("detail"),
+          col("restarts"), col("backoffMs").as("backoff_ms"))).as("context"),
         lit("[]").as("extra"),
         lit(repo).as("repo"),
-        col("name"),
+        col("source").as("name"),
         lit(host).as("host"))
     sink.writeBatch(df, batchKey)
   }
@@ -75,4 +90,25 @@ final class SupervisionLog(val sink: MergeTreeSink,
     * partition column) — feed it to any registry operator.
     */
   def read(spark: SparkSession): DataFrame = sink.read(spark)
+
+  /** [[read]] with the restart-backoff telemetry surfaced as typed
+    * columns: `restarts` (cumulative dead-restarts of the source at
+    * the time of the event) and `backoff_ms` (the delay the manager
+    * armed before it would restart this source again — 0 for planned
+    * starts/rollovers/stops). The alerting query for a crash-looping
+    * source is `history.where($"restarts" >= N)` — exactly the
+    * counter the reference operator had to grep dated log files for.
+    */
+  def history(spark: SparkSession): DataFrame =
+    read(spark)
+      .withColumn("restarts",
+        coalesce(get_json_object(col("context"), "$.restarts").cast("int"), lit(0)))
+      .withColumn("backoff_ms",
+        coalesce(get_json_object(col("context"), "$.backoff_ms").cast("long"), lit(0L)))
+}
+
+object SupervisionLog {
+  /** One supervision event with restart-backoff telemetry. */
+  final case class Event(at: LocalDateTime, source: String, event: String,
+                         detail: String, restarts: Int = 0, backoffMs: Long = 0L)
 }

@@ -24,14 +24,28 @@ final class TailManager(pipelines: Seq[TailPipeline],
 
   private val queries = mutable.Map.empty[String, StreamingQuery]
   private val startedDay = mutable.Map.empty[String, LocalDate]
+  // restart-backoff bookkeeping (reference Manager.php:97-117: the
+  // manager's sleeps + per-worker counters around processTail):
+  // cumulative dead-restarts, the CONSECUTIVE streak (reset by any
+  // pass that observes the query alive), and the earliest time a
+  // crash-looping source may restart again
+  private val restarts = mutable.Map.empty[String, Int]
+  private val deadStreak = mutable.Map.empty[String, Int]
+  private val notBefore = mutable.Map.empty[String, Long]
+  // dead sources whose restart a backoff gate deferred: they left
+  // `queries` when observed dead, so later passes need this to keep
+  // treating the eventual restart as restarted-dead, not a fresh start
+  private val pendingDead = mutable.Set.empty[String]
 
   def activeQueries: Map[String, StreamingQuery] = queries.toMap
 
-  private def logEvents(rows: Seq[(String, String, String)]): Unit =
-    supervisionLog.foreach { log =>
+  private val passSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def logEvents(rows: Seq[SupervisionLog.Event]): Unit =
+    if (rows.nonEmpty) supervisionLog.foreach { log =>
       pipelines.headOption.foreach { p =>
-        val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-        log.record(p.spark, rows.map { case (n, e, d) => (now, n, e, d) })
+        log.recordEvents(p.spark, rows,
+          s"sup_${System.currentTimeMillis()}_${passSeq.incrementAndGet()}")
       }
     }
 
@@ -39,30 +53,57 @@ final class TailManager(pipelines: Seq[TailPipeline],
     * is recorded to the supervision log (when wired) as ONE batch per
     * pass — started / restarted-dead / restarted-rollover, the exact
     * event set the reference Manager writes to its dated log files
-    * (Manager.php:64,92 via ToolsTraits.php:29-37).
+    * (Manager.php:64,92 via ToolsTraits.php:29-37) — plus the
+    * restart-backoff telemetry the reference keeps implicitly (its
+    * 10 s sleep between passes IS its backoff): a source restarted
+    * dead arms an exponential gate ([[TailManager.backoffMillis]] —
+    * 10 s doubling to 5 min per consecutive crash), and until the
+    * gate expires later passes leave it down rather than hot-looping
+    * a crashing source; the armed delay and the cumulative restart
+    * count ride every event row (`SupervisionLog.history`'s
+    * `restarts` / `backoff_ms` columns). A pass that sees the query
+    * healthy resets the streak, not the cumulative counter.
+    *
+    * `nowMillis` is injectable for deterministic tests; production
+    * callers use the default clock.
     */
-  def superviseOnce(today: LocalDate): Seq[String] = {
+  def superviseOnce(today: LocalDate,
+                    nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
     val actions = pipelines.flatMap { p =>
       val name = p.cfg.name
       val dead = queries.get(name).exists(!_.isActive)
       val rolled = graft.sources.DatePath.isDaily(p.inputPath) && startedDay.get(name).exists(_ != today)
       queries.get(name) match {
         case Some(q) if rolled && q.isActive => p.stopGracefully(q); queries.remove(name)
-        case _ if dead => queries.remove(name)
+        case _ if dead => queries.remove(name); pendingDead += name
+        case Some(q) if q.isActive => deadStreak.remove(name) // healthy pass: streak over
         case _ => ()
       }
-      if (!queries.contains(name)) {
+      val wasDead = pendingDead.contains(name)
+      if (queries.contains(name)) None
+      else if (wasDead && nowMillis < notBefore.getOrElse(name, 0L)) {
+        None // crash-looping source inside its backoff window: stay down
+      } else {
         queries(name) = p.start(today)
-        val event =
-          if (dead) "restarted-dead"
-          else if (rolled) "restarted-rollover"
-          else "started"
         startedDay(name) = today
-        Some((name, event, s"day=$today"))
-      } else None
+        val (event, backoff) =
+          if (wasDead) {
+            pendingDead -= name
+            val streak = deadStreak.getOrElse(name, 0) + 1
+            deadStreak(name) = streak
+            restarts(name) = restarts.getOrElse(name, 0) + 1
+            val b = TailManager.backoffMillis(streak)
+            notBefore(name) = nowMillis + b
+            ("restarted-dead", b)
+          } else if (rolled) ("restarted-rollover", 0L)
+          else ("started", 0L)
+        Some(SupervisionLog.Event(
+          java.time.LocalDateTime.now(java.time.ZoneOffset.UTC),
+          name, event, s"day=$today", restarts.getOrElse(name, 0), backoff))
+      }
     }
     logEvents(actions)
-    actions.map(_._1)
+    actions.map(_.source)
   }
 
   /** Graceful shutdown of every source with final flush (reference
@@ -72,7 +113,10 @@ final class TailManager(pipelines: Seq[TailPipeline],
     val stopped = pipelines.flatMap { p =>
       queries.get(p.cfg.name).filter(_.isActive).map { q =>
         p.stopGracefully(q)
-        (p.cfg.name, "stopped", "graceful shutdown")
+        SupervisionLog.Event(
+          java.time.LocalDateTime.now(java.time.ZoneOffset.UTC),
+          p.cfg.name, "stopped", "graceful shutdown",
+          restarts.getOrElse(p.cfg.name, 0), 0L)
       }
     }
     queries.clear()
@@ -118,6 +162,22 @@ final class TailManager(pipelines: Seq[TailPipeline],
 }
 
 object TailManager {
+
+  /** Base and cap of the dead-restart backoff: 10 s (the reference
+    * manager's fixed inter-pass sleep, Manager.php:35) doubling per
+    * consecutive crash to 5 minutes — a crash-looping source ends up
+    * probed at dashboard cadence instead of restart-spamming the
+    * cluster, while one isolated death still restarts on the very
+    * next pass (the gate is armed AFTER the restart).
+    */
+  val BaseBackoffMs: Long = 10000L
+  val MaxBackoffMs: Long = 300000L
+
+  /** Exponential backoff for the `streak`-th consecutive dead restart. */
+  def backoffMillis(streak: Int): Long = {
+    val shift = math.min(streak - 1, 30)
+    math.min(BaseBackoffMs << shift, MaxBackoffMs)
+  }
 
   /** Above Spark's single Hadoop-registered hook (priority 40) so the
     * drain strictly precedes context teardown on SIGTERM.

@@ -110,6 +110,19 @@ class FuzzyJoinSpec extends AnyFunSuite {
     // exact-copy pairs (dist 0) whose both segment keys are cool remain
     val survivors = denseCap.filter(_._3 == 0)
     assert(survivors.nonEmpty, "cool-witness exact matches must survive the cap")
+    // SALT-don't-drop (round-15): same hotness threshold, but hot keys
+    // scatter across salts with the probe side replicated — every
+    // match the drop variant loses comes back, exactly the uncapped set
+    val denseSalt = FuzzyJoin.join(denseL, "lid", "ls", denseR, "rid", "rs", 1,
+        maxDf = 8, saltHot = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(denseSalt == denseFull,
+      s"salting must preserve every match: ${(denseFull -- denseSalt).take(5)} lost")
+    // and on a fixture where no key is hot, salting is the identity too
+    val saltLoose = FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs", 1,
+        maxDf = 1000, saltHot = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(saltLoose == full)
   }
 
   test("k must be positive") {

@@ -920,6 +920,59 @@ class StreamingSpec extends AnyFunSuite {
       .size == 8)
     val warned = hist.where(col("level") === "WARNING").count()
     assert(warned == 1)
+    // restart-backoff telemetry (round-15): the dead restart carries
+    // its cumulative counter and the armed gate; planned events carry 0
+    val h = supLog.history(spark)
+    val tele = h.select("message", "restarts", "backoff_ms")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(tele.contains(("worker restarted-dead", 1,
+      graft.streaming.TailManager.BaseBackoffMs)), s"got $tele")
+    assert(tele.contains(("worker started", 0, 0L)))
+    assert(tele.collect { case ("worker stopped", n, b) => (n, b) } == Set((1, 0L)))
+  }
+
+  test("crash-looping source backs off exponentially, isolated death restarts next pass") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{SupervisionLog, TailManager => TM}
+    val base = tmp("backoff")
+    val in = tmp("backoff_in")
+    val supSink = MergeTreeSink(base.resolve("sup").toString)
+    val supLog = new SupervisionLog(supSink)
+    val pipe = TailPipeline(spark, TailConfig("cr", "api2"), in.toString,
+      base.resolve("ck").toString, MergeTreeSink(base.resolve("out").toString))
+    val mgr = new TailManager(Seq(pipe), Some(supLog))
+    val day = LocalDate.of(2024, 1, 1)
+    val t0 = 1000000L
+    assert(mgr.superviseOnce(day, t0) == Seq("cr"))
+    // crash #1: restarts on the very next pass (the gate arms AFTER),
+    // streak 1 -> 10 s gate
+    mgr.activeQueries("cr").stop()
+    assert(mgr.superviseOnce(day, t0 + 1000) == Seq("cr"))
+    // crash #2 lands inside the gate: passes leave the source down
+    mgr.activeQueries("cr").stop()
+    assert(mgr.superviseOnce(day, t0 + 2000).isEmpty, "inside the gate: stay down")
+    assert(mgr.activeQueries.get("cr").isEmpty)
+    assert(mgr.superviseOnce(day, t0 + 10000).isEmpty, "still inside (gate = arm time + 10 s)")
+    // past the gate: restarted-dead #2, streak 2 -> 20 s gate
+    assert(mgr.superviseOnce(day, t0 + 1000 + TM.BaseBackoffMs + 1) == Seq("cr"))
+    // a HEALTHY pass resets the streak (but not the cumulative count):
+    // the next death gates at the base delay again
+    assert(mgr.superviseOnce(day, t0 + 60000).isEmpty) // observes it alive
+    mgr.activeQueries("cr").stop()
+    assert(mgr.superviseOnce(day, t0 + 61000) == Seq("cr"))
+    mgr.shutdown()
+    val h = supLog.history(spark).where(col("message") === "worker restarted-dead")
+      .orderBy("created_at")
+      .select("restarts", "backoff_ms")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(h == Seq(
+      (1, TM.BaseBackoffMs),      // crash #1
+      (2, 2 * TM.BaseBackoffMs),  // crash #2 after the gate: doubled
+      (3, TM.BaseBackoffMs)),     // post-healthy crash: streak reset
+      s"telemetry rows: $h")
+    // the cap holds for deep streaks
+    assert(TM.backoffMillis(10) == TM.MaxBackoffMs)
+    assert(TM.backoffMillis(1) == TM.BaseBackoffMs)
   }
 
   test("heartbeat loss alerts on the silent source via event-time timeout, resumes cleanly") {
