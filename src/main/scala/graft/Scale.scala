@@ -95,6 +95,155 @@ object Scale {
     if (wanted("fuzzy_join_names")) fuzzyJoin(spark, dir)
     if (wanted("dedup_cosine")) cosine(spark, dir, emb, nEmb)
     if (wanted("embed_recall")) recall(spark, dir, emb, nEmb)
+    if (wanted("parity_lsh")) parity(spark, dir, emb, nEmb, lsh = true)
+    if (wanted("parity_sem")) parity(spark, dir, emb, nEmb, lsh = false)
+    if (wanted("blob_cap")) blobCap(spark, dir, emb, nEmb)
+    if (wanted("textdup")) textdup(spark, dir)
+  }
+
+  /** Pair volume emitted, documents removed, and resolver rounds for
+    * one embedding-dedup family — the parity probe shared by the
+    * capped-curve and blob measurements. Walls are measured on the
+    * PAIR stage alone (time(force(pairs)) — comparable to every prior
+    * SCALE.md row); removal + rounds run on a persisted copy.
+    */
+  private def pairProbe(p: DataFrame): (Double, Double, Double) = {
+    val pp = p.select("a", "b").persist()
+    val volume = pp.count().toDouble
+    val (res, rounds) = graft.dedup.DupClusters.resolveCounted(pp, "a", "b", maxIters = 50)
+    val r = res.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+    pp.unpersist()
+    (volume, num(r, 0) - num(r, 1), rounds.toDouble)
+  }
+
+  /** Capped-vs-uncapped removal parity at PRODUCTION caps (4× the
+    * occupancy target), without the brute-force truth join — the
+    * round-15 100× extension of the clustered curve (truth is
+    * quadratic in corpus size and stops being payable at 200k vectors;
+    * parity is the per-family guarantee and needs only the two
+    * operator runs). One family per invocation so the expensive
+    * uncapped LSH run can be scheduled apart from the rest.
+    */
+  private def parity(spark: SparkSession, dir: String, emb: DataFrame, n: Double,
+      lsh: Boolean): Unit = {
+    val minCos = 0.8
+    val (fam, mk) =
+      if (lsh) ("parity_lsh", (cap: Int) =>
+        graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = cap))
+      else ("parity_sem", (cap: Int) =>
+        graft.dedup.SemDedup.pairs(emb, minCos, maxCell = cap))
+    val cap = 4 * (if (lsh) graft.dedup.CosineDedup.TargetBucketSize
+                   else graft.dedup.SemDedup.TargetCellSize)
+    val wallCapped = time(force(mk(cap)))
+    val (volC, rmC, roundsC) = pairProbe(mk(cap))
+    val wallFull = time(force(mk(0)))
+    val (volF, rmF, roundsF) = pairProbe(mk(0))
+    emit(dir, fam, "n_vectors" -> n, "cap" -> cap.toDouble,
+      "wall_sec_capped" -> wallCapped, "wall_sec_uncapped" -> wallFull,
+      "pairs_capped" -> volC, "pairs_uncapped" -> volF,
+      "removed_capped" -> rmC, "removed_uncapped" -> rmF,
+      "resolver_rounds_capped" -> roundsC, "resolver_rounds_uncapped" -> roundsF)
+  }
+
+  /** The identical-vector blob at scale (the regime no Voronoi
+    * assignment can split and no all-pairs branch survives): CAPPED
+    * families only — the uncapped baseline is C(blob, 2) by
+    * construction (5·10¹¹ pairs at a 10⁶-copy blob) and is exactly
+    * what the cap exists to never plan. Verifies the round-15
+    * distributed ranker + O(log m) chain end to end: wall, emitted
+    * volume, resolver rounds, and the blob's collapse to ONE canonical
+    * survivor (ground truth by construction: `label = 0` rows are
+    * bit-identical vectors).
+    */
+  private def blobCap(spark: SparkSession, dir: String, emb: DataFrame, n: Double): Unit = {
+    val minCos = 0.8
+    val blob = Tables(spark, dir, "embeddings")
+      .where(col("label") === 0).select(col("vec_id").as("id")).persist()
+    val nBlob = blob.count().toDouble
+    def blobStats(p: DataFrame): (Double, Double, Double, Double, Double) = {
+      val pp = p.select("a", "b").persist()
+      val volume = pp.count().toDouble
+      val (res, rounds) = graft.dedup.DupClusters.resolveCounted(pp, "a", "b", maxIters = 50)
+      val resB = res.join(blob, Seq("id"))
+      val r = resB.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+      val rAll = res.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+      pp.unpersist()
+      (volume, rounds.toDouble, num(r, 0), num(r, 1), num(rAll, 0) - num(rAll, 1))
+    }
+    val capL = 4 * graft.dedup.CosineDedup.TargetBucketSize
+    val wallL = time(force(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = capL)))
+    val (volL, roundsL, blobInL, blobKeepL, rmL) =
+      blobStats(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = capL))
+    val capS = 4 * graft.dedup.SemDedup.TargetCellSize
+    val wallS = time(force(graft.dedup.SemDedup.pairs(emb, minCos, maxCell = capS)))
+    val (volS, roundsS, blobInS, blobKeepS, rmS) =
+      blobStats(graft.dedup.SemDedup.pairs(emb, minCos, maxCell = capS))
+    blob.unpersist()
+    emit(dir, "blob_cap", "n_vectors" -> n, "blob_copies" -> nBlob,
+      "lsh_wall_sec" -> wallL, "lsh_pairs" -> volL, "lsh_rounds" -> roundsL,
+      "lsh_blob_clustered" -> blobInL, "lsh_blob_survivors" -> blobKeepL,
+      "lsh_removed" -> rmL,
+      "sem_wall_sec" -> wallS, "sem_pairs" -> volS, "sem_rounds" -> roundsS,
+      "sem_blob_clustered" -> blobInS, "sem_blob_survivors" -> blobKeepS,
+      "sem_removed" -> rmS)
+  }
+
+  /** Real-TEXT near-dup parity (round-15 item: the prior clustered
+    * measurements are Gaussian; textual near-dups deviate differently
+    * — correlated word swaps, not isotropic noise). The sf*t corpus
+    * (tools/gen_textdup.py) plants paragraph-level edits over the
+    * sf0.1 documents marginals: one 600-member near-dup FAMILY (the
+    * over-cap blob, textual geometry) plus scattered pair dups, with
+    * embeddings derived FROM the text (signed feature hashing of word
+    * 3-gram shingles — near-dup cosine is textual overlap, not
+    * planted noise) and the planted truth in `truth.parquet`. Checks:
+    * capped removal == uncapped removal per family, planted-pair
+    * cluster recall (same resolved cluster), MinHash families as the
+    * text-native cross-check.
+    */
+  private def textdup(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), graft.sim.Cosine.asDouble(col("embedding")).as("vec"))
+    val truth = spark.read.parquet(s"$dir/truth.parquet")
+      .select(least(col("src_id"), col("dup_id")).as("a"),
+        greatest(col("src_id"), col("dup_id")).as("b")).persist()
+    val nTruth = truth.count().toDouble
+    val n = emb.count().toDouble
+    val minCos = 0.8
+    val cap = 256 // under the planted family size, over typical occupancy
+    def clusterRecall(p: DataFrame): (Double, Double, Double) = {
+      val pp = p.select("a", "b").persist()
+      val vol = pp.count().toDouble
+      val res = graft.dedup.DupClusters.resolve(pp, "a", "b", maxIters = 50)
+        .select(col("id"), col("cluster_id")).persist()
+      val hit = truth
+        .join(res.select(col("id").as("a"), col("cluster_id").as("ca")), Seq("a"))
+        .join(res.select(col("id").as("b"), col("cluster_id").as("cb")), Seq("b"))
+        .where(col("ca") === col("cb")).count().toDouble
+      val rm = num(res.agg(count(lit(1)) -
+        sum(when(col("cluster_id") === col("id"), 1L).otherwise(0L))).head(), 0)
+      res.unpersist(); pp.unpersist()
+      (if (nTruth > 0) hit / nTruth else 1.0, rm, vol)
+    }
+    val (lshR, lshRm, lshVol) = clusterRecall(graft.dedup.CosineDedup.pairs(emb, minCos))
+    val (lshCapR, lshCapRm, lshCapVol) =
+      clusterRecall(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = cap))
+    val (semR, semRm, _) = clusterRecall(graft.dedup.SemDedup.pairs(emb, minCos))
+    val (semCapR, semCapRm, _) =
+      clusterRecall(graft.dedup.SemDedup.pairs(emb, minCos, maxCell = cap))
+    // text-native cross-checks on the documents themselves
+    val (mhR, mhRm, _) = clusterRecall(
+      graft.dedup.MinHashLSH.pairs(docs, "doc_id", "text", n = 3, minEstJaccard = 0.5)
+        .select(col("a"), col("b")))
+    truth.unpersist()
+    emit(dir, "textdup", "n_docs" -> n, "planted_pairs" -> nTruth,
+      "lsh_recall" -> lshR, "lsh_removed" -> lshRm, "lsh_pairs" -> lshVol,
+      "lsh_capped_recall" -> lshCapR, "lsh_capped_removed" -> lshCapRm,
+      "lsh_capped_pairs" -> lshCapVol,
+      "sem_recall" -> semR, "sem_removed" -> semRm,
+      "sem_capped_recall" -> semCapR, "sem_capped_removed" -> semCapRm,
+      "minhash_recall" -> mhR, "minhash_removed" -> mhRm)
   }
 
   /** Recall vs EXACT ground truth for the whole embedding family —

@@ -3149,6 +3149,41 @@ object SparkEntry {
       |WHERE levenshtein(c.cid, s.sid) <= 1
       |ORDER BY g.c_custkey, g.s_suppkey""".stripMargin
 
+  /** Salted fuzzy join (SURVEY §2 B106b, round-15): the same hotness
+    * threshold as B106a, but hot segment keys are SALTED (index rows
+    * scattered by id hash, probe rows replicated per salt) instead of
+    * dropped — every match is preserved and no hot key plans a
+    * one-reducer straggler, at the cost of the hot keys' quadratic
+    * candidate volume being spread rather than bounded (SCALE.md
+    * salt-vs-drop row). Because salting loses nothing, the oracle is
+    * the FULL cross-join levenshtein ≤ k match set — a strictly
+    * stronger gate than the capped variant's precision-style check:
+    * a single missing pair hash-mismatches. Same pinned-low threshold
+    * (6) so hot keys actually exist at oracle scale.
+    */
+  private def fuzzyJoinNamesSalted(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), strippedNameKey(col("c_name")).as("cid"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), strippedNameKey(col("s_name")).as("sid"))
+    graft.ops.FuzzyJoin.join(cust, "c_custkey", "cid", supp, "s_suppkey", "sid",
+        k = 1, maxDf = 6, saltHot = 4)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  private val fuzzyJoinNamesSaltedSql =
+    """WITH c AS (SELECT c_custkey,
+      |            coalesce(nullif(regexp_replace(substring(c_name, 10), '^0+', ''), ''), '0') AS cid
+      |            FROM customer),
+      |     s AS (SELECT s_suppkey,
+      |            coalesce(nullif(regexp_replace(substring(s_name, 10), '^0+', ''), ''), '0') AS sid
+      |            FROM supplier)
+      |SELECT c.c_custkey, s.s_suppkey, levenshtein(cid, sid) AS dist
+      |FROM c CROSS JOIN s
+      |WHERE levenshtein(cid, sid) <= 1
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   /** Degree distribution + power-law fit (SURVEY §2 B155 — the
     * link-graph profile B116/B141 assume and never emit: PageRank and
     * the triangle census both lean on the degree structure; this op
@@ -8540,6 +8575,7 @@ object SparkEntry {
     "quality_filter" -> Q(qualityFilter, Some(qualityFilterSql)),
     "fuzzy_join_names" -> Q(fuzzyJoinNames, Some(fuzzyJoinNamesSql)),
     "fuzzy_join_names_capped" -> Q(fuzzyJoinNamesCapped, Some(fuzzyJoinNamesCappedSql)),
+    "fuzzy_join_names_salted" -> Q(fuzzyJoinNamesSalted, Some(fuzzyJoinNamesSaltedSql)),
     "entity_resolve" -> Q(entityResolve, Some(entityResolveSql)),
     "graph_degrees" -> Q(graphDegrees, Some(graphDegreesSql)),
     "sample_estimate" -> Q(sampleEstimate, Some(sampleEstimateSql)),

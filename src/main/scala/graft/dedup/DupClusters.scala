@@ -43,7 +43,16 @@ object DupClusters {
     * at least one pair: `cluster_id` = minimum reachable id, `keep` =
     * this id IS the cluster minimum (the canonical representative).
     */
-  def resolve(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 25): DataFrame = {
+  def resolve(pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 25): DataFrame =
+    resolveCounted(pairs, aCol, bCol, maxIters)._1
+
+  /** [[resolve]] plus the propagation-round count it converged in —
+    * the scale telemetry for diameter claims (a capped pair graph
+    * promises O(log m) resolver rounds; SCALE.md records the measured
+    * count next to every blob run).
+    */
+  def resolveCounted(pairs: DataFrame, aCol: String, bCol: String,
+                     maxIters: Int = 25): (DataFrame, Int) = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // materialize the (typically expensive) upstream pair computation
     // ONCE — every propagation round joins against edges, and without
@@ -83,6 +92,7 @@ object DupClusters {
     }
     require(converged, s"label propagation did not converge within $maxIters rounds " +
       "(pathological pair-graph diameter — raise maxIters)")
-    labels.select(col("id"), col("label").as("cluster_id"), (col("id") === col("label")).as("keep"))
+    (labels.select(col("id"), col("label").as("cluster_id"), (col("id") === col("label")).as("keep")),
+      it)
   }
 }

@@ -134,8 +134,11 @@ object SemDedup {
       // Over-cap cells arise when Voronoi splitting fails: identical-
       // vector blobs tie to one cell no matter how many centroids
       // train, and k-means leaves TIGHT clusters in few cells. Their
-      // members route into the LSH family ([[CosineDedup]], 8 tables,
-      // adaptive bits, recursion-terminating chain cap) — fine
+      // members route into the LSH family ([[CosineDedup]], 16 tables
+      // — each table samples an INDEPENDENT salted chain, and the
+      // round-15 textual measurement moved removal from −12.9% to
+      // −2.0% of uncapped as route diversity doubled 8→16 —
+      // adaptive bits, recursion-terminating chain cap): fine
       // multi-table buckets resolve the straddling-cluster regime
       // (internal cosine distribution crossing the threshold) that a
       // bounded-degree chain was measured to under-remove by ~11% on
@@ -144,7 +147,7 @@ object SemDedup {
       PairCap.cappedPairs(cells.select("id", "vec", "nrm", "cell"), Seq("cell"),
         maxCell, minCosine,
         overCap = Some(sub => CosineDedup.pairs(
-          sub.select("id", "vec"), minCosine, numTables = 8, dim = dim,
+          sub.select("id", "vec"), minCosine, numTables = 16, dim = dim,
           maxBucket = maxCell)))
   }
 }
