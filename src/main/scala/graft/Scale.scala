@@ -134,8 +134,14 @@ object Scale {
         graft.dedup.SemDedup.pairs(emb, minCos, maxCell = cap))
     val cap = 4 * (if (lsh) graft.dedup.CosineDedup.TargetBucketSize
                    else graft.dedup.SemDedup.TargetCellSize)
+    // two emits, capped FIRST: the uncapped leg is the long one (it is
+    // what the cap replaces), and a budget-killed run must still leave
+    // the capped row on record
     val wallCapped = time(force(mk(cap)))
     val (volC, rmC, roundsC) = pairProbe(mk(cap))
+    emit(dir, s"${fam}_capped", "n_vectors" -> n, "cap" -> cap.toDouble,
+      "wall_sec_capped" -> wallCapped, "pairs_capped" -> volC,
+      "removed_capped" -> rmC, "resolver_rounds_capped" -> roundsC)
     val wallFull = time(force(mk(0)))
     val (volF, rmF, roundsF) = pairProbe(mk(0))
     emit(dir, fam, "n_vectors" -> n, "cap" -> cap.toDouble,
@@ -174,6 +180,10 @@ object Scale {
     val wallL = time(force(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = capL)))
     val (volL, roundsL, blobInL, blobKeepL, rmL) =
       blobStats(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = capL))
+    emit(dir, "blob_cap_lsh", "n_vectors" -> n, "blob_copies" -> nBlob,
+      "lsh_wall_sec" -> wallL, "lsh_pairs" -> volL, "lsh_rounds" -> roundsL,
+      "lsh_blob_clustered" -> blobInL, "lsh_blob_survivors" -> blobKeepL,
+      "lsh_removed" -> rmL)
     val capS = 4 * graft.dedup.SemDedup.TargetCellSize
     val wallS = time(force(graft.dedup.SemDedup.pairs(emb, minCos, maxCell = capS)))
     val (volS, roundsS, blobInS, blobKeepS, rmS) =

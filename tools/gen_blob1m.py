@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""10^6-copy identical-vector blob corpus (round-15 `blob_cap` point).
+
+1,000,000 bit-identical unit vectors (label 0 — the blob no Voronoi
+assignment can split and no all-pairs branch survives: C(10^6, 2) ~
+5*10^11 pairs) plus 200,000 isotropic noise vectors (label 1) for
+context. The full 4.5M-vector sf225i mixture exceeded this box's disk
+on the 16-table bucket shuffle; the blob REGIME — which is what the
+measurement targets — is unchanged by the surrounding corpus size.
+"""
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+rng = np.random.default_rng(20271)
+dim = 64
+n_blob, n_noise = 1000000, 200000
+c = rng.standard_normal(dim)
+c /= np.linalg.norm(c)
+blob = np.tile(c.astype(np.float32), (n_blob, 1))
+noise = rng.standard_normal((n_noise, dim))
+noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+v = np.vstack([blob, noise.astype(np.float32)])
+lab = np.concatenate([np.zeros(n_blob, np.int32), np.ones(n_noise, np.int32)])
+out = "scaledata/sf-blob1m"
+os.makedirs(out, exist_ok=True)
+pq.write_table(pa.table({
+    "vec_id": np.arange(len(v), dtype=np.int64),
+    "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+    "label": lab}), f"{out}/embeddings.parquet")
+print("wrote", len(v))
