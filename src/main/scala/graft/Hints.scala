@@ -57,4 +57,42 @@ object Hints {
 
   def maybeBroadcast(df: DataFrame): DataFrame =
     if (fitsBroadcast(df)) broadcast(df) else df
+
+  /** [[maybeBroadcast]] for relations whose Catalyst size estimate is
+    * OPAQUE — a `zipWithIndex` LogicalRDD or a localCheckpoint, whose
+    * stats are the unknown default (`spark.sql.defaultSizeInBytes`,
+    * Long.MaxValue out of the box; measured empirically — a
+    * localCheckpointed aggregate reports 2^63−1 even after
+    * materialization, because LogicalRDD carries the ORIGIN plan's
+    * stats, not the checkpointed bytes). For those the estimate gate
+    * can never fire, but the relation may be genuinely tiny (one row
+    * per over-cap group); this helper MEASURES instead of estimating:
+    * one `count()` action times the schema's per-row width. Same
+    * contract as [[maybeBroadcast]] — a disabled session threshold
+    * (`autoBroadcastJoinThreshold <= 0`, the plan guard's probe)
+    * suppresses the hint unconditionally, so no shipped plan ever
+    * carries a FORCED broadcast on a scale-growing relation; at
+    * runtime the hint fires exactly when the measured bytes fit.
+    *
+    * Callers MUST pass a materialized relation (`Store.materialize`):
+    * the count action and the subsequent join would otherwise each
+    * recompute the subtree, and an unmaterialized broadcast would
+    * recompute it a third time on the driver.
+    */
+  def maybeBroadcastMeasured(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) df
+    else {
+      val est = df.queryExecution.withCachedData.stats.sizeInBytes
+      if (est <= BigInt(threshold)) broadcast(df) // real (file-backed) stats: trust them
+      else if (est < BigInt(conf.defaultSizeInBytes)) df // genuinely-big estimate: trust it too
+      else {
+        // opaque stats: measure. Row width from Catalyst's own
+        // per-type defaultSize (what the estimator would have used).
+        val rowBytes = math.max(16L, df.schema.map(_.dataType.defaultSize.toLong).sum)
+        if (df.count() * rowBytes <= threshold) broadcast(df) else df
+      }
+    }
+  }
 }

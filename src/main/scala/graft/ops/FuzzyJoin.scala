@@ -86,6 +86,11 @@ object FuzzyJoin {
       maxDf: Int = 0,
       saltHot: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // saltHot without a hotness threshold would silently take the
+    // plain uncapped join (neither branch below fires) — an explicit
+    // error beats a no-op the caller believes is hot-key-safe
+    require(saltHot <= 1 || maxDf > 0,
+      s"saltHot=$saltHot requires maxDf > 0 (maxDf is the hotness threshold salting scatters)")
 
     // Index side (right): (len, segIdx, segment) keys. Zero-length
     // segments (len < k+1) key on position only — the substring is ''.

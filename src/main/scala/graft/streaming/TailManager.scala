@@ -62,7 +62,10 @@ final class TailManager(pipelines: Seq[TailPipeline],
     * a crashing source; the armed delay and the cumulative restart
     * count ride every event row (`SupervisionLog.history`'s
     * `restarts` / `backoff_ms` columns). A pass that sees the query
-    * healthy resets the streak, not the cumulative counter.
+    * healthy resets the streak, not the cumulative counter. Passes
+    * that DEFER a gated source emit an INFO `deferred` row carrying
+    * the remaining backoff (not in the returned names), so the log
+    * never goes dark while a source is intentionally down.
     *
     * `nowMillis` is injectable for deterministic tests; production
     * callers use the default clock.
@@ -82,7 +85,17 @@ final class TailManager(pipelines: Seq[TailPipeline],
       val wasDead = pendingDead.contains(name)
       if (queries.contains(name)) None
       else if (wasDead && nowMillis < notBefore.getOrElse(name, 0L)) {
-        None // crash-looping source inside its backoff window: stay down
+        // crash-looping source inside its backoff window: stays down,
+        // but NOT silently — each deferring pass records the REMAINING
+        // backoff so history() distinguishes "intentionally gated
+        // down" from "healthy and quiet" during an up-to-5-minute gap
+        // between restarted-dead rows (round-15 ADVICE). INFO-level
+        // (only `restarted*` events map to WARNING), bounded by the
+        // pass cadence.
+        Some(SupervisionLog.Event(
+          java.time.LocalDateTime.now(java.time.ZoneOffset.UTC),
+          name, "deferred", s"day=$today",
+          restarts.getOrElse(name, 0), notBefore(name) - nowMillis))
       } else {
         queries(name) = p.start(today)
         startedDay(name) = today
@@ -103,7 +116,9 @@ final class TailManager(pipelines: Seq[TailPipeline],
       }
     }
     logEvents(actions)
-    actions.map(_.source)
+    // deferred rows are telemetry, not (re)starts — callers key on the
+    // returned names to detect restarts, so gated-down sources stay out
+    actions.filter(_.event != "deferred").map(_.source)
   }
 
   /** Graceful shutdown of every source with final flush (reference

@@ -537,6 +537,47 @@ class DedupSpec extends AnyFunSuite {
       s"stride-only eccentricity of rank 1 must be <= ceil(log2 m) = $logM, got ${dist.values.max}")
   }
 
+  test("pair cap: chain edge set survives the reliable path store across multiple files") {
+    import org.apache.spark.sql.functions.col
+    // The round-15 ADVICE finding: zipWithIndex ranks are PARTITION
+    // order, and the parquet store route repacks read splits by size
+    // descending — a sort taken BELOW the store boundary arrives
+    // scrambled, per-group ranks gap, and the rn − 2^k equi-join
+    // degenerates to a hub-star. One local file preserves order and
+    // hides it, so this fixture forces MANY store files (the input is
+    // spread across partitions before the store write) and pins the
+    // exact edge set the single-file/default-route test above pins.
+    val m = 1200
+    val dim = 16
+    val vec = {
+      val rnd = new scala.util.Random(11)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val e = (0 until m).map(i => (i.toLong, vec)).toDF("id", "vec").repartition(16)
+    val root = java.nio.file.Files.createTempDirectory("graft_paircap_store")
+      .toFile.getAbsolutePath
+    val pairs = try {
+      spark.conf.set(graft.Store.PathConf, root)
+      graft.dedup.CosineDedup.pairs(e, minCosine = 0.9, dim = dim, maxBucket = 64)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    } finally spark.conf.unset(graft.Store.PathConf)
+    // the store really did split: at least one store dir has >1 part file
+    val multiFile = new java.io.File(root).listFiles().exists(d =>
+      d.isDirectory && d.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile, "fixture must produce a multi-file store or it proves nothing")
+    def isPow2(x: Long): Boolean = x > 0 && (x & (x - 1)) == 0
+    val expected = (for {
+      b <- 1 until m
+      a <- 0 until b
+      if a == 0 || isPow2((b - a).toLong)
+    } yield (a.toLong, b.toLong)).toSet
+    assert(pairs == expected,
+      s"path-store chain edge set mismatch: ${(pairs -- expected).take(5)} extra, " +
+        s"${(expected -- pairs).take(5)} missing")
+  }
+
   test("boilerplate spans: positional windows, first occurrence, spread, ranking") {
     import org.apache.spark.sql.functions._
     // positional (non-distinct) kernel contract: index i = window at token i

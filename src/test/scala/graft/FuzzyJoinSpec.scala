@@ -132,4 +132,15 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
     ()
   }
+
+  test("saltHot without maxDf is an explicit error, not a silent uncapped join") {
+    // round-15 ADVICE: saltHot > 1 with maxDf <= 0 used to disable both
+    // dropping AND salting — the caller got a plain join believing it
+    // was hot-key-safe. maxDf is the hotness threshold salting needs.
+    val d = leftRows.toDF("lid", "ls")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.join(d, "lid", "ls", d, "lid", "ls", 1, maxDf = 0, saltHot = 4)
+    }
+    ()
+  }
 }

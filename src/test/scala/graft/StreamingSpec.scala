@@ -970,6 +970,19 @@ class StreamingSpec extends AnyFunSuite {
       (2, 2 * TM.BaseBackoffMs),  // crash #2 after the gate: doubled
       (3, TM.BaseBackoffMs)),     // post-healthy crash: streak reset
       s"telemetry rows: $h")
+    // gated-down passes are not silent (round-15 ADVICE): each deferring
+    // pass leaves an INFO `deferred` row carrying the REMAINING backoff,
+    // so history distinguishes "intentionally down" from "quiet". The
+    // two in-gate passes above (t0+2000, t0+10000) defer against a gate
+    // armed at t0+1000 for BaseBackoffMs.
+    val deferred = supLog.history(spark).where(col("message") === "worker deferred")
+      .orderBy("created_at")
+      .select("level", "restarts", "backoff_ms")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(deferred == Seq(
+      ("INFO", 1, TM.BaseBackoffMs - 1000L), // t0+2000: 9 s of the gate left
+      ("INFO", 1, 1000L)),                   // t0+10000: 1 s left
+      s"deferred rows: $deferred")
     // the cap holds for deep streaks
     assert(TM.backoffMillis(10) == TM.MaxBackoffMs)
     assert(TM.backoffMillis(1) == TM.BaseBackoffMs)
