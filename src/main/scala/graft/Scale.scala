@@ -97,6 +97,7 @@ object Scale {
     if (wanted("embed_recall")) recall(spark, dir, emb, nEmb)
     if (wanted("parity_lsh")) parity(spark, dir, emb, nEmb, lsh = true)
     if (wanted("parity_sem")) parity(spark, dir, emb, nEmb, lsh = false)
+    if (wanted("parity_lsh_streamed")) parityLshStreamed(spark, dir, emb, nEmb)
     if (wanted("blob_cap")) blobCap(spark, dir, emb, nEmb)
     if (wanted("textdup")) textdup(spark, dir)
   }
@@ -149,6 +150,56 @@ object Scale {
       "pairs_capped" -> volC, "pairs_uncapped" -> volF,
       "removed_capped" -> rmC, "removed_uncapped" -> rmF,
       "resolver_rounds_capped" -> roundsC, "resolver_rounds_uncapped" -> roundsF)
+  }
+
+  /** The LSH family's 100× parity point via the STREAMED protocol —
+    * the round-15 DNF (monolithic 16-table pair probe + resolve hit
+    * the 64 GiB single-JVM ceiling) closed by a protocol change, not
+    * a bigger box. The capped leg is the shipped operator, unchanged.
+    * The uncapped leg generates each LSH table's qualifying pairs
+    * SEPARATELY off one shared bucket store and folds them into the
+    * running connectivity ([[graft.dedup.DupClusters.resolveChunked]])
+    * before the next table's pairs exist — connected components
+    * distribute over edge-set union, so the final labels equal the
+    * monolithic resolve (DedupSpec pins label-for-label equality)
+    * while peak live volume is one table's survivors plus an
+    * (id, label) row per clustered id. Removal = labeled ids −
+    * distinct labels, the same arithmetic as [[pairProbe]].
+    * `pairs_uncapped_tablesum` counts per-table survivors BEFORE
+    * cross-table dedup (the monolithic `pairs_uncapped` figure is the
+    * deduped set; the sum is its upper bound at ≤ numTables×).
+    */
+  private def parityLshStreamed(spark: SparkSession, dir: String, emb: DataFrame,
+      n: Double): Unit = {
+    val minCos = 0.8
+    val numTables = 16
+    val cap = 4 * graft.dedup.CosineDedup.TargetBucketSize
+    val wallCapped = time(force(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = cap)))
+    val (volC, rmC, roundsC) = pairProbe(graft.dedup.CosineDedup.pairs(emb, minCos, maxBucket = cap))
+    emit(dir, "parity_lsh_streamed_capped", "n_vectors" -> n, "cap" -> cap.toDouble,
+      "wall_sec_capped" -> wallCapped, "pairs_capped" -> volC,
+      "removed_capped" -> rmC, "resolver_rounds_capped" -> roundsC)
+    val t0 = java.lang.System.nanoTime()
+    val bits = graft.dedup.CosineDedup.adaptiveBits(n.toLong)
+    val store = graft.dedup.CosineDedup.bucketStore(emb, numTables, bits)
+    var tableSum = 0.0
+    val chunks = (0 until numTables).map(t => () => {
+      import graft.Store.Materializable
+      val pt = graft.dedup.CosineDedup.tablePairs(store, t, minCos)
+        .select("a", "b").materializeOnce()
+      tableSum += pt.count().toDouble
+      pt
+    })
+    val (labels, maxRounds) =
+      graft.dedup.DupClusters.resolveChunked(chunks, "a", "b", maxIters = 50)
+    val r = labels.agg(count(lit(1)), countDistinct(col("cluster_id"))).head()
+    val rmF = num(r, 0) - num(r, 1)
+    val wallFull = math.rint((java.lang.System.nanoTime() - t0) / 1e9 * 100) / 100
+    emit(dir, "parity_lsh_streamed", "n_vectors" -> n, "cap" -> cap.toDouble,
+      "wall_sec_capped" -> wallCapped, "wall_sec_uncapped_streamed" -> wallFull,
+      "pairs_capped" -> volC, "pairs_uncapped_tablesum" -> tableSum,
+      "removed_capped" -> rmC, "removed_uncapped" -> rmF,
+      "resolver_rounds_capped" -> roundsC, "resolver_rounds_uncapped_chunk_max" -> maxRounds.toDouble)
   }
 
   /** The identical-vector blob at scale (the regime no Voronoi

@@ -86,9 +86,7 @@ object CosineDedup {
     // spark.graft.store.path is set — the "signature store"
     // discipline): both bucket-join sides would otherwise re-scan the
     // corpus and re-derive numTables×bits hyperplane dot products.
-    val store = LshAnn.withBuckets(embeddings, "vec", numTables, bits, dim)
-      .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
-      .materializeOnce()
+    val store = bucketStore(embeddings, numTables, bits, dim)
     val long = store.select(
       col("id"), col("vec"), col("nrm"),
       explode(array((0 until numTables).map(t =>
@@ -104,5 +102,35 @@ object CosineDedup {
         .dropDuplicates("a", "b")
     else
       PairCap.cappedPairs(long, Seq("t", "bk"), maxBucket, minCosine)
+  }
+
+  /** The materialized `(id, vec, nrm, bucket_0..bucket_{T-1})`
+    * signature store [[pairs]] builds internally — exposed for the
+    * streamed parity protocol ([[graft.Scale]]), which needs the SAME
+    * hyperplane assignment across per-table pair stages.
+    */
+  def bucketStore(embeddings: DataFrame, numTables: Int, bits: Int, dim: Int = 64): DataFrame =
+    LshAnn.withBuckets(embeddings, "vec", numTables, bits, dim)
+      .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
+      .materializeOnce()
+
+  /** ONE table's uncapped qualifying pairs off a [[bucketStore]] —
+    * verify semantics identical to [[pairs]] (inline exact cosine,
+    * rounded to 4 decimals, ≥ `minCosine`). Within a single table
+    * every id sits in exactly one bucket, so a pair appears at most
+    * once and no dedup is needed; the union over all tables equals
+    * [[pairs]]'s pre-dedup pair multiset, and its CONNECTIVITY equals
+    * the deduped set's — which is what the streamed 100×-parity
+    * protocol folds one table at a time
+    * ([[DupClusters.resolveChunked]]) instead of holding the
+    * 16-table pair volume live at once.
+    */
+  def tablePairs(store: DataFrame, t: Int, minCosine: Double): DataFrame = {
+    val side = store.select(col("id"), col("vec"), col("nrm"), col(s"bucket_$t").as("bk"))
+    side.as("a")
+      .join(side.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+      .where(col("cosine") >= minCosine)
   }
 }

@@ -95,4 +95,46 @@ object DupClusters {
     (labels.select(col("id"), col("label").as("cluster_id"), (col("id") === col("label")).as("keep")),
       it)
   }
+
+  /** [[resolve]] over an edge set delivered in CHUNKS — the streamed
+    * protocol for pair volumes that cannot be held live at once
+    * (e.g. the 16-table LSH pair union at 100×, whose monolithic
+    * probe hit a single-box memory ceiling): each chunk's edges fold
+    * into the running min-label connectivity before the next chunk
+    * generates, so peak live volume is ONE chunk plus one (id, label)
+    * row per clustered id.
+    *
+    * Correct because connected components distribute over edge-set
+    * union: collapsing the processed prefix to its star edges
+    * (id → cluster min) preserves exactly its connectivity, so
+    * resolving `chunk ∪ stars(prefix)` yields the components of
+    * `chunk ∪ prefix` (spec-pinned equal to the monolithic
+    * [[resolve]] label-for-label). Chunks are thunks, forced one at a
+    * time — pass `() => pairs.materializeOnce()` shapes if the chunk
+    * is also consumed for volume accounting.
+    *
+    * Returns the final `(id, cluster_id, keep)` labels plus the MAX
+    * per-chunk propagation round count (each fold's diameter bound —
+    * the star edges keep prior components at diameter ≤ 2, so rounds
+    * stay bounded by the NEW chunk's structure, not the accumulated
+    * graph's).
+    */
+  def resolveChunked(chunks: Seq[() => DataFrame], aCol: String, bCol: String,
+                     maxIters: Int = 25): (DataFrame, Int) = {
+    var labels: DataFrame = null
+    var maxRounds = 0
+    chunks.foreach { mk =>
+      val chunk = mk().select(col(aCol).cast("long").as(aCol), col(bCol).cast("long").as(bCol))
+      val edges =
+        if (labels == null) chunk
+        else chunk.unionByName(
+          labels.where(col("id") =!= col("cluster_id"))
+            .select(col("id").as(aCol), col("cluster_id").as(bCol)))
+      val (res, rounds) = resolveCounted(edges, aCol, bCol, maxIters)
+      labels = res
+      maxRounds = math.max(maxRounds, rounds)
+    }
+    require(labels != null, "resolveChunked needs at least one chunk")
+    (labels, maxRounds)
+  }
 }
