@@ -58,6 +58,15 @@ object Scale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The generated corpora are single ~50 MB parquet files, which
+      // the default 128 MB maxPartitionBytes reads as ONE partition —
+      // so every pre-shuffle stage (hyperplane projections, sketch
+      // columns) ran in ONE task and the measurement box serialized
+      // work a real deployment parallelizes for free (100 TB arrives
+      // as thousands of splits). 4 MB splits restore the deployment
+      // contract's read parallelism; row-group granularity comes from
+      // the generators (tools/gen_*.py write row_group_size=40k).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -425,13 +434,20 @@ object Scale {
     // insurance measured against the same corpus
     val wallCap = time(force(graft.dedup.CosineDedup.pairs(emb, minCosine = 0.4,
       numTables = numTables, maxBucket = 4 * graft.dedup.CosineDedup.TargetBucketSize)))
+    // round telemetry on the capped leg (round-15 verdict #7): every
+    // embed row carries the resolver's round count so the O(log m)
+    // diameter bound is MEASURED at each family's own scale point
+    val (_, rmCap, roundsCap) = pairProbe(graft.dedup.CosineDedup.pairs(emb, minCosine = 0.4,
+      numTables = numTables, maxBucket = 4 * graft.dedup.CosineDedup.TargetBucketSize))
     emit(dir, "dedup_cosine", "n_vectors" -> n, "bits" -> bits.toDouble,
       "all_pairs" -> n * (n - 1) / 2,
       "table_collisions" -> num(occRow, 0),
       "max_bucket" -> num(occRow, 1),
       "wall_sec_16t" -> wallLsh,
       "wall_sec_32t" -> wall32,
-      "wall_sec_16t_capped" -> wallCap)
+      "wall_sec_16t_capped" -> wallCap,
+      "removed_capped" -> rmCap,
+      "resolver_rounds_capped" -> roundsCap)
   }
 
   /** PassJoin candidate volume for `fuzzy_join_names` (k=1 edit
@@ -593,12 +609,19 @@ object Scale {
     val wallCap = time(force(
       graft.dedup.SemDedup.pairsWith(emb, cs, minCosine = 0.4, probes = 2, assigner = assigner,
         maxCell = 4 * graft.dedup.SemDedup.TargetCellSize)))
+    // round telemetry on the capped leg (round-15 verdict #7), as in
+    // [[cosine]]: removal + resolver rounds measured per scale point
+    val (_, rmCap, roundsCap) = pairProbe(
+      graft.dedup.SemDedup.pairsWith(emb, cs, minCosine = 0.4, probes = 2, assigner = assigner,
+        maxCell = 4 * graft.dedup.SemDedup.TargetCellSize))
     emit(dir, fam, "n_vectors" -> n, "num_cells" -> numCells.toDouble,
       "all_pairs" -> n * (n - 1) / 2,
       "cell_pair_volume" -> num(volRow, 0),
       "max_cell" -> num(volRow, 1),
       "wall_sec" -> wall,
-      "wall_sec_capped" -> wallCap)
+      "wall_sec_capped" -> wallCap,
+      "removed_capped" -> rmCap,
+      "resolver_rounds_capped" -> roundsCap)
   }
 
   /** Probed-cell candidate rows for the 10 registry probe vectors at

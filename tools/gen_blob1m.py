@@ -29,5 +29,5 @@ os.makedirs(out, exist_ok=True)
 pq.write_table(pa.table({
     "vec_id": np.arange(len(v), dtype=np.int64),
     "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
-    "label": lab}), f"{out}/embeddings.parquet")
+    "label": lab}), f"{out}/embeddings.parquet", row_group_size=40000)
 print("wrote", len(v))

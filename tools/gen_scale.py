@@ -56,7 +56,7 @@ LANGS = [("en", 0.412), ("zh", 0.151), ("es", 0.149), ("fr", 0.148), ("de", 0.14
 
 
 def wr(outdir, name, table):
-    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
+    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"), row_group_size=40000)
     print(f"  {name}: {table.num_rows} rows")
 
 
@@ -101,7 +101,7 @@ def gen(outroot, label, k, seed=20261, only=None):
         if not want(t):
             continue
         src = pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
-        pq.write_table(src, os.path.join(outdir, f"{t}.parquet"))
+        pq.write_table(src, os.path.join(outdir, f"{t}.parquet"), row_group_size=40000)
 
     if want("supplier"):
         wr(outdir, "supplier", pa.table({

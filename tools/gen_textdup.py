@@ -119,17 +119,17 @@ def main(outdir):
         "lang": pa.array(all_langs, type=pa.string()),
         "source": pa.array(all_srcs, type=pa.string()),
         "n_chars": pa.array([len(t) for t in all_texts], type=pa.int64()),
-    }), os.path.join(outdir, "documents.parquet"))
+    }), os.path.join(outdir, "documents.parquet"), row_group_size=40000)
     v = embed(all_texts)
     pq.write_table(pa.table({
         "vec_id": pa.array(all_ids, type=pa.int64()),
         "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
         "label": pa.array([0] * len(all_ids), type=pa.int32()),
-    }), os.path.join(outdir, "embeddings.parquet"))
+    }), os.path.join(outdir, "embeddings.parquet"), row_group_size=40000)
     pq.write_table(pa.table({
         "src_id": pa.array([a for a, _ in truth], type=pa.int64()),
         "dup_id": pa.array([b for _, b in truth], type=pa.int64()),
-    }), os.path.join(outdir, "truth.parquet"))
+    }), os.path.join(outdir, "truth.parquet"), row_group_size=40000)
     print(f"{outdir}: {len(all_ids)} docs ({len(new_rows)} planted), "
           f"{len(truth)} truth pairs")
 
