@@ -24,10 +24,20 @@ noise = rng.standard_normal((n_noise, dim))
 noise /= np.linalg.norm(noise, axis=1, keepdims=True)
 v = np.vstack([blob, noise.astype(np.float32)])
 lab = np.concatenate([np.zeros(n_blob, np.int32), np.ones(n_noise, np.int32)])
+# Interleave blob and noise rows: blob-only row groups compress to
+# almost nothing (identical lists RLE away), so without the shuffle 25
+# of the 30 row groups start inside 1-2 of Spark's byte-range splits
+# and the 1M blob rows land in TWO read partitions — the measurement
+# box then serializes the projection stages a balanced layout (what
+# any real multi-file corpus has) runs 32-wide. Row content is
+# unchanged; vec_id keeps its label pairing.
+perm = rng.permutation(len(v))
+v, lab = v[perm], lab[perm]
+ids = np.arange(len(v), dtype=np.int64)[perm]
 out = "scaledata/sf-blob1m"
 os.makedirs(out, exist_ok=True)
 pq.write_table(pa.table({
-    "vec_id": np.arange(len(v), dtype=np.int64),
+    "vec_id": ids,
     "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
     "label": lab}), f"{out}/embeddings.parquet", row_group_size=40000)
 print("wrote", len(v))
