@@ -56,7 +56,11 @@ LANGS = [("en", 0.412), ("zh", 0.151), ("es", 0.149), ("fr", 0.148), ("de", 0.14
 
 
 def wr(outdir, name, table):
-    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"), row_group_size=40000)
+    # 12k rows/group keeps even the widest table (64-float embeddings,
+    # ~260 B/row) near ~3 MB/group — under graft.Scale's 4 MB
+    # byte-range splits, so single-file corpora still read 20+-wide
+    rg = 12000 if name == "embeddings" else 40000
+    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"), row_group_size=rg)
     print(f"  {name}: {table.num_rows} rows")
 
 
