@@ -49,8 +49,11 @@ object OptProbe {
         spark.catalog.clearCache()
         s
       }
-      val med = times.sorted.apply(times.length / 2)
-      println(f"PROBE $name%-28s median=$med%7.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      if (times.isEmpty) println(s"PROBE $name plan-only")
+      else {
+        val med = times.sorted.apply(times.length / 2)
+        println(f"PROBE $name%-28s median=$med%7.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      }
     }
     spark.stop()
   }

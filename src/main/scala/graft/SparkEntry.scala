@@ -5292,8 +5292,18 @@ object SparkEntry {
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       .persist()
     try {
+      // deg / oriented / adj are each consumed by SEVERAL downstream
+      // actions and broadcast builds; without a materialize cut every
+      // consumer re-executes the whole subtree (the round-16 stage
+      // decomposition measured the e⋈deg² orientation join running
+      // three times, ~25 s of task runtime apiece — guide §1.2 "don't
+      // compute things you throw away"). Each is nodes-sized, so the
+      // cut is cheap; broadcasts on the materialized (stats-opaque)
+      // relations use the measured-count gate.
+      import graft.Store.Materializable
       val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
+        .materializeOnce()
       val degRow = deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
         sum(col("d") * (col("d") - 1L)).as("dd")).head()
       val nNodes = degRow.getLong(0)
@@ -5304,10 +5314,11 @@ object SparkEntry {
       val dv = deg.select(col("x").as("v2"), col("d").as("dv"))
       val fromU = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
       val oriented = e
-        .join(maybeBroadcast(du), col("u") === col("u2"))
-        .join(maybeBroadcast(dv), col("v") === col("v2"))
+        .join(Hints.maybeBroadcastMeasured(du), col("u") === col("u2"))
+        .join(Hints.maybeBroadcastMeasured(dv), col("v") === col("v2"))
         .select(when(fromU, col("u")).otherwise(col("v")).as("su"),
           when(fromU, col("v")).otherwise(col("u")).as("sv"))
+        .materializeOnce()
       // compact-forward: for edge u→v, common out-neighbors of u and v
       // are exactly the triangles whose (deg,id)-minimum apex is u.
       // Adjacency is sorted ONCE per node here so the per-edge
@@ -5317,10 +5328,11 @@ object SparkEntry {
       // (two rounds of bench artifacts flagged this row as GC-heavy).
       val adj = oriented.groupBy(col("su").as("w"))
         .agg(sort_array(collect_list(col("sv"))).as("nbrs"))
+        .materializeOnce()
       val triRow = oriented
-        .join(maybeBroadcast(adj.select(col("w").as("w1"), col("nbrs").as("n1"))),
+        .join(Hints.maybeBroadcastMeasured(adj.select(col("w").as("w1"), col("nbrs").as("n1"))),
           col("su") === col("w1"))
-        .join(maybeBroadcast(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
+        .join(Hints.maybeBroadcastMeasured(adj.select(col("w").as("w2"), col("nbrs").as("n2"))),
           col("sv") === col("w2"), "left")
         .select(when(col("n2").isNull, lit(0))
           .otherwise(graft.functions.IntersectCount.sorted(col("n1"), col("n2"))).as("c"))
@@ -6503,6 +6515,11 @@ object SparkEntry {
     * runs on the 1-row agg result.
     */
   private def tableStats(s: SparkSession, dir: String): DataFrame = {
+    // DELIBERATELY NOT Spread: five rsd-0.01 HLL sketches carry a
+    // ~2.7k-long buffer apiece, and the per-task fixed cost (buffer
+    // init + partial serialization + width × tasks merge) dominates —
+    // spreading to 32 tasks measured 2.6 s → 8.7 s (round-16 HLL
+    // repro in OPTIMIZATION_r16.md). Sketch aggs want FEW tasks.
     val li = t(s, dir, "lineitem")
     def nul(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
     def ndv(c: String) = approx_count_distinct(col(c), 0.01)
@@ -6995,6 +7012,13 @@ object SparkEntry {
     * max(5, 15%) (inclusion–exclusion compounds three sketch errors).
     */
   private def approxOverlap(s: SparkSession, dir: String): DataFrame =
+    // DELIBERATELY NOT Spread: measured 2.3 s → 5.9 s when spread to 32
+    // tasks. An rsd-0.01 HLL buffer is ~2.7k longs, and the per-task
+    // fixed cost (buffer init + partial serialization + final merge of
+    // width × tasks words) dominates this sketch-bound aggregation —
+    // more tasks multiply exactly that fixed cost (round-16 repro:
+    // count() at 32 tasks 0.26 s, one rsd-0.01 HLL 1.85 s, rsd-0.05
+    // 0.35 s). The scan-stage partial agg is the right shape.
     t(s, dir, "events")
       .where(col("event_type").isin("click", "purchase"))
       .select(col("event_type"),

@@ -110,7 +110,14 @@ object CosineDedup {
     * hyperplane assignment across per-table pair stages.
     */
   def bucketStore(embeddings: DataFrame, numTables: Int, bits: Int, dim: Int = 64): DataFrame =
-    LshAnn.withBuckets(embeddings, "vec", numTables, bits, dim)
+    // Spread BEFORE the projections (round-16 measurement: a
+    // single-row-group corpus file feeds the store build AND — through
+    // the store's preserved partitioning — the broadcast-probe side of
+    // the bucket join, so hyperplane dots and every candidate cosine
+    // ran in ONE task). Hash on id is deterministic and the downstream
+    // is partitioning-invariant: buckets/cosines are row-local,
+    // candidates are set-semantics, the gate ORDER BY is total.
+    LshAnn.withBuckets(graft.Spread.toCores(embeddings, col("id")), "vec", numTables, bits, dim)
       .withColumn("nrm", sqrt(Cosine.dot(col("vec"), col("vec"))))
       .materializeOnce()
 

@@ -38,7 +38,10 @@ object MinHashLSH {
     * the doc id, with map-side partial mins keeping it |docs|-sized.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2, numHashes: Int = 64): DataFrame = {
-    val exploded = docs.select(
+    // spread under-partitioned inputs before the shingle explode (the
+    // single-row-group corpus file otherwise pins shingling+hashing to
+    // one task); per-slot min is order-insensitive
+    val exploded = graft.Spread.toCores(docs, col(idCol)).select(
       col(idCol).as("id"),
       explode_outer(Shingles.hashedShingles(col(textCol), n)).as("s"))
     // shingles arrive pre-hashed (native one-pass ShingleHashes);

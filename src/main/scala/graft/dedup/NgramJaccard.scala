@@ -70,7 +70,11 @@ object NgramJaccard {
       n: Int = 2,
       minJaccard: Double = 0.6): DataFrame = {
     val tEff = minJaccard - 0.00005 // absorb round(j, 4) at the emitted filter
-    val sh = docs
+    // spread under-partitioned inputs before the shingle explode (a
+    // single-row-group corpus file otherwise pins shingling, df counts'
+    // map side and the set-store build to one task); docSets sorts its
+    // arrays, so collect order — hence partitioning — cannot change it
+    val sh = graft.Spread.toCores(docs, col(idCol))
       .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // per-doc shingle hashes sorted by the global (df, hash) canonical
@@ -155,7 +159,7 @@ object NgramJaccard {
       minContainment: Double = 0.8,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val tEff = minContainment - 0.00005 // absorb round(c, 4) at the emitted filter
-    val sh = docs
+    val sh = graft.Spread.toCores(docs, col(idCol)) // single-row-group inputs: parallelize the explode
       .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nfull"))
     val capped = maxDf match {
@@ -215,7 +219,7 @@ object NgramJaccard {
       n: Int = 3,
       minContainment: Double = 0.8,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val sh = docs
+    val sh = graft.Spread.toCores(docs, col(idCol)) // single-row-group inputs: parallelize the explode
       .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val index = maxDf match {
       case Some(cap) =>
@@ -263,7 +267,7 @@ object NgramJaccard {
     // ~|distinct shingles|²/2^64 corpus-wide — accepted and documented
     // (the MD5-family cross-engine trick is not needed because hashes
     // never leave the plan).
-    val sh = docs
+    val sh = graft.Spread.toCores(docs, col(idCol)) // single-row-group inputs: parallelize the explode
       .select(col(idCol).as("id"), explode(Shingles.hashedShingles(col(textCol), n)).as("s"))
     val index = maxDf match {
       case Some(cap) =>

@@ -118,8 +118,14 @@ object SemDedup {
     // The assignment relation materializes ONCE (graft.Store): it
     // re-derives numCells dot products per row and would otherwise run
     // on both self-join sides.
-    val cells = assigner(embeddings, centroids, probes)
-      .join(embeddings.select(
+    // spread under-partitioned inputs BELOW the (already-trained)
+    // centroids: assignment dots are row-local and the cell join is
+    // set-semantics, so results are partitioning-invariant — unlike
+    // train()'s float means, which the spread must never sit above
+    // (round-16 single-row-group finding, see graft.Spread)
+    val emb = graft.Spread.toCores(embeddings, col("id"))
+    val cells = assigner(emb, centroids, probes)
+      .join(emb.select(
         col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm")), "id")
       .materializeOnce()
     if (maxCell <= 0)

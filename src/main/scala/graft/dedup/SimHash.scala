@@ -49,7 +49,11 @@ object SimHash {
     * grouping); all real documents tokenize to at least one token.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(
+    // spread under-partitioned inputs before the token explode (the
+    // scan stage otherwise runs the whole tokenize+hash single-task on
+    // single-row-group corpus files); the ±1 vote sums are integer and
+    // order-insensitive, so results are partitioning-invariant
+    val exploded = graft.Spread.toCores(docs, col(idCol)).select(
       col(idCol).as("id"),
       explode(Shingles.tokens(col(textCol))).as("t"))
     val h = xxhash64(col("t"))

@@ -35,7 +35,14 @@ object LogLines {
       if (corruptEvery > 0)
         when(col("event_id") % corruptEvery === 0, concat(lit("CORRUPT "), col("event_id"))).otherwise(base)
       else base
-    events.select(line.as("line"))
+    // Spread before the synthesis: the parse pipelines downstream
+    // (regex extract, timestamp parse) are the engine's headline
+    // per-row cost and inherit the scan's partitioning — on a
+    // single-row-group corpus file that is ONE task for the whole
+    // parse (round-16 stage decomposition), twice under the gate
+    // sort's range sampling. Hash on event_id is deterministic; every
+    // consumer is row-local or aggregating.
+    graft.Spread.toCores(events, col("event_id")).select(line.as("line"))
   }
 
   /** events → monolog-JSON-formatter lines (one JSON object per line),
@@ -44,7 +51,7 @@ object LogLines {
     * layout here is free to be whatever `to_json` emits.
     */
   def jsonFromEvents(events: DataFrame): DataFrame =
-    events.select(to_json(struct(
+    graft.Spread.toCores(events, col("event_id")).select(to_json(struct(
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
       lit("app").as("logger"),
       upper(col("event_type")).as("level"),

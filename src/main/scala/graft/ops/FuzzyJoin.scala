@@ -92,9 +92,19 @@ object FuzzyJoin {
     require(saltHot <= 1 || maxDf > 0,
       s"saltHot=$saltHot requires maxDf > 0 (maxDf is the hotness threshold salting scatters)")
 
+    // Both sides spread to the session's parallelism when their scans
+    // arrive under-partitioned (single-row-group inputs): the segment
+    // explode, candidate join and levenshtein verify all inherit the
+    // scan layout — the round-16 decomposition measured entity_resolve's
+    // whole verify join in ONE 3.6 s task. Hash on the id is
+    // deterministic; candidates are set-semantics (dedup + total-order
+    // gates downstream), so the output is partitioning-invariant.
+    val leftS = graft.Spread.toCores(left, col(leftIdCol))
+    val rightS = graft.Spread.toCores(right, col(rightIdCol))
+
     // Index side (right): (len, segIdx, segment) keys. Zero-length
     // segments (len < k+1) key on position only — the substring is ''.
-    val idx0 = right
+    val idx0 = rightS
       .select(col(rightIdCol).as("_rid"), col(rightStrCol).as("_rstr"))
       .withColumn("_rlen", length(col("_rstr")))
       .withColumn("_seg", explode(segmentBounds(col("_rlen"), k)))
@@ -145,7 +155,7 @@ object FuzzyJoin {
         }))
       }))
     }
-    val probe = left
+    val probe = leftS
       .select(col(leftIdCol).as("_lid"), col(leftStrCol).as("_lstr"))
       .withColumn("_key", explode(array_distinct(probeKeys)))
 

@@ -334,6 +334,8 @@ object IvfAnn {
       centroids: Centroids,
       k: Int,
       nProbe: Int = 4): DataFrame = {
+    // NOT spread (round 16): probe batches are small by contract and
+    // the extra exchange measured a net loss on the ANN rows.
     val cells = corpus.select(col("id"), col("vec"), nearestCell(col("vec"), centroids).as("cell"))
 
     // per-query top-nProbe cells: explode the literal centroid array

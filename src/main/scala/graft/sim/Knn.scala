@@ -112,7 +112,10 @@ object Knn {
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // norms are per-vector, so compute them before the pair stage — the
-    // |queries| x |corpus| stage then costs one dot product per pair
+    // |queries| x |corpus| stage then costs one dot product per pair.
+    // NOT spread (round 16): probe batches are small by contract, so
+    // the per-task work here is tiny and the extra exchange measured a
+    // net LOSS on every ANN row (ann_bruteforce 0.8 → 1.6 s).
     val scored = corpus
       .select(col("id"), col("vec"),
         sqrt(Cosine.dot(col("vec"), col("vec"))).as("cn"),

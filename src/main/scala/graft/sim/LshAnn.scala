@@ -63,6 +63,10 @@ object LshAnn {
     // Bucket probing moves only (id, table, bucket); vectors join back
     // onto the deduplicated candidate list for the exact rerank (same
     // shuffle-payload reasoning as CosineDedup.pairs).
+    // NOT spread (round 16): the probe-batch contract keeps candidate
+    // volume small here; the extra exchange measured neutral-to-loss
+    // (the DEDUP families, whose whole-corpus candidate joins are the
+    // heavy consumers, spread in CosineDedup.bucketStore instead).
     val qb = withBuckets(queries, "qvec", numTables, bitsPerTable, dim)
     val cb = withBuckets(corpus, "vec", numTables, bitsPerTable, dim)
     val qLong = qb.select(

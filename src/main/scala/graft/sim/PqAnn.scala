@@ -165,7 +165,8 @@ object PqAnn {
     require(qRows.nonEmpty, "empty probe batch")
 
     // phase 1: one pass over the COMPRESSED corpus (at scale, the only
-    // thing kept hot); ADC score = sum of m lut lookups per row
+    // thing kept hot); ADC score = sum of m lut lookups per row.
+    // NOT spread (round 16): measured net loss on probe-sized work.
     val coded = corpus.select(col("id"), encode(col("vec"), cb).as("codes"))
     val scored = coded
       .select(col("id"), col("codes"), explode(inlineLuts(qRows, cb)).as("p"))

@@ -75,7 +75,9 @@ object Quantized {
     }: _*)
 
     // phase 1: quantized corpus only — at scale this is a separate,
-    // 4x-smaller table; here it is derived in the same pass
+    // 4x-smaller table; here it is derived in the same pass.
+    // NOT spread (round 16): probe-batch work is too small to amortize
+    // an extra exchange (measured net loss across the ANN family).
     val quant = corpus.select(col("id"), quantize(col("vec")).as("qv"))
     val probe = explode(inlined).as("p")
     val scored = quant
