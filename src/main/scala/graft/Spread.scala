@@ -40,9 +40,24 @@ object Spread {
     * identity otherwise. The partition probe plans the relation but
     * runs no job (the callers sit directly on scans/projections with no
     * exchange below, so AQE has no stage to materialize).
+    *
+    * Probe guard (round-16 ADVICE): `toRdd` on a plan with an exchange
+    * below would eagerly materialize shuffle stages under AQE at
+    * DataFrame-CONSTRUCTION time and read a pre-AQE partition count.
+    * The caller contract (scans + row-local projections only) was
+    * previously comment-only; now the pre-AQE physical plan is checked
+    * first, and a relation that already contains an exchange is
+    * returned unchanged — an exchange repartitions to the session's
+    * shuffle parallelism anyway, so the spread would be a no-op there,
+    * and skipping the probe keeps plan construction job-free.
     */
   def toCores(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) return df
     val current = df.queryExecution.toRdd.getNumPartitions
     if (current * 2 >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)

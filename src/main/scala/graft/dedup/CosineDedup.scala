@@ -92,15 +92,23 @@ object CosineDedup {
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("tb"))
       .select(col("id"), col("vec"), col("nrm"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    if (maxBucket <= 0)
+    if (maxBucket <= 0) {
+      // Threshold INSIDE the join condition, AFTER the id gate (round
+      // 17, guide §4/§1.2): a `.where(cosine >= t)` above the join is
+      // pushed down and PREPENDED to the residual condition, so the
+      // round-16 plan evaluated the 64-dim dot product before the
+      // `a.id < b.id` test — every bucket pair paid the cosine TWICE
+      // over (self-pairs and both orientations). Conjunct order is
+      // preserved through equi-key extraction, so writing the cheap
+      // gate first halves the ArrayDot work (plan-verified: plans/r17).
+      val cos = round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
       long.as("a")
         .join(long.as("b"),
-          col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("a"), col("b.id").as("b"),
-          round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
-        .where(col("cosine") >= minCosine)
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+            col("a.id") < col("b.id") && cos >= minCosine)
+        .select(col("a.id").as("a"), col("b.id").as("b"), cos.as("cosine"))
         .dropDuplicates("a", "b")
-    else
+    } else
       PairCap.cappedPairs(long, Seq("t", "bk"), maxBucket, minCosine)
   }
 
@@ -134,10 +142,11 @@ object CosineDedup {
     */
   def tablePairs(store: DataFrame, t: Int, minCosine: Double): DataFrame = {
     val side = store.select(col("id"), col("vec"), col("nrm"), col(s"bucket_$t").as("bk"))
+    // threshold in the join condition after the id gate — see pairs()
+    val cos = round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
     side.as("a")
-      .join(side.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
-      .where(col("cosine") >= minCosine)
+      .join(side.as("b"), col("a.bk") === col("b.bk") &&
+        col("a.id") < col("b.id") && cos >= minCosine)
+      .select(col("a.id").as("a"), col("b.id").as("b"), cos.as("cosine"))
   }
 }

@@ -73,22 +73,56 @@ object DupClusters {
     var converged = false
     var it = 1
     while (!converged && it < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      // TWO propagation rounds fused per action (round 17 — the
+      // resolve consumers were action-bound: ~0.3-0.4 s of driver /
+      // scheduling latency per round on diameter-bounded graphs, so
+      // halving the action count beats the duplicated tiny mid-round
+      // subtree, whose exchanges ReuseExchange dedupes anyway). The
+      // lazy checkpoint + ONE aggregate materializes the blocks
+      // (truncating lineage) and reads BOTH rounds' change counts in
+      // the same pass, so round accounting stays exact: propagation is
+      // monotone (labels only decrease) and deterministic, so a
+      // zero-change round is a fixpoint and the two counts identify
+      // which round converged. The only contract shift: a diameter
+      // landing exactly on maxIters is now ACCEPTED where the unfused
+      // loop threw (the pair always executes its second round) —
+      // convergence is still verified, never assumed.
+      val nm1 = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("label")).as("nmin"))
-      // lazy checkpoint + count in ONE action per round: the count job
-      // materializes the round's blocks (truncating lineage — the plan
-      // doubles per round otherwise) and decides convergence in the
-      // same pass, instead of a checkpoint job plus an isEmpty job
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+      // mid is LAZILY checkpointed, not inlined: the second round's
+      // plan references it twice (neighbor-min subtree + join left
+      // side), and inlining the subtree fed the optimizer a
+      // self-referential 4-join tree that sent InjectRuntimeFilter's
+      // per-join lineage scans quadratic — measured as MINUTES of
+      // driver planning per action in the chunked-resolve spec. As a
+      // lazy localCheckpoint it is one cached-RDD leaf: both consumers
+      // read the same blocks (computed once, inside the same single
+      // action below), every per-action plan stays small, and lineage
+      // truncation is unchanged.
+      val mid = labels.join(nm1, labels("id") === nm1("nid"), "left")
         .select(
-          col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("prev"))
+          labels("id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"),
+          labels("label").as("_prev"))
         .materializeOnce(eager = false)
-      converged = updated.where(col("label") =!= col("prev")).count() == 0
+      val nm2 = edges.join(mid, edges("dst") === mid("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = mid.join(nm2, mid("id") === nm2("nid"), "left")
+        .select(
+          mid("id"),
+          least(mid("label"), coalesce(col("nmin"), mid("label"))).as("label"),
+          mid("label").as("_mid"),
+          mid("_prev"))
+        .materializeOnce(eager = false)
+      val ch = updated.agg(
+        count(when(col("_mid") =!= col("_prev"), 1)).as("c1"),
+        count(when(col("label") =!= col("_mid"), 1)).as("c2")).head()
+      if (ch.getLong(0) == 0) { converged = true; it += 1 }
+      else if (ch.getLong(1) == 0) { converged = true; it += 2 }
+      else it += 2
       labels = updated.select("id", "label")
-      it += 1
     }
     require(converged, s"label propagation did not converge within $maxIters rounds " +
       "(pathological pair-graph diameter — raise maxIters)")

@@ -128,14 +128,18 @@ object SemDedup {
       .join(emb.select(
         col("id"), col("vec"), sqrt(Cosine.dot(col("vec"), col("vec"))).as("nrm")), "id")
       .materializeOnce()
-    if (maxCell <= 0)
+    if (maxCell <= 0) {
+      // threshold in the join condition AFTER the id gate (round 17):
+      // the pushed-down `.where` used to lead the residual condition,
+      // so the dot product ran before `a.id < b.id` — see
+      // CosineDedup.pairs for the conjunct-order rationale.
+      val cos = round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
       cells.as("a")
         .join(cells.as("b"),
-          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("a"), col("b.id").as("b"),
-          round(Cosine.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
-        .where(col("cosine") >= minCosine)
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id") && cos >= minCosine)
+        .select(col("a.id").as("a"), col("b.id").as("b"), cos.as("cosine"))
         .dropDuplicates("a", "b")
+    }
     else
       // Over-cap cells arise when Voronoi splitting fails: identical-
       // vector blobs tie to one cell no matter how many centroids

@@ -26,8 +26,15 @@ object JsonLogParser {
     * `from_json`) go to [[deadLetter]].
     */
   def parse(lines: DataFrame, cfg: TailConfig, lineCol: String = "line"): DataFrame = {
+    // OptimizerFence (round 17, guide §4.4): the two-conjunct null
+    // filter used to be pushed below this projection and below the
+    // adaptive input spread with from_json REWRITTEN INTO EACH
+    // CONJUNCT — three full JSON parses per surviving row, two of them
+    // in the 1-task pre-spread scan stage (plans/r16
+    // parse_json_logs). The fence pins the parse + filter above the
+    // spread: one parse per row, at full parallelism.
     val parsed = lines
-      .select(from_json(col(lineCol), Schema).as("_j"))
+      .select(graft.functions.OptimizerFence(from_json(col(lineCol), Schema)).as("_j"))
       .where(col("_j").isNotNull && col("_j.created_at").isNotNull)
       .select(
         to_timestamp_ntz(col("_j.created_at"), lit(cfg.timestampFormat)).as("created_at"),

@@ -50,7 +50,14 @@ object MonologParser {
         // Single-pass extraction: one regex execution per line instead
         // of rlike + 6 regexp_extract (7 executions) — this transform
         // runs on 100% of ingested rows.
-        val g = graft.functions.RegexpExtractGroups(l, pat)
+        // OptimizerFence (round 17, guide §4.4): without it the
+        // isNotNull filter is pushed below this projection AND below
+        // the adaptive input spread, so the regex executed TWICE per
+        // surviving row with one copy trapped in the 1-task pre-spread
+        // scan stage (measured in plans/r16 parse_monolog; fixed plans
+        // in plans/r17). The fence pins extraction + filter above the
+        // spread: one execution per row, at full parallelism.
+        val g = graft.functions.OptimizerFence(graft.functions.RegexpExtractGroups(l, pat))
         lines
           .select(g.as("_g"))
           .where(col("_g").isNotNull)

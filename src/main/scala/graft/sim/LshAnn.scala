@@ -26,18 +26,25 @@ object LshAnn {
     Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
   }
 
-  /** Append `bucket_t` columns (one long per table) to a vector frame. */
+  /** Append `bucket_t` columns (one long per table) to a vector frame.
+    *
+    * Round-17 (guide §4): the per-bit `when(ArrayDot(vec, plane) >= 0,
+    * 1L << b)` unrolling — numTables × bitsPerTable dot products, each
+    * materializing its literal plane array per row — is fused into ONE
+    * [[graft.functions.LshBuckets]] expression (a single static kernel
+    * over a flat plane matrix, bit-identical by FunctionsSpec). The
+    * signature struct is computed in its own projection and the
+    * `bucket_t` columns extracted in a second one: CollapseProject
+    * never inlines a non-cheap producer referenced numTables times, so
+    * the kernel runs once per row (asserted on the physical plan in
+    * SinkAndPlanSpec).
+    */
   def withBuckets(df: DataFrame, vecCol: String, numTables: Int, bitsPerTable: Int, dim: Int): DataFrame = {
     val hp = planes(numTables, bitsPerTable, dim)
-    val v = col(vecCol)
-    val bucketCols: Seq[Column] = (0 until numTables).map { t =>
-      val bits: Seq[Column] = (0 until bitsPerTable).map { b =>
-        val plane = array(hp(t)(b).map(lit(_)): _*)
-        when(Cosine.dot(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce((a, c) => a.bitwiseOR(c)).as(s"bucket_$t")
-    }
-    df.select(df.columns.map(col) ++ bucketCols: _*)
+    val sig = graft.functions.LshBuckets(col(vecCol), hp)
+    df.withColumn("_lsh_sig", sig)
+      .select(df.columns.map(col) ++
+        (0 until numTables).map(t => col("_lsh_sig").getField(s"b$t").as(s"bucket_$t")): _*)
   }
 
   /** Approximate top-k: bucket-join per table, union candidates, exact

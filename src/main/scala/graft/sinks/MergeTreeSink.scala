@@ -72,7 +72,19 @@ final case class MergeTreeSink(path: String, ttlDays: Int = 10) extends LogSink 
     * point, not an exact file count).
     */
   private def partitionForWrite(df: DataFrame, filesPerDay: Int): DataFrame =
-    if (filesPerDay <= 1) df.repartition(col("event_date"))
+    // Explicit partition count (round 17): the keyed no-count
+    // `repartition(col("event_date"))` plans REPARTITION_BY_COL, which
+    // AQE freely coalesces — the round-17 write-plan capture
+    // (plans/r17/sink_roundtrip_before_write0.txt, AQEShuffleRead
+    // "coalesced" over a 16 MiB stage) showed the ENTIRE sort+write
+    // running in one task while the upstream parse ran on 32.
+    // REPARTITION_BY_NUM pins the session's shuffle parallelism, so
+    // each date still lands whole in one task (one file per day, the
+    // dynamic-partition writer splits files per partition value) but
+    // distinct dates write in parallel. Scale-adaptive: the count is
+    // the session's shuffle parallelism, not a local constant.
+    if (filesPerDay <= 1)
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("event_date"))
     else {
       // explicit partition count: an AQE-coalesced keyed repartition
       // would merge the buckets right back into one task
